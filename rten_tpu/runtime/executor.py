@@ -153,11 +153,24 @@ class GraphExecutor:
                     and not spec.has_subgraph)
 
             t0 = time.perf_counter() if timing else None
-            result = spec.fn(ctx, op.attrs, *args)
             if fold and not spec.data_dependent:
-                # Keep constant-derived values static so downstream
-                # shape-operands see numpy.
+                # All-static op: evaluate outside any active trace and keep
+                # the result static (numpy) so downstream shape-operands
+                # fold too. This is lazy constant propagation.
+                with jax.ensure_compile_time_eval():
+                    result = spec.fn(ctx, op.attrs, *[
+                        None if a is None else jnp.asarray(a)
+                        if i not in spec.static else np.asarray(a)
+                        for i, a in enumerate(args)])
                 result = jax.tree_util.tree_map(_to_np, result)
+            else:
+                if not spec.data_dependent:
+                    # Lowerings expect jax arrays for non-static operands
+                    # (e.g. `.at[]` updates); static operands stay numpy.
+                    args = [a if a is None or i in spec.static
+                            else jnp.asarray(a)
+                            for i, a in enumerate(args)]
+                result = spec.fn(ctx, op.attrs, *args)
             if timing is not None:
                 jax.tree_util.tree_map(
                     lambda v: v.block_until_ready()
