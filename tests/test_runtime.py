@@ -1,0 +1,194 @@
+"""Executor/runtime behavior tests: plan construction, jit caching, static
+shape-chain folding, eager fallback, partial_run, optimizer passes
+(the analog of the reference's graph.rs/optimize.rs test groups)."""
+
+import numpy as np
+import pytest
+
+from rten_tpu.ir.graph import Graph
+from rten_tpu.ir import optimize as opt
+from rten_tpu.runtime.executor import GraphExecutor, RunOptions
+
+
+def randf(*shape):
+    return np.random.RandomState(7).randn(*shape).astype(np.float32)
+
+
+def _mlp_graph():
+    g = Graph()
+    x = g.add_value("x")
+    w1 = g.add_constant("w1", randf(4, 8))
+    w2 = g.add_constant("w2", randf(8, 2))
+    h = g.add_value("h")
+    hr = g.add_value("hr")
+    out = g.add_value("out")
+    g.add_operator("mm1", "MatMul", [x, w1], [h])
+    g.add_operator("relu", "Relu", [h], [hr])
+    g.add_operator("mm2", "MatMul", [hr, w2], [out])
+    g.inputs, g.outputs = [x], [out]
+    return g
+
+
+def test_plan_topological_order():
+    g = _mlp_graph()
+    plan = g.plan()
+    names = [g.nodes[i].name for i in plan]
+    assert names == ["mm1", "relu", "mm2"]
+
+
+def test_plan_partial_outputs():
+    g = _mlp_graph()
+    plan = g.plan(output_ids=[g.node_id("hr")])
+    names = [g.nodes[i].name for i in plan]
+    assert names == ["mm1", "relu"]
+
+
+def test_plan_missing_input_errors():
+    g = _mlp_graph()
+    with pytest.raises(ValueError, match="not an input"):
+        g.plan(input_ids=[], output_ids=g.outputs)
+
+
+def test_jit_cache_reuse():
+    g = _mlp_graph()
+    ex = GraphExecutor(g)
+    x = randf(3, 4)
+    ex.run({g.node_id("x"): x})
+    assert len(ex._jit_cache) == 1
+    ex.run({g.node_id("x"): x})
+    assert len(ex._jit_cache) == 1          # same signature: cache hit
+    ex.run({g.node_id("x"): randf(5, 4)})
+    assert len(ex._jit_cache) == 2          # new shape: new entry
+
+
+def test_jit_matches_eager():
+    g = _mlp_graph()
+    ex = GraphExecutor(g)
+    x = randf(3, 4)
+    jit_out = np.asarray(ex.run({g.node_id("x"): x})[0])
+    eager_out = np.asarray(ex.run_eager({g.node_id("x"): x})[0])
+    np.testing.assert_allclose(jit_out, eager_out, rtol=1e-5, atol=1e-6)
+
+
+def test_static_shape_chain_folds_under_jit():
+    """Shape→Gather→Concat→Reshape chains must fold at trace time."""
+    g = Graph()
+    x = g.add_value("x")
+    shp = g.add_value("shp")
+    idx = g.add_constant("idx", np.array([0], np.int32))
+    dim0 = g.add_value("dim0")
+    rest = g.add_constant("rest", np.array([-1], np.int32))
+    tgt = g.add_value("tgt")
+    out = g.add_value("out")
+    g.add_operator("shape", "Shape", [x], [shp])
+    g.add_operator("gather", "Gather", [shp, idx], [dim0], {"axis": 0})
+    g.add_operator("concat", "Concat", [dim0, rest], [tgt], {"axis": 0})
+    g.add_operator("reshape", "Reshape", [x, tgt], [out])
+    g.inputs, g.outputs = [x], [out]
+    ex = GraphExecutor(g)
+    x_in = randf(3, 4, 5)
+    out_v = np.asarray(ex.run({x: x_in})[0])   # jit path must succeed
+    assert out_v.shape == (3, 20)
+
+
+def test_data_dependent_falls_back_to_eager():
+    g = Graph()
+    x = g.add_value("x")
+    nz = g.add_value("nz")
+    out = g.add_value("out")
+    g.add_operator("nonzero", "NonZero", [x], [nz])
+    g.add_operator("cast", "Cast", [nz], [out], {"to": 1})
+    g.inputs, g.outputs = [x], [out]
+    ex = GraphExecutor(g)
+    x_in = np.array([[1, 0], [0, 2]], np.float32)
+    out_v = np.asarray(ex.run({x: x_in})[0])
+    assert out_v.shape == (2, 2)
+    assert ex._jit_unsupported  # fallback recorded
+
+
+def test_partial_run_constant_prefix():
+    """partial_run with a subset of inputs computes the loop-invariant
+    prefix (the generator's constant-input caching pattern)."""
+    g = Graph()
+    a = g.add_value("a")
+    b = g.add_value("b")
+    w = g.add_constant("w", randf(4, 4))
+    a_proj = g.add_value("a_proj")
+    summed = g.add_value("summed")
+    g.add_operator("proj", "MatMul", [a, w], [a_proj])
+    g.add_operator("add", "Add", [a_proj, b], [summed])
+    g.inputs, g.outputs = [a, b], [summed]
+    ex = GraphExecutor(g)
+    a_in = randf(2, 4)
+    frontier = ex.partial_run({a: a_in})
+    assert set(frontier) == {g.node_id("a_proj")}
+    np.testing.assert_allclose(np.asarray(frontier[g.node_id("a_proj")]),
+                               a_in @ np.asarray(g.nodes[w].data.array),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_optimizer_constant_propagation():
+    g = Graph()
+    x = g.add_value("x")
+    c1 = g.add_constant("c1", np.float32([1, 2, 3]))
+    c2 = g.add_constant("c2", np.float32([10, 20, 30]))
+    csum = g.add_value("csum")
+    out = g.add_value("out")
+    g.add_operator("addc", "Add", [c1, c2], [csum])
+    g.add_operator("addx", "Add", [x, csum], [out])
+    g.inputs, g.outputs = [x], [out]
+    folded = opt.propagate_constants(g)
+    assert folded == 1
+    from rten_tpu.ir.graph import ConstantNode
+    assert isinstance(g.nodes[csum].data, ConstantNode)
+    np.testing.assert_allclose(g.nodes[csum].data.array, [11, 22, 33])
+    ex = GraphExecutor(g)
+    out_v = np.asarray(ex.run({x: np.float32([1, 1, 1])})[0])
+    np.testing.assert_allclose(out_v, [12, 23, 34])
+
+
+def test_optimizer_keeps_random_ops():
+    g = Graph()
+    rnd = g.add_value("rnd")
+    out = g.add_value("out")
+    g.add_operator("ru", "RandomUniform", [], [rnd],
+                   {"shape": [2, 2], "low": 0.0, "high": 1.0})
+    g.add_operator("relu", "Relu", [rnd], [out])
+    g.inputs, g.outputs = [], [out]
+    assert opt.propagate_constants(g) == 0
+    ex = GraphExecutor(g)
+    a = np.asarray(ex.run({}, options=RunOptions(seed=0))[0])
+    b = np.asarray(ex.run({}, options=RunOptions(seed=1))[0])
+    assert not np.allclose(a, b)
+
+
+def test_prune_dead_nodes():
+    g = _mlp_graph()
+    # Dangling op not on the output path.
+    dead_out = g.add_value("dead_out")
+    g.add_operator("dead", "Relu", [g.node_id("x")], [dead_out])
+    removed = opt.prune_dead_nodes(g)
+    assert removed == 1
+    ex = GraphExecutor(g)
+    assert np.asarray(ex.run({g.node_id("x"): randf(2, 4)})[0]).shape == (2, 2)
+
+
+def test_run_timing_table(capsys):
+    g = _mlp_graph()
+    ex = GraphExecutor(g)
+    ex.run({g.node_id("x"): randf(3, 4)},
+           options=RunOptions(timing=True))
+    out = capsys.readouterr().out
+    assert "MatMul" in out and "TOTAL" in out
+
+
+def test_seed_determinism():
+    g = Graph()
+    rnd = g.add_value("rnd")
+    g.add_operator("ru", "RandomNormal", [], [rnd],
+                   {"shape": [3], "mean": 0.0, "scale": 1.0})
+    g.inputs, g.outputs = [], [rnd]
+    ex = GraphExecutor(g)
+    a = np.asarray(ex.run({}, options=RunOptions(seed=5))[0])
+    b = np.asarray(ex.run({}, options=RunOptions(seed=5))[0])
+    np.testing.assert_array_equal(a, b)
