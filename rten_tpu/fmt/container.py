@@ -21,8 +21,11 @@ TENSOR_ALIGN = 64
 
 DTYPE_FLOAT32 = schema.ENUMS["ConstantDataType"].index("Float32")
 DTYPE_INT32 = schema.ENUMS["ConstantDataType"].index("Int32")
+DTYPE_INT8 = schema.ENUMS["ConstantDataType"].index("Int8")
+DTYPE_UINT8 = schema.ENUMS["ConstantDataType"].index("UInt8")
 
-_NP_BY_DTYPE = {DTYPE_FLOAT32: np.float32, DTYPE_INT32: np.int32}
+_NP_BY_DTYPE = {DTYPE_FLOAT32: np.float32, DTYPE_INT32: np.int32,
+                DTYPE_INT8: np.int8, DTYPE_UINT8: np.uint8}
 
 
 @dataclass
@@ -86,7 +89,7 @@ class TensorDataBuilder:
         self.offset = 0
 
     def add(self, array: np.ndarray) -> int:
-        if array.dtype not in (np.float32, np.int32):
+        if array.dtype not in (np.float32, np.int32, np.int8, np.uint8):
             raise ValueError(f"unsupported tensor dtype {array.dtype}")
         pad = (-self.offset) % TENSOR_ALIGN
         if pad:

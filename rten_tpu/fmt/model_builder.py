@@ -43,6 +43,9 @@ ATTRS_TABLE_FOR_OP: dict[str, str] = {
     "Reshape": "ReshapeAttrs", "Resize": "ResizeAttrs",
     "ScatterElements": "ScatterElementsAttrs", "ScatterND": "ScatterNDAttrs",
     "Softmax": "SoftmaxAttrs", "LogSoftmax": "SoftmaxAttrs",
+    "QuantizeLinear": "QuantizeLinearAttrs",
+    "DequantizeLinear": "QuantizeLinearAttrs",
+    "QLinearConv": "QLinearConvAttrs",
     "Split": "SplitAttrs", "TopK": "TopKAttrs",
     "Transpose": "TransposeAttrs", "Trilu": "TriluAttrs",
 }
@@ -85,9 +88,15 @@ class GraphBuilder:
             dtype_code, member = container.DTYPE_FLOAT32, "FloatData"
         elif array.dtype == np.int32:
             dtype_code, member = container.DTYPE_INT32, "IntData"
+        elif array.dtype == np.int8:
+            dtype_code, member = container.DTYPE_INT8, None
+        elif array.dtype == np.uint8:
+            dtype_code, member = container.DTYPE_UINT8, None
         else:
             raise ValueError(f"unsupported constant dtype {array.dtype}")
-        if external is None:
+        if member is None:
+            external = True  # int8/uint8 have no inline representation
+        elif external is None:
             external = array.size >= 16  # small tensors inline, rest external
         payload = {"shape": np.asarray(array.shape, dtype=np.uint32),
                    "dtype": dtype_code}

@@ -42,6 +42,12 @@ ENUMS: dict[str, list[str]] = {
         "GatherElements", "LayerNormalization", "ReduceSumSquare",
         "RandomUniform", "Elu", "RandomUniformLike", "RandomNormal",
         "RandomNormalLike", "Softplus", "GatherND", "Gelu", "Einsum", "If",
+        # rten_tpu extension operators, appended per the schema's own
+        # binary-compatibility policy ("New operators ... appended here").
+        # These cover the quantized-inference surface (ONNX QDQ/QLinear
+        # ops) that the north star adds on top of the reference.
+        "QuantizeLinear", "DequantizeLinear", "DynamicQuantizeLinear",
+        "MatMulInteger", "QLinearMatMul", "QLinearConv", "Silu",
     ],
     "RNNDirection": ["Forward", "Reverse", "Bidirectional"],
     "AutoPad": ["Same", "NotSet"],
@@ -51,7 +57,8 @@ ENUMS: dict[str, list[str]] = {
     "ResizeMode": ["Nearest", "Linear"],
     "NMSBoxOrder": ["TopLeftBottomRight", "CenterWidthHeight"],
     "ScatterReduction": ["None", "Add", "Mul", "Min", "Max"],
-    "ConstantDataType": ["Int32", "Float32"],
+    # Int8/UInt8 are rten_tpu extensions (appended) for quantized weights.
+    "ConstantDataType": ["Int32", "Float32", "Int8", "UInt8"],
 }
 
 ENUM_STORAGE = {"ConstantDataType": "u16"}  # everything else is u8
@@ -79,6 +86,8 @@ UNIONS: dict[str, list[str]] = {
         "RandomUniformAttrs", "EluAttrs", "RandomUniformLikeAttrs",
         "RandomNormalAttrs", "RandomNormalLikeAttrs", "GatherNDAttrs",
         "GeluAttrs", "EinsumAttrs", "IfAttrs",
+        # rten_tpu extension attrs (appended).
+        "QuantizeLinearAttrs", "QLinearConvAttrs",
     ],
     "Scalar": ["IntScalar", "FloatScalar"],
     "NodeKind": ["OperatorNode", "ConstantNode", "ValueNode"],
@@ -176,6 +185,13 @@ TABLES: dict[str, list[tuple[str, str, object]]] = {
     ],
     "TransposeAttrs": [("perm", "[u32]", None)],
     "TriluAttrs": [("upper", "bool", False)],
+    # rten_tpu extension attrs.
+    "QuantizeLinearAttrs": [("axis", "i32", 1)],   # also for DequantizeLinear
+    "QLinearConvAttrs": [
+        ("auto_pad", "enum:AutoPad", 0), ("pads", "[u32]", None),
+        ("groups", "u32", 0), ("strides", "[u32]", None),
+        ("dilations", "[u32]", None),
+    ],
     "OperatorNode": [
         ("type", "enum:OperatorType", 0), ("attrs", "union:OperatorAttrs", None),
         ("inputs", "[i32]", None), ("outputs", "[i32]", None),

@@ -1,0 +1,200 @@
+"""Pallas TPU quantized GEMM kernels.
+
+The TPU re-imagining of the reference's BLIS-style blocked GEMM
+(``src/gemm.rs``: kc/mc/nc cache blocking, packed panels, per-arch
+microkernels): here the grid/BlockSpec machinery *is* the blocking
+(HBM→VMEM tiles), the MXU is the microkernel, and dequantization fuses
+into the tile loop so quantized weights are only expanded in VMEM —
+never materialized in HBM (the bandwidth win that makes INT8/INT4 decode
+fast).
+
+Kernels:
+
+* ``matmul_int8``  — int8 × int8 → f32, symmetric scales (per-tensor
+  activation scale, per-channel weight scales), K-blocked int32
+  accumulation in VMEM scratch.
+* ``matmul_int4``  — f32/bf16 activations × group-wise int4 packed
+  weights; nibbles unpacked and scaled in VMEM, then MXU matmul.
+
+Both run in ``interpret`` mode off-TPU so CPU tests exercise the same
+code path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant import INT4_GROUP
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _pad_to(x, rows, cols):
+    r, c = x.shape
+    if r == rows and c == cols:
+        return x
+    return jnp.pad(x, ((0, rows - r), (0, cols - c)))
+
+
+# ---------------------------------------------------------------------------
+# INT8 GEMM
+# ---------------------------------------------------------------------------
+
+def _int8_kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        # Fused dequant: per-tensor activation scale × per-channel weight
+        # scales, applied once per output tile.
+        out_ref[:] = (acc_ref[:].astype(jnp.float32)
+                      * xs_ref[0, 0] * ws_ref[0, :][None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+def matmul_int8(x, w, x_scale, w_scales, block_m=256, block_n=256,
+                block_k=512):
+    """``x`` int8 [M, K] × ``w`` int8 [K, N] → f32 [M, N], scaled by
+    ``x_scale`` (scalar) and ``w_scales`` [N] (per-output-channel)."""
+    m, k = x.shape
+    k2, n = w.shape
+    assert k == k2, f"contraction mismatch {k} vs {k2}"
+    bm = min(block_m, _round_up(m, 32))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, _round_up(k, 128))
+    mp, np_, kp = _round_up(m, bm), _round_up(n, bn), _round_up(k, bk)
+    x = _pad_to(x, mp, kp)
+    w = _pad_to(w, kp, np_)
+    ws = jnp.pad(jnp.asarray(w_scales, jnp.float32).reshape(1, -1),
+                 ((0, 0), (0, np_ - n)))
+    xs = jnp.asarray(x_scale, jnp.float32).reshape(1, 1)
+    n_k = kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, n_k=n_k),
+        grid=(mp // bm, np_ // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + 4 * mp * np_,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, w, xs, ws)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# INT4 weight-only GEMM
+# ---------------------------------------------------------------------------
+
+_INT4_BN = 256  # matches the tile-planar pack tile (quant.INT4_PACK_TILE)
+
+
+def _int4_kernel(x_ref, wp_ref, s_ref, out_ref, acc_ref, *, n_k, group, bk):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Unpack one 256-column tile: planar nibbles (stored = q+8) → columns
+    # [0..127] from the low nibble, [128..255] from the high — a
+    # lane-contiguous concat, no cross-lane shuffles.
+    p = wp_ref[:]                                    # [bk, 128] uint8
+    lo = jnp.bitwise_and(p, 0xF).astype(jnp.int8) - 8
+    hi = jnp.right_shift(p, 4).astype(jnp.int8) - 8
+    wq = jnp.concatenate([lo, hi], axis=-1)          # [bk, 256] int8
+    # Static loop over K-groups: dequant each group's rows with its scale
+    # row, accumulate MXU partial products.
+    acc = acc_ref[:]
+    for g in range(bk // group):
+        rows = slice(g * group, (g + 1) * group)
+        w_g = wq[rows].astype(jnp.float32) * s_ref[g, :][None, :]
+        acc += jnp.dot(x_ref[:, rows], w_g,
+                       preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "block_m", "block_k"))
+def matmul_int4(x, w_packed, scales, group=INT4_GROUP, block_m=256,
+                block_k=512):
+    """``x`` f32/bf16 [M, K] × group-wise int4 weights
+    (``w_packed`` uint8 [K, N//2] tile-planar, ``scales`` f32
+    [K//group, N]) → f32 [M, N].
+
+    Weights stream from HBM at 0.5 bytes/element and expand only in VMEM —
+    the decode-bandwidth win for weight-bound LLM inference."""
+    m, k = x.shape
+    kw, n_half = w_packed.shape
+    n = n_half * 2
+    assert k == kw, f"contraction mismatch {k} vs {kw}"
+    assert k % group == 0
+    assert n % _INT4_BN == 0, f"packed N={n} must be a multiple of {_INT4_BN}"
+    bn = _INT4_BN
+    bm = min(block_m, _round_up(m, 8))
+    bk = min(block_k, k)
+    bk = max(group, bk - bk % group)
+    mp, kp = _round_up(m, bm), _round_up(k, bk)
+    x = _pad_to(x.astype(jnp.float32), mp, kp)
+    w_packed = _pad_to(w_packed, kp, n_half)
+    scales = _pad_to(jnp.asarray(scales, jnp.float32), kp // group, n)
+    n_k = kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, n_k=n_k, group=group, bk=bk),
+        grid=(mp // bm, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn // 2), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // group, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * kp,
+            bytes_accessed=4 * mp * kp + kp * n // 2 + 4 * mp * n,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, w_packed, scales)
+    return out[:m]

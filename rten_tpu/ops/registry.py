@@ -68,4 +68,5 @@ def get_op(name: str) -> OpSpec:
 def ensure_registered():
     """Import all op modules so their @register decorators run."""
     from . import (conv, control_flow, elementwise, gather, generate,  # noqa: F401
-                   layout, matmul, nms, norm, pool, reduce, resize, rnn)
+                   layout, matmul, nms, norm, pool, quantized, reduce,
+                   resize, rnn)

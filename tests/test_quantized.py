@@ -1,0 +1,177 @@
+"""Quantization layer tests: quant math, Pallas kernels (interpret mode on
+CPU), and the ONNX-semantics quantized operators."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rten_tpu.kernels import gemm as gk
+from rten_tpu.kernels import quant as q
+from tests.test_ops import run_op
+
+rng = np.random.RandomState(3)
+
+
+def test_pack_unpack_int4_roundtrip():
+    vals = rng.randint(-8, 8, size=(16, 512)).astype(np.int8)
+    packed = q.pack_int4(vals)
+    assert packed.shape == (16, 256)
+    out = np.asarray(q.unpack_int4(packed))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_quantize_dequantize_roundtrip():
+    x = rng.randn(8, 16).astype(np.float32)
+    s = np.float32(0.05)
+    qv = np.asarray(q.quantize(x, s))
+    assert qv.dtype == np.int8
+    back = np.asarray(q.dequantize(qv, s))
+    assert np.abs(back - x).max() <= s / 2 + 1e-6
+
+
+def test_dynamic_quantize_matches_onnx_reference():
+    x = np.array([0.0, 2.0, -3.0, 5.0], np.float32)
+    y, scale, zp = (np.asarray(v) for v in q.dynamic_quantize(x))
+    # ONNX reference computation
+    want_scale = (5.0 - (-3.0)) / 255.0
+    want_zp = np.clip(round(3.0 / want_scale), 0, 255)
+    assert abs(scale - want_scale) < 1e-7
+    assert zp == want_zp
+    np.testing.assert_array_equal(
+        y, np.clip(np.round(x / want_scale) + want_zp, 0, 255).astype(np.uint8))
+
+
+def test_matmul_int8_kernel_exact():
+    x = rng.randint(-127, 128, (50, 130)).astype(np.int8)
+    w = rng.randint(-127, 128, (130, 140)).astype(np.int8)
+    ws = np.abs(rng.randn(140)).astype(np.float32) + 0.01
+    out = np.asarray(gk.matmul_int8(jnp.asarray(x), jnp.asarray(w), 0.07,
+                                    jnp.asarray(ws)))
+    want = (x.astype(np.int64) @ w.astype(np.int64)).astype(np.float32) \
+        * 0.07 * ws[None, :]
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-3)
+
+
+def test_matmul_int8_multiblock():
+    # Exercise K-blocked accumulation across several grid steps.
+    x = rng.randint(-50, 50, (300, 1100)).astype(np.int8)
+    w = rng.randint(-50, 50, (1100, 520)).astype(np.int8)
+    ws = np.ones(520, np.float32)
+    out = np.asarray(gk.matmul_int8(jnp.asarray(x), jnp.asarray(w), 1.0,
+                                    jnp.asarray(ws), block_m=128,
+                                    block_n=256, block_k=256))
+    want = (x.astype(np.int64) @ w.astype(np.int64)).astype(np.float32)
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_matmul_int4_kernel_matches_dequant_reference():
+    k, n = 384, 768
+    w = rng.randn(k, n).astype(np.float32)
+    packed, scales = q.quantize_int4_groupwise(w, group=128)
+    x = rng.randn(9, k).astype(np.float32)
+    out = np.asarray(gk.matmul_int4(jnp.asarray(x), jnp.asarray(packed),
+                                    jnp.asarray(scales), group=128,
+                                    block_k=256))
+    wd = np.asarray(q.dequantize_int4_groupwise(packed, scales, group=128))
+    np.testing.assert_allclose(out, x @ wd, rtol=1e-4, atol=1e-3)
+    # int4 quantization error vs the f32 matmul stays bounded
+    rel = np.abs(out - x @ w).max() / np.abs(x @ w).max()
+    assert rel < 0.2
+
+
+def test_quantize_linear_op():
+    x = rng.randn(4, 6).astype(np.float32)
+    out = run_op("QuantizeLinear",
+                 [x, np.float32(0.1), np.int8(3)], {"axis": 1})[0]
+    want = np.clip(np.round(x / 0.1) + 3, -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(out, want)
+    back = run_op("DequantizeLinear",
+                  [out, np.float32(0.1), np.int8(3)], {"axis": 1})[0]
+    np.testing.assert_allclose(back, (want.astype(np.int32) - 3) * 0.1,
+                               rtol=1e-6)
+
+
+def test_quantize_linear_per_channel():
+    x = rng.randn(4, 3).astype(np.float32)
+    scales = np.array([0.1, 0.2, 0.4], np.float32)
+    out = run_op("QuantizeLinear", [x, scales, None], {"axis": 1})[0]
+    want = np.clip(np.round(x / scales[None, :]), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_dynamic_quantize_linear_op():
+    x = rng.randn(5, 7).astype(np.float32) * 3
+    y, scale, zp = run_op("DynamicQuantizeLinear", [x], n_outputs=3)
+    assert y.dtype == np.uint8
+    back = (y.astype(np.float32) - zp) * scale
+    assert np.abs(back - x).max() <= float(scale) * 0.51 + 1e-6
+
+
+def test_matmul_integer_op():
+    a = rng.randint(0, 255, (6, 9)).astype(np.uint8)
+    b = rng.randint(-127, 128, (9, 5)).astype(np.int8)
+    a_zp = np.uint8(128)
+    out = run_op("MatMulInteger", [a, b, a_zp, None])[0]
+    want = (a.astype(np.int32) - 128) @ b.astype(np.int32)
+    np.testing.assert_array_equal(out, want)
+    assert out.dtype == np.int32
+
+
+def test_matmul_integer_symmetric_int8_kernel_path():
+    a = rng.randint(-127, 128, (16, 64)).astype(np.int8)
+    b = rng.randint(-127, 128, (64, 32)).astype(np.int8)
+    out = run_op("MatMulInteger",
+                 [a, b, np.zeros((), np.int8), np.zeros((), np.int8)],
+                 const_mask=[False, False, True, True])[0]
+    want = a.astype(np.int32) @ b.astype(np.int32)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_qlinear_matmul_op():
+    a_f = rng.randn(8, 16).astype(np.float32)
+    b_f = rng.randn(16, 12).astype(np.float32)
+    a_s, b_s, y_s = np.float32(0.02), np.float32(0.03), np.float32(0.05)
+    a_q = np.clip(np.round(a_f / a_s), -127, 127).astype(np.int8)
+    b_q = np.clip(np.round(b_f / b_s), -127, 127).astype(np.int8)
+    out = run_op("QLinearMatMul",
+                 [a_q, a_s, np.int8(0), b_q, b_s, np.int8(0), y_s,
+                  np.int8(0)],
+                 const_mask=[False, True, True, False, True, True, True,
+                             True])[0]
+    acc = a_q.astype(np.int32) @ b_q.astype(np.int32)
+    want = np.clip(np.round(acc * float(a_s) * float(b_s) / float(y_s)),
+                   -128, 127).astype(np.int8)
+    np.testing.assert_allclose(out.astype(np.int32), want.astype(np.int32),
+                               atol=1)  # ties may round differently off-MXU
+
+
+def test_qlinear_conv_vs_float_conv():
+    import torch
+    import torch.nn.functional as F
+    x_f = rng.randn(1, 3, 8, 8).astype(np.float32)
+    w_f = rng.randn(5, 3, 3, 3).astype(np.float32)
+    x_s = np.float32(np.abs(x_f).max() / 127)
+    w_s = np.float32(np.abs(w_f).max() / 127)
+    x_q = np.clip(np.round(x_f / x_s), -127, 127).astype(np.int8)
+    w_q = np.clip(np.round(w_f / w_s), -127, 127).astype(np.int8)
+    y_s = np.float32(0.1)
+    out = run_op("QLinearConv",
+                 [x_q, x_s, np.int8(0), w_q, w_s, np.int8(0), y_s,
+                  np.int8(0)],
+                 {"strides": [1, 1], "pads": [1, 1, 1, 1], "auto_pad": 1},
+                 const_mask=[False, True, True, True, True, True, True,
+                             True])[0]
+    # Exact integer reference: int32 conv accumulation then requantize.
+    acc = F.conv2d(torch.tensor(x_q.astype(np.float32)),
+                   torch.tensor(w_q.astype(np.float32)),
+                   padding=1).numpy()
+    want = np.clip(np.round(acc * float(x_s) * float(w_s) / float(y_s)),
+                   -128, 127)
+    np.testing.assert_allclose(out.astype(np.float32), want, atol=1)
+
+
+def test_silu():
+    x = rng.randn(4, 5).astype(np.float32)
+    out = run_op("Silu", [x])[0]
+    np.testing.assert_allclose(out, x / (1 + np.exp(-x)), rtol=1e-5,
+                               atol=1e-6)
