@@ -1,0 +1,239 @@
+"""Pallas flash-attention kernels: prefill (blockwise online-softmax
+self-attention) and decode (single-query attention against a padded KV
+cache).
+
+The reference has no attention kernels at all — its transformer graphs
+materialize QK^T through generic MatMul/Softmax ops
+(SURVEY.md §5 long-context notes). On TPU, materializing [S, S] scores in
+HBM is the bandwidth bottleneck, so these kernels keep the score tile in
+VMEM with the online-softmax recurrence (running max/sum), which is the
+standard flash-attention formulation.
+
+Layouts: q/k/v are [batch, heads, seq, head_dim]. GQA is supported by
+passing kv with fewer heads and ``q_per_kv > 1``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _attn_reference(q, k, v, causal, scale, lengths=None):
+    """jnp reference (used for tests and as a fallback for tiny shapes)."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    s_q, s_k = q.shape[2], k.shape[2]
+    if causal:
+        mask = jnp.tril(jnp.ones((s_q, s_k), bool), s_k - s_q)
+        scores = jnp.where(mask, scores, _NEG_INF)
+    if lengths is not None:
+        kmask = jnp.arange(s_k)[None, :] < lengths[:, None]
+        scores = jnp.where(kmask[:, None, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Prefill kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale, causal, block_q, block_k, n_k):
+    kb = pl.program_id(3)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qb = pl.program_id(2)
+    q = q_ref[0, 0]                                # [block_q, d]
+    k = k_ref[0, 0]                                # [block_k, d]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    if causal:
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
+
+    m_prev = m_ref[:]                              # [block_q, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("causal", "scale", "block_q", "block_k"))
+def flash_attention(q, k, v, causal=True, scale=None, block_q=128,
+                    block_k=128):
+    """Blockwise flash attention. q/k/v: [B, H, S, D] (same seq len)."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if s_q < 8 or s_k < block_k or d % 128:
+        # Tiny or ragged shapes: XLA's fused path is fine.
+        return _attn_reference(q, k, v, causal, scale)
+    block_q = min(block_q, s_q)
+    block_k = min(block_k, s_k)
+    if s_q % block_q or s_k % block_k:
+        return _attn_reference(q, k, v, causal, scale)
+    n_k = s_k // block_k
+
+    grid = (b, h, s_q // block_q, n_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bb, hh, qq, kk: (bb, hh, qq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bb, hh, qq, kk: (bb, hh, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bb, hh, qq, kk: (bb, hh, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bb, hh, qq, kk: (bb, hh, qq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),   # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_q * s_k * d,
+            bytes_accessed=q.size * 4 + k.size * 4 + v.size * 4,
+            transcendentals=b * h * s_q * s_k),
+        interpret=_interpret(),
+    )(q, k, v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+                   acc_ref, *, scale, block_k, n_k):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = pl.program_id(0)
+    length = len_ref[b]
+    q = q_ref[0, 0]                                # [q_heads, d]
+    k = k_ref[0, 0]                                # [block_k, d]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_pos = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1)
+    s = jnp.where(k_pos < length, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k"))
+def flash_decode(q, k_cache, v_cache, lengths, scale=None, block_k=256):
+    """Single-step decode attention.
+
+    q: [B, H, D] (one query token per sequence);
+    k_cache/v_cache: [B, KVH, S_max, D] padded caches;
+    lengths: [B] int32 — number of valid cache entries per sequence.
+    Supports GQA when H is a multiple of KVH.
+    """
+    b, h, d = q.shape
+    _, kvh, s_max, _ = k_cache.shape
+    assert h % kvh == 0
+    q_per_kv = h // kvh
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if s_max < block_k or s_max % block_k or d % 128:
+        # Ragged shapes: jnp fallback with the same masking semantics.
+        kf = jnp.repeat(k_cache, q_per_kv, axis=1)
+        vf = jnp.repeat(v_cache, q_per_kv, axis=1)
+        return _attn_reference(q[:, :, None, :], kf, vf, False, scale,
+                               lengths)[:, :, 0, :]
+
+    # Fold GQA into rows: per (batch, kv-head) the query block is
+    # [q_per_kv, d].
+    qg = q.reshape(b, kvh, q_per_kv, d)
+    n_k = s_max // block_k
+    grid = (b, kvh, n_k)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale, block_k=block_k,
+                          n_k=n_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, q_per_kv, d),
+                             lambda bb, hh, kk, lens: (bb, hh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bb, hh, kk, lens: (bb, hh, kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bb, hh, kk, lens: (bb, hh, kk, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, q_per_kv, d),
+                                   lambda bb, hh, kk, lens: (bb, hh, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((q_per_kv, 1), jnp.float32),
+                pltpu.VMEM((q_per_kv, 1), jnp.float32),
+                pltpu.VMEM((q_per_kv, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, q_per_kv, d), q.dtype),
+        interpret=_interpret(),
+    )(jnp.asarray(lengths, jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(b, h, d)

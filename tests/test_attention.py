@@ -1,0 +1,74 @@
+"""Flash attention kernel tests (interpret mode on CPU) vs the jnp
+reference formulation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rten_tpu.kernels.attention import (_attn_reference, flash_attention,
+                                        flash_decode)
+
+rng = np.random.RandomState(11)
+
+
+def _qkv(b, h, s, d):
+    return (jnp.asarray(rng.randn(b, h, s, d).astype(np.float32) * 0.5)
+            for _ in range(3))
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_attention_matches_reference(causal):
+    q, k, v = _qkv(2, 3, 256, 128)
+    out = flash_attention(q, k, v, causal=causal)
+    want = _attn_reference(q, k, v, causal, 1 / np.sqrt(128))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_multi_qblock():
+    q, k, v = _qkv(1, 2, 512, 128)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    want = _attn_reference(q, k, v, True, 1 / np.sqrt(128))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_small_fallback():
+    q, k, v = _qkv(1, 2, 7, 64)
+    out = flash_attention(q, k, v, causal=True)
+    want = _attn_reference(q, k, v, True, 1 / np.sqrt(64))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_decode_masks_cache_tail():
+    b, h, kvh, smax, d = 2, 6, 2, 512, 128
+    q = jnp.asarray(rng.randn(b, h, d).astype(np.float32))
+    kc = jnp.asarray(rng.randn(b, kvh, smax, d).astype(np.float32))
+    vc = jnp.asarray(rng.randn(b, kvh, smax, d).astype(np.float32))
+    lengths = jnp.asarray([37, 512], jnp.int32)
+    out = flash_decode(q, kc, vc, lengths, block_k=256)
+    kf = jnp.repeat(kc, h // kvh, axis=1)
+    vf = jnp.repeat(vc, h // kvh, axis=1)
+    want = _attn_reference(q[:, :, None, :], kf, vf, False,
+                           1 / np.sqrt(d), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_decode_result_independent_of_padding():
+    b, h, smax, d = 1, 2, 512, 128
+    q = jnp.asarray(rng.randn(b, h, d).astype(np.float32))
+    kc = rng.randn(b, h, smax, d).astype(np.float32)
+    vc = rng.randn(b, h, smax, d).astype(np.float32)
+    length = 100
+    out1 = flash_decode(q, jnp.asarray(kc), jnp.asarray(vc),
+                        jnp.asarray([length]), block_k=256)
+    # Garbage in the padded tail must not change the result.
+    kc2, vc2 = kc.copy(), vc.copy()
+    kc2[:, :, length:] = 1e9
+    vc2[:, :, length:] = -1e9
+    out2 = flash_decode(q, jnp.asarray(kc2), jnp.asarray(vc2),
+                        jnp.asarray([length]), block_k=256)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-6)
