@@ -1,0 +1,118 @@
+"""Preallocated KV cache.
+
+The reference amortizes cache growth with ``NdTensor::with_capacity`` +
+in-place ``append`` (rten-tensor/src/tensor.rs:1110,830; ownership
+transfer in generator.rs:507-521). Under XLA, in-place growth becomes:
+fixed-capacity arrays + ``lax.dynamic_update_slice`` + buffer donation —
+the donated cache aliases its output, so each decode step updates HBM in
+place with no copy.
+
+Layout: per layer, K and V are [batch, kv_heads, capacity, head_dim].
+``lengths`` [batch] tracks per-sequence fill (enables continuous
+batching, where sequences in a batch are at different positions).
+Optional int8 quantized storage halves/quarters cache bandwidth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _quantize_tokens(x):
+    """Per-(token, head) symmetric int8: scale = absmax/127 over head_dim."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(x / scale), -127, 127)
+    return q, scale
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    keys: list        # per layer [B, KVH, cap, D]
+    values: list      # per layer [B, KVH, cap, D]
+    lengths: object   # [B] int32
+    quant_scales: list | None = None   # per layer (k_scales, v_scales) or None
+
+    # -- pytree plumbing (so caches flow through jit/donation) -------------
+
+    def tree_flatten(self):
+        return ((self.keys, self.values, self.lengths, self.quant_scales),
+                None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def create(batch, n_layers, kv_heads, capacity, head_dim,
+               dtype=jnp.float32, quantized=False):
+        shape = (batch, kv_heads, capacity, head_dim)
+        store_dtype = jnp.int8 if quantized else dtype
+        keys = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
+        values = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
+        scales = None
+        if quantized:
+            sshape = (batch, kv_heads, capacity, 1)
+            scales = [(jnp.ones(sshape, jnp.float32),
+                       jnp.ones(sshape, jnp.float32))
+                      for _ in range(n_layers)]
+        return KVCache(keys, values, jnp.zeros(batch, jnp.int32), scales)
+
+    @property
+    def capacity(self):
+        return self.keys[0].shape[2]
+
+    @property
+    def n_layers(self):
+        return len(self.keys)
+
+    # -- updates -----------------------------------------------------------
+
+    def append(self, layer, k_new, v_new, position=None):
+        """Write k/v [B, KVH, T, D] at ``position`` (default: current
+        lengths; same position for all sequences requires uniform fill —
+        use per-sequence positions for continuous batching).
+
+        Returns a new KVCache (same buffers donated under jit)."""
+        if position is None:
+            position = self.lengths[0]
+        scales = self.quant_scales
+        if scales is not None:
+            k_new, k_scale = _quantize_tokens(k_new)
+            v_new, v_scale = _quantize_tokens(v_new)
+            ks, vs = scales[layer]
+            scales = list(scales)
+            scales[layer] = (
+                jax.lax.dynamic_update_slice(ks, k_scale, (0, 0, position, 0)),
+                jax.lax.dynamic_update_slice(vs, v_scale, (0, 0, position, 0)),
+            )
+        keys = list(self.keys)
+        values = list(self.values)
+        keys[layer] = jax.lax.dynamic_update_slice(
+            self.keys[layer], k_new.astype(self.keys[layer].dtype),
+            (0, 0, position, 0))
+        values[layer] = jax.lax.dynamic_update_slice(
+            self.values[layer], v_new.astype(self.values[layer].dtype),
+            (0, 0, position, 0))
+        return KVCache(keys, values, self.lengths, scales)
+
+    def advance(self, n):
+        return KVCache(self.keys, self.values, self.lengths + n,
+                       self.quant_scales)
+
+    def layer_kv(self, layer):
+        """Dequantized K/V for attention (f32)."""
+        k, v = self.keys[layer], self.values[layer]
+        if self.quant_scales is not None:
+            ks, vs = self.quant_scales[layer]
+            k = k.astype(jnp.float32) * ks
+            v = v.astype(jnp.float32) * vs
+        return k, v
