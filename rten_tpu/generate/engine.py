@@ -1,0 +1,192 @@
+"""Native serving engine: jitted prefill/decode over fixed shapes with
+continuous batching.
+
+This is the performance re-imagining of the reference's generation loop
+(rten-generate): instead of an iterator re-running a growing graph, the
+engine compiles exactly two programs per bucket —
+
+* ``prefill(params, tokens[1, S_bucket], length)`` → per-request cache
+  entries (one compile per prompt-length bucket), and
+* ``decode(params, tokens[B], cache, key)`` → next tokens + updated cache
+  (ONE compile total; the cache is donated, so HBM is updated in place).
+
+Continuous batching: the batch is a set of slots. Finished sequences free
+their slot; queued requests are prefilled (batch-1) and their KV entries
+are scattered into the freed slot (``KVCache.insert_sequence``), so the
+decode program never recompiles and the batch stays full — queueing
+discipline the reference leaves to the caller
+(docs/performance.md:139-141) is built in here.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kv_cache import KVCache
+from .metrics import Metrics
+from .sampler import ArgMaxSampler, Sampler
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class Request:
+    prompt_ids: list
+    max_new_tokens: int = 128
+    stop_ids: tuple = ()
+    # filled by the engine:
+    request_id: int = -1
+    tokens: list = field(default_factory=list)
+    done: bool = False
+    metrics: Metrics = field(default_factory=Metrics)
+
+
+class ServingEngine:
+    def __init__(self, model, params, max_batch=8, capacity=1024,
+                 sampler: Optional[Sampler] = None, quantized_cache=False,
+                 prefill_buckets=(64, 128, 256, 512, 1024), seed=0):
+        self.model = model
+        self.params = params
+        self.max_batch = max_batch
+        self.capacity = capacity
+        self.sampler = sampler or ArgMaxSampler()
+        self.quantized_cache = quantized_cache
+        self.prefill_buckets = tuple(
+            b for b in prefill_buckets if b <= capacity) or (capacity,)
+        self._key = jax.random.PRNGKey(seed)
+
+        self.cache = model.new_cache(max_batch, capacity,
+                                     quantized=quantized_cache)
+        # Slot bookkeeping (host side).
+        self.slot_request: list[Optional[Request]] = [None] * max_batch
+        self.queue: list[Request] = []
+        self._next_id = 0
+        self.current_tokens = np.zeros(max_batch, np.int32)
+
+        # --- compiled programs ---
+        def prefill_fn(params, tokens, length):
+            cache = model.new_cache(1, capacity, quantized=quantized_cache)
+            logits, cache = model.forward(
+                params, tokens, cache,
+                lengths=jnp.zeros(1, jnp.int32))
+            # The bucket may exceed the true length: the cache holds
+            # garbage past `length`, which decode masks out; pick the
+            # logits at the last *real* token.
+            last = logits[jnp.arange(tokens.shape[0]), length - 1]
+            cache = KVCache(cache.keys, cache.values,
+                            jnp.full(1, length, jnp.int32),
+                            cache.quant_scales)
+            return last, cache
+
+        self._prefill = jax.jit(prefill_fn)
+
+        def decode_fn(params, tokens, cache, key):
+            logits, cache = model.decode_step(params, tokens, cache)
+            next_tokens = self.sampler.sample(key, logits)
+            return next_tokens, logits, cache
+
+        self._decode = jax.jit(decode_fn, donate_argnums=(2,))
+
+        def insert_fn(cache, single, slot, length, token):
+            return (cache.insert_sequence(single, slot, length))
+
+        self._insert = jax.jit(insert_fn, donate_argnums=(0,))
+
+    # -- request lifecycle --------------------------------------------------
+
+    def submit(self, prompt_ids, max_new_tokens=128, stop_ids=()) -> Request:
+        req = Request(list(map(int, prompt_ids)), max_new_tokens,
+                      tuple(stop_ids))
+        req.request_id = self._next_id
+        self._next_id += 1
+        req.metrics.start()
+        self.queue.append(req)
+        return req
+
+    def _admit(self):
+        """Fill free slots from the queue (prefill + slot insertion)."""
+        for slot in range(self.max_batch):
+            if self.slot_request[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            n = len(req.prompt_ids)
+            if n >= self.capacity:
+                raise ValueError(
+                    f"prompt length {n} exceeds cache capacity")
+            bucket = _bucket(n, self.prefill_buckets)
+            tokens = np.zeros((1, bucket), np.int32)
+            tokens[0, :n] = req.prompt_ids
+            last_logits, single = self._prefill(
+                self.params, jnp.asarray(tokens), n)
+            self._key, sub = jax.random.split(self._key)
+            first = int(np.asarray(
+                self.sampler.sample(sub, last_logits[0])))
+            self.cache = self._insert(self.cache, single, slot, n, first)
+            req.tokens.append(first)
+            req.metrics.step()
+            self.current_tokens[slot] = first
+            self.slot_request[slot] = req
+            self._finish_if_done(slot, first)
+
+    def _finish_if_done(self, slot, token):
+        req = self.slot_request[slot]
+        if req is None:
+            return
+        if token in req.stop_ids or len(req.tokens) >= req.max_new_tokens \
+                or int(self.cache.lengths[slot]) + 1 >= self.capacity:
+            req.done = True
+            self.slot_request[slot] = None
+
+    def step(self) -> int:
+        """One engine iteration: admit queued requests, run one decode
+        step for every active slot. Returns number of active slots."""
+        self._admit()
+        active = [s for s in range(self.max_batch)
+                  if self.slot_request[s] is not None]
+        if not active:
+            return 0
+        self._key, sub = jax.random.split(self._key)
+        next_tokens, logits, self.cache = self._decode(
+            self.params, jnp.asarray(self.current_tokens), self.cache, sub)
+        next_np = np.asarray(next_tokens)
+        for slot in active:
+            req = self.slot_request[slot]
+            token = int(next_np[slot])
+            req.tokens.append(token)
+            req.metrics.step()
+            self.current_tokens[slot] = token
+            self._finish_if_done(slot, token)
+        return len(active)
+
+    def run(self, requests=None, max_steps=100000):
+        """Drive the engine until every request completes."""
+        if requests:
+            for req in requests:
+                if req not in self.queue and not req.done:
+                    self.queue.append(req)
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_request)) \
+                and steps < max_steps:
+            self.step()
+            steps += 1
+        return steps
+
+    # -- batch convenience ---------------------------------------------------
+
+    def generate(self, prompts, max_new_tokens=32, stop_ids=()):
+        """Synchronous batch API: returns a list of generated-token lists."""
+        reqs = [self.submit(p, max_new_tokens, stop_ids) for p in prompts]
+        self.run()
+        return [r.tokens for r in reqs]

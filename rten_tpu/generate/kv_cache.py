@@ -77,32 +77,53 @@ class KVCache:
     # -- updates -----------------------------------------------------------
 
     def append(self, layer, k_new, v_new, position=None):
-        """Write k/v [B, KVH, T, D] at ``position`` (default: current
-        lengths; same position for all sequences requires uniform fill —
-        use per-sequence positions for continuous batching).
+        """Write k/v [B, KVH, T, D] into the cache.
 
-        Returns a new KVCache (same buffers donated under jit)."""
+        ``position``: scalar → same offset for every sequence (prefill);
+        None → per-sequence offsets from ``self.lengths`` (decode under
+        continuous batching, where sequences sit at different depths).
+
+        Returns a new KVCache (same buffers aliased via donation under jit).
+        """
         if position is None:
-            position = self.lengths[0]
+            def upd(buf, new, pos):
+                return jax.lax.dynamic_update_slice(buf, new, (0, pos, 0))
+            write = lambda buf, new: jax.vmap(upd)(
+                buf, new.astype(buf.dtype), self.lengths)
+        else:
+            write = lambda buf, new: jax.lax.dynamic_update_slice(
+                buf, new.astype(buf.dtype), (0, 0, position, 0))
         scales = self.quant_scales
         if scales is not None:
             k_new, k_scale = _quantize_tokens(k_new)
             v_new, v_scale = _quantize_tokens(v_new)
             ks, vs = scales[layer]
             scales = list(scales)
-            scales[layer] = (
-                jax.lax.dynamic_update_slice(ks, k_scale, (0, 0, position, 0)),
-                jax.lax.dynamic_update_slice(vs, v_scale, (0, 0, position, 0)),
-            )
+            scales[layer] = (write(ks, k_scale), write(vs, v_scale))
         keys = list(self.keys)
         values = list(self.values)
-        keys[layer] = jax.lax.dynamic_update_slice(
-            self.keys[layer], k_new.astype(self.keys[layer].dtype),
-            (0, 0, position, 0))
-        values[layer] = jax.lax.dynamic_update_slice(
-            self.values[layer], v_new.astype(self.values[layer].dtype),
-            (0, 0, position, 0))
+        keys[layer] = write(self.keys[layer], k_new)
+        values[layer] = write(self.values[layer], v_new)
         return KVCache(keys, values, self.lengths, scales)
+
+    def insert_sequence(self, other: "KVCache", slot, length):
+        """Copy sequence 0 of ``other`` (a batch-1 cache) into batch slot
+        ``slot`` — the continuous-batching admission primitive: a freshly
+        prefilled request takes over a finished sequence's slot."""
+        keys = [jax.lax.dynamic_update_slice(
+                    buf, src.astype(buf.dtype), (slot, 0, 0, 0))
+                for buf, src in zip(self.keys, other.keys)]
+        values = [jax.lax.dynamic_update_slice(
+                      buf, src.astype(buf.dtype), (slot, 0, 0, 0))
+                  for buf, src in zip(self.values, other.values)]
+        scales = self.quant_scales
+        if scales is not None:
+            scales = [
+                (jax.lax.dynamic_update_slice(ks, oks, (slot, 0, 0, 0)),
+                 jax.lax.dynamic_update_slice(vs, ovs, (slot, 0, 0, 0)))
+                for (ks, vs), (oks, ovs) in zip(scales, other.quant_scales)]
+        lengths = self.lengths.at[slot].set(length)
+        return KVCache(keys, values, lengths, scales)
 
     def advance(self, n):
         return KVCache(self.keys, self.values, self.lengths + n,

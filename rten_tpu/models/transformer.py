@@ -1,0 +1,344 @@
+"""Decoder-only transformer LM, configurable to cover the GPT-2 family
+(learned positions, LayerNorm, GELU) and the Llama/TinyLlama/Qwen2 family
+(RoPE, RMSNorm, SwiGLU, GQA).
+
+TPU-first design decisions:
+
+* fixed-shape prefill/decode functions (jit once per bucket, not per step);
+* attention via the Pallas flash kernels (:mod:`rten_tpu.kernels.attention`);
+* weights as a flat pytree of arrays or quantized records (int8
+  per-channel / int4 group-wise) routed through the Pallas dequant-fused
+  GEMMs — weight dtype is a *storage* property, compute stays on the MXU;
+* parameters carry logical axis names so the parallel layer can shard
+  them over a mesh without knowing the architecture
+  (:mod:`rten_tpu.parallel.sharding`).
+
+Reference surface: rten-examples/src/{gpt2,qwen2_chat}.rs drive the same
+model classes through ONNX graphs.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..generate.kv_cache import KVCache
+from ..kernels.attention import flash_attention, flash_decode
+from ..kernels import gemm as gk
+from ..kernels import quant as qt
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 50257
+    n_layers: int = 12
+    n_heads: int = 12
+    kv_heads: int | None = None          # None → MHA
+    d_model: int = 768
+    d_ff: int = 3072
+    max_seq_len: int = 1024
+    pos: str = "learned"                 # "learned" | "rope"
+    norm: str = "layernorm"              # "layernorm" | "rmsnorm"
+    act: str = "gelu"                    # "gelu" | "swiglu"
+    rope_theta: float = 10000.0
+    layer_norm_eps: float = 1e-5
+    tie_embeddings: bool = True
+    dtype: str = "float32"               # compute dtype: float32 | bfloat16
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.n_heads
+
+    @property
+    def n_kv_heads(self):
+        return self.kv_heads or self.n_heads
+
+    @staticmethod
+    def gpt2(**kw):
+        return TransformerConfig(**{**dict(
+            vocab_size=50257, n_layers=12, n_heads=12, d_model=768,
+            d_ff=3072, max_seq_len=1024, pos="learned", norm="layernorm",
+            act="gelu"), **kw})
+
+    @staticmethod
+    def tiny_llama(**kw):
+        return TransformerConfig(**{**dict(
+            vocab_size=32000, n_layers=22, n_heads=32, kv_heads=4,
+            d_model=2048, d_ff=5632, max_seq_len=2048, pos="rope",
+            norm="rmsnorm", act="swiglu", tie_embeddings=False,
+            rope_theta=10000.0), **kw})
+
+    @staticmethod
+    def tiny_test(**kw):
+        """Small config for tests."""
+        return TransformerConfig(**{**dict(
+            vocab_size=128, n_layers=2, n_heads=4, d_model=64, d_ff=128,
+            max_seq_len=128, pos="learned", norm="layernorm", act="gelu"),
+            **kw})
+
+
+# ---------------------------------------------------------------------------
+# Quantized weight records
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantWeight:
+    """A linear-layer weight in quantized storage. ``kind``: 'int8'
+    (per-output-channel symmetric) or 'int4' (group-wise, tile-planar
+    packed)."""
+    kind: str
+    data: object        # int8 [K, N] or packed uint8 [K, N//2]
+    scales: object      # [N] or [K//group, N]
+    group: int = qt.INT4_GROUP
+    n: int = 0          # logical N (int4 padding may widen storage)
+
+    def tree_flatten(self):
+        return ((self.data, self.scales), (self.kind, self.group, self.n))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, group, n = aux
+        return cls(kind, children[0], children[1], group, n)
+
+
+def linear(x, w, bias=None):
+    """Dense x @ w (+ bias) dispatching on weight storage. 2-D x for
+    quantized paths; callers flatten batch dims."""
+    if isinstance(w, QuantWeight):
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if w.kind == "int8":
+            # Dynamic per-tensor activation quantization, MXU int8 matmul.
+            absmax = jnp.max(jnp.abs(x2))
+            x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+            xq = jnp.clip(jnp.round(x2 / x_scale), -127, 127).astype(jnp.int8)
+            out = gk.matmul_int8(xq, w.data, x_scale, w.scales)
+        elif w.kind == "int4":
+            out = gk.matmul_int4(x2, w.data, w.scales, group=w.group)
+            out = out[:, :w.n]
+        else:
+            raise ValueError(w.kind)
+        out = out.reshape(*lead, -1)
+    else:
+        out = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
+    """Convert all 2-D projection weights in a parameter pytree to
+    quantized storage. Embeddings / norms stay in float."""
+    def convert(path, w):
+        name = path[-1] if path else ""
+        if not isinstance(w, jnp.ndarray) and not isinstance(w, np.ndarray):
+            return w
+        arr = np.asarray(w)
+        if arr.ndim != 2 or name in ("embed", "pos_embed"):
+            return w
+        if kind == "int8":
+            q, scales = qt.abs_max_quantize_int8(arr, axis=0)
+            return QuantWeight("int8", jnp.asarray(q), jnp.asarray(scales),
+                               n=arr.shape[1])
+        packed, scales = qt.quantize_int4_groupwise(arr, group=group)
+        return QuantWeight("int4", jnp.asarray(packed), jnp.asarray(scales),
+                           group=group, n=arr.shape[1])
+
+    def walk(obj, path):
+        if isinstance(obj, dict):
+            return {k: walk(v, path + (k,)) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [walk(v, path + (str(i),)) for i, v in enumerate(obj)]
+        return convert(path, obj)
+
+    return walk(params, ())
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+def _norm(cfg, x, scale, bias):
+    if cfg.norm == "rmsnorm":
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + cfg.layer_norm_eps) * scale
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps) * scale
+    return out + bias if bias is not None else out
+
+
+def _rope(x, positions, theta):
+    """Rotary embedding. x: [B, H, S, D]; positions: [B, S] or [S]."""
+    d = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, d // 2, dtype=jnp.float32) / (d // 2))
+    pos = jnp.asarray(positions, jnp.float32)
+    if pos.ndim == 1:
+        pos = pos[None, :]
+    angles = pos[:, None, :, None] * freqs[None, None, None, :]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :d // 2], x[..., d // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+class TransformerLM:
+    def __init__(self, config: TransformerConfig):
+        self.config = config
+
+    # -- parameters --------------------------------------------------------
+
+    def init_params(self, key) -> dict:
+        cfg = self.config
+        keys = iter(jax.random.split(key, 4 + 12 * cfg.n_layers))
+        dt = jnp.float32
+        scale = 0.02
+
+        def dense(k, shape):
+            return (scale * jax.random.normal(next(keys), shape)).astype(dt)
+
+        d, dff = cfg.d_model, cfg.d_ff
+        h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        params = {
+            "embed": dense(None, (cfg.vocab_size, d)),
+            "ln_f_scale": jnp.ones(d, dt),
+            "layers": [],
+        }
+        if cfg.norm == "layernorm":
+            params["ln_f_bias"] = jnp.zeros(d, dt)
+        if cfg.pos == "learned":
+            params["pos_embed"] = dense(None, (cfg.max_seq_len, d))
+        if not cfg.tie_embeddings:
+            params["lm_head"] = dense(None, (d, cfg.vocab_size))
+        for _ in range(cfg.n_layers):
+            layer = {
+                "ln1_scale": jnp.ones(d, dt),
+                "wq": dense(None, (d, h * hd)),
+                "wk": dense(None, (d, kvh * hd)),
+                "wv": dense(None, (d, kvh * hd)),
+                "wo": dense(None, (h * hd, d)),
+                "ln2_scale": jnp.ones(d, dt),
+            }
+            if cfg.norm == "layernorm":
+                layer["ln1_bias"] = jnp.zeros(d, dt)
+                layer["ln2_bias"] = jnp.zeros(d, dt)
+                layer["bq"] = jnp.zeros(h * hd, dt)
+                layer["bk"] = jnp.zeros(kvh * hd, dt)
+                layer["bv"] = jnp.zeros(kvh * hd, dt)
+                layer["bo"] = jnp.zeros(d, dt)
+            if cfg.act == "swiglu":
+                layer["w_gate"] = dense(None, (d, dff))
+                layer["w_up"] = dense(None, (d, dff))
+                layer["w_down"] = dense(None, (dff, d))
+            else:
+                layer["w_up"] = dense(None, (d, dff))
+                layer["b_up"] = jnp.zeros(dff, dt)
+                layer["w_down"] = dense(None, (dff, d))
+                layer["b_down"] = jnp.zeros(d, dt)
+            params["layers"].append(layer)
+        return params
+
+    # -- forward -----------------------------------------------------------
+
+    def _attention(self, layer_params, x, positions, cache, layer_idx,
+                   lengths):
+        cfg = self.config
+        b, s, d = x.shape
+        h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+        q = linear(x, layer_params["wq"], layer_params.get("bq"))
+        k = linear(x, layer_params["wk"], layer_params.get("bk"))
+        v = linear(x, layer_params["wv"], layer_params.get("bv"))
+        q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)
+        if cfg.pos == "rope":
+            q = _rope(q, positions, cfg.rope_theta)
+            k = _rope(k, positions, cfg.rope_theta)
+
+        if cache is not None:
+            # Prefill writes from 0; decode appends at each sequence's own
+            # depth (continuous batching: depths differ per slot).
+            cache = cache.append(layer_idx, k, v,
+                                 position=0 if s > 1 else None)
+        if s == 1 and cache is not None:
+            kc, vc = cache.layer_kv(layer_idx)
+            out = flash_decode(q[:, :, 0, :], kc, vc, cache.lengths + 1)
+            out = out[:, :, None, :]
+        else:
+            if kvh != h:
+                k = jnp.repeat(k, h // kvh, axis=1)
+                v = jnp.repeat(v, h // kvh, axis=1)
+            out = flash_attention(q, k, v, causal=True)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+        return linear(out, layer_params["wo"], layer_params.get("bo")), cache
+
+    def _mlp(self, layer_params, x):
+        cfg = self.config
+        if cfg.act == "swiglu":
+            gate = linear(x, layer_params["w_gate"])
+            up = linear(x, layer_params["w_up"])
+            return linear(jax.nn.silu(gate) * up, layer_params["w_down"])
+        hidden = linear(x, layer_params["w_up"], layer_params.get("b_up"))
+        hidden = jax.nn.gelu(hidden, approximate=False)
+        return linear(hidden, layer_params["w_down"],
+                      layer_params.get("b_down"))
+
+    def forward(self, params, tokens, cache=None, positions=None,
+                lengths=None):
+        """tokens: [B, S] int32. Returns (logits [B, S, V], cache)."""
+        cfg = self.config
+        b, s = tokens.shape
+        if positions is None:
+            if cache is not None and s == 1:
+                positions = cache.lengths[:, None]
+            else:
+                positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        x = jnp.take(params["embed"], tokens, axis=0)
+        if cfg.pos == "learned":
+            x = x + jnp.take(params["pos_embed"], positions, axis=0)
+        x = x.astype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+
+        for i, layer in enumerate(params["layers"]):
+            attn_in = _norm(cfg, x, layer["ln1_scale"], layer.get("ln1_bias"))
+            attn_out, cache = self._attention(layer, attn_in, positions,
+                                              cache, i, lengths)
+            x = x + attn_out
+            mlp_in = _norm(cfg, x, layer["ln2_scale"], layer.get("ln2_bias"))
+            x = x + self._mlp(layer, mlp_in)
+
+        x = _norm(cfg, x, params["ln_f_scale"], params.get("ln_f_bias"))
+        if cfg.tie_embeddings:
+            logits = jnp.matmul(x, params["embed"].T.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = linear(x, params["lm_head"])
+        if cache is not None and s == 1:
+            cache = cache.advance(1)
+        elif cache is not None:
+            cache = cache.advance(s)
+        return logits.astype(jnp.float32), cache
+
+    # -- serving entry points ---------------------------------------------
+
+    def prefill(self, params, tokens, cache):
+        """Full-prompt forward writing the cache from position 0."""
+        return self.forward(params, tokens, cache,
+                            lengths=jnp.zeros(tokens.shape[0], jnp.int32))
+
+    def decode_step(self, params, tokens, cache):
+        """tokens: [B] int32 — one token per sequence."""
+        logits, cache = self.forward(params, tokens[:, None], cache)
+        return logits[:, 0], cache
+
+    def new_cache(self, batch, capacity=None, quantized=False):
+        cfg = self.config
+        return KVCache.create(batch, cfg.n_layers, cfg.n_kv_heads,
+                              capacity or cfg.max_seq_len, cfg.head_dim,
+                              quantized=quantized)
