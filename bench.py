@@ -1,0 +1,80 @@
+"""Headline benchmark: GPT-2-class INT8 decode throughput (tokens/s/chip)
+on the native serving engine, per BASELINE.json's primary metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the same-chip fp32 decode rate in the
+same run (the reference publishes no numbers — BASELINE.md §consequence —
+so the fp32 path on identical hardware is the controlled baseline; the
+quantized path must beat it).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM,
+                                             quantize_weights)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = TransformerConfig.gpt2()
+        batch, prompt_len, decode_steps, capacity = 8, 64, 128, 512
+    else:
+        # CPU smoke configuration (fast local check only).
+        cfg = TransformerConfig.tiny_test()
+        batch, prompt_len, decode_steps, capacity = 4, 8, 16, 64
+
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(0, cfg.vocab_size, prompt_len))
+               for _ in range(batch)]
+
+    def measure(p):
+        eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
+                            prefill_buckets=(prompt_len,))
+        for req in [eng.submit(pr, max_new_tokens=decode_steps)
+                    for pr in prompts]:
+            pass
+        eng._admit()
+        eng.step()  # compile decode
+        t0 = time.perf_counter()
+        steps = 0
+        while any(r is not None for r in eng.slot_request):
+            n = eng.step()
+            steps += n
+            if steps >= batch * decode_steps:
+                break
+        elapsed = time.perf_counter() - t0
+        return steps / elapsed
+
+    f32_tps = measure(params)
+    try:
+        int8_tps = measure(quantize_weights(params, "int8"))
+        metric = "gpt2_int8_decode_tokens_s_chip"
+        value = int8_tps
+        vs = int8_tps / f32_tps
+    except Exception as exc:  # pragma: no cover - kernel fallback
+        print(f"int8 path failed ({exc}); reporting fp32", file=sys.stderr)
+        metric = "gpt2_f32_decode_tokens_s_chip"
+        value = f32_tps
+        vs = 1.0
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,11 +130,12 @@ def _int4_kernel(x_ref, wp_ref, s_ref, out_ref, acc_ref, *, n_k, group, bk):
 
     # Unpack one 256-column tile: planar nibbles (stored = q+8) → columns
     # [0..127] from the low nibble, [128..255] from the high — a
-    # lane-contiguous concat, no cross-lane shuffles.
-    p = wp_ref[:]                                    # [bk, 128] uint8
-    lo = jnp.bitwise_and(p, 0xF).astype(jnp.int8) - 8
-    hi = jnp.right_shift(p, 4).astype(jnp.int8) - 8
-    wq = jnp.concatenate([lo, hi], axis=-1)          # [bk, 256] int8
+    # lane-contiguous concat, no cross-lane shuffles. Arithmetic happens
+    # in int32: Mosaic has no int8 vector sub/shift on TPU.
+    p = wp_ref[:].astype(jnp.int32)                  # [bk, 128]
+    lo = jnp.bitwise_and(p, 0xF) - 8
+    hi = jnp.right_shift(p, 4) - 8
+    wq = jnp.concatenate([lo, hi], axis=-1)          # [bk, 256] int32
     # Static loop over K-groups: dequant each group's rows with its scale
     # row, accumulate MXU partial products.
     acc = acc_ref[:]

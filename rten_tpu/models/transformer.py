@@ -49,6 +49,8 @@ class TransformerConfig:
     layer_norm_eps: float = 1e-5
     tie_embeddings: bool = True
     dtype: str = "float32"               # compute dtype: float32 | bfloat16
+    use_pallas: bool = True              # False → pure-jnp attention (lets
+                                         # GSPMD partition multi-chip runs)
 
     @property
     def head_dim(self):
@@ -269,13 +271,25 @@ class TransformerLM:
                                  position=0 if s > 1 else None)
         if s == 1 and cache is not None:
             kc, vc = cache.layer_kv(layer_idx)
-            out = flash_decode(q[:, :, 0, :], kc, vc, cache.lengths + 1)
-            out = out[:, :, None, :]
+            if cfg.use_pallas:
+                out = flash_decode(q[:, :, 0, :], kc, vc, cache.lengths + 1)
+                out = out[:, :, None, :]
+            else:
+                from ..kernels.attention import _attn_reference
+                if kvh != h:
+                    kc = jnp.repeat(kc, h // kvh, axis=1)
+                    vc = jnp.repeat(vc, h // kvh, axis=1)
+                out = _attn_reference(q, kc, vc, False,
+                                      1.0 / math.sqrt(hd), cache.lengths + 1)
         else:
             if kvh != h:
                 k = jnp.repeat(k, h // kvh, axis=1)
                 v = jnp.repeat(v, h // kvh, axis=1)
-            out = flash_attention(q, k, v, causal=True)
+            if cfg.use_pallas:
+                out = flash_attention(q, k, v, causal=True)
+            else:
+                from ..kernels.attention import _attn_reference
+                out = _attn_reference(q, k, v, True, 1.0 / math.sqrt(hd))
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
         return linear(out, layer_params["wo"], layer_params.get("bo")), cache
 

@@ -1,0 +1,92 @@
+"""Sharding rules for transformer parameters and KV caches.
+
+Megatron-style tensor parallelism expressed as NamedShardings — XLA/GSPMD
+inserts the collectives (all-gather/reduce-scatter/psum over the
+``model`` axis, which maps to ICI on a pod slice):
+
+* qkv / up / gate projections: output-feature dim sharded → each device
+  computes its own heads / FF slice;
+* out / down projections: input-feature dim sharded → XLA emits one psum
+  per block;
+* embeddings and norms replicated (vocab is small relative to FF);
+* KV cache sharded over kv-heads (``model``) and batch (``data``).
+
+Quantized weights: int8 data+scales shard like the dense weight; int4
+packed weights stay replicated this round (their 256-column pack tiles
+don't line up with arbitrary shard boundaries yet).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.transformer import QuantWeight
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Parameter-name → PartitionSpec for 2-D projection weights.
+_COL_SHARDED = {"wq", "wk", "wv", "w_up", "w_gate", "lm_head"}
+_ROW_SHARDED = {"wo", "w_down"}
+_COL_SHARDED_BIAS = {"bq", "bk", "bv", "b_up"}
+
+
+def _spec_for(name: str, ndim: int) -> P:
+    if name in _COL_SHARDED and ndim == 2:
+        return P(None, "model")
+    if name in _ROW_SHARDED and ndim == 2:
+        return P("model", None)
+    if name in _COL_SHARDED_BIAS and ndim == 1:
+        return P("model")
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching a TransformerLM parameter tree."""
+    def walk(obj, name=""):
+        if isinstance(obj, dict):
+            return {k: walk(v, k) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [walk(v, name) for v in obj]
+        if isinstance(obj, QuantWeight):
+            if obj.kind == "int8":
+                return QuantWeight(
+                    obj.kind,
+                    NamedSharding(mesh, _spec_for(name, 2)),
+                    NamedSharding(mesh, P("model")
+                                  if name in _COL_SHARDED else P()),
+                    obj.group, obj.n)
+            return QuantWeight(obj.kind, replicated(mesh), replicated(mesh),
+                               obj.group, obj.n)
+        return NamedSharding(mesh, _spec_for(name, np.ndim(obj)))
+    return walk(params)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the parameter tree per the TP rules."""
+    # QuantWeight sharding trees mirror the param tree structure, so a
+    # plain tree_map pairs data↔data / scales↔scales leaves.
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings)
+
+
+def cache_shardings(cache, mesh: Mesh):
+    kv = NamedSharding(mesh, P("data", "model", None, None))
+    lengths = NamedSharding(mesh, P("data"))
+    from ..generate.kv_cache import KVCache
+    scales = None
+    if cache.quant_scales is not None:
+        scales = [(kv, kv) for _ in cache.quant_scales]
+    return KVCache([kv] * cache.n_layers, [kv] * cache.n_layers, lengths,
+                   scales)
+
+
+def shard_cache(cache, mesh: Mesh):
+    shardings = cache_shardings(cache, mesh)
+    import jax.tree_util as jtu
+    return jtu.tree_map(lambda x, s: jax.device_put(x, s), cache, shardings)

@@ -1,0 +1,97 @@
+"""Sharding-layer tests on the virtual 8-device CPU mesh: TP/DP sharded
+serving step compiles, executes, and matches the single-device result."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rten_tpu.models.transformer import (TransformerConfig, TransformerLM,
+                                         quantize_weights)
+from rten_tpu.parallel import (make_mesh, mesh_shape, param_shardings,
+                               shard_cache, shard_params)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(data=2, model=4)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = TransformerConfig(
+        vocab_size=256, n_layers=2, n_heads=8, kv_heads=8, d_model=128,
+        d_ff=256, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=False)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_mesh_shape(mesh):
+    assert mesh_shape(mesh) == {"data": 2, "model": 4}
+
+
+def test_param_shardings_follow_tp_rules(mesh, model_and_params):
+    _, params = model_and_params
+    shardings = param_shardings(params, mesh)
+    layer = shardings["layers"][0]
+    assert layer["wq"].spec == P(None, "model")
+    assert layer["wo"].spec == P("model", None)
+    assert layer["w_up"].spec == P(None, "model")
+    assert layer["w_down"].spec == P("model", None)
+    assert layer["ln1_scale"].spec == P()
+    assert shardings["embed"].spec == P()
+
+
+def test_sharded_forward_matches_single_device(mesh, model_and_params):
+    model, params = model_and_params
+    tokens = jnp.asarray(
+        np.random.RandomState(1).randint(0, 256, (4, 16)), jnp.int32)
+    want, _ = model.forward(params, tokens)
+
+    sharded_params = shard_params(params, mesh)
+    sharded_tokens = jax.device_put(
+        tokens, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        got, _ = jax.jit(lambda p, t: model.forward(p, t))(
+            sharded_params, sharded_tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_prefill_decode_roundtrip(mesh, model_and_params):
+    model, params = model_and_params
+    batch, seq = 4, 8
+    tokens = jnp.asarray(
+        np.random.RandomState(2).randint(0, 256, (batch, seq)), jnp.int32)
+
+    # Single-device reference.
+    cache_ref = model.new_cache(batch, 32)
+    logits_ref, cache_ref = model.prefill(params, tokens, cache_ref)
+    next_ref = jnp.argmax(logits_ref[:, -1], -1).astype(jnp.int32)
+    step_ref, _ = model.decode_step(params, next_ref, cache_ref)
+
+    sp = shard_params(params, mesh)
+    cache = shard_cache(model.new_cache(batch, 32), mesh)
+    st = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        logits, cache = jax.jit(model.prefill)(sp, st, cache)
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        step_logits, cache = jax.jit(model.decode_step)(sp, nxt, cache)
+    np.testing.assert_array_equal(np.asarray(nxt), np.asarray(next_ref))
+    np.testing.assert_allclose(np.asarray(step_logits),
+                               np.asarray(step_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_int8_params_tree(mesh, model_and_params):
+    """int8-quantized params shard without structure mismatch."""
+    model, params = model_and_params
+    qp = quantize_weights(params, "int8")
+    sharded = shard_params(qp, mesh)
+    w = sharded["layers"][0]["wq"]
+    assert w.kind == "int8"
+    assert w.data.sharding.spec == P(None, "model")
