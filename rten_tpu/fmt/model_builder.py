@@ -107,10 +107,13 @@ class GraphBuilder:
         return self._add_node(name, "ConstantNode", payload)
 
     def add_operator(self, op_type, inputs, attrs=None, outputs=None,
-                     output_shapes=None, name=None) -> int | list[int]:
+                     output_shapes=None, name=None,
+                     output_names=None) -> int | list[int]:
         """Add an operator plus its output ValueNodes.
 
         ``inputs``: node ids (None for a missing optional input).
+        ``output_names``: explicit names for the output value nodes (the
+        names runtime callers look up); defaults derive from ``name``.
         Returns the single output node id, or a list if ``outputs`` > 1.
         """
         if op_type not in schema.OP_TYPE_ID:
@@ -118,7 +121,14 @@ class GraphBuilder:
         n_out = outputs if outputs is not None else 1
         out_ids = []
         for i in range(n_out):
-            out_name = f"{name or op_type}_out{i}" if (name or n_out > 1) else None
+            if output_names is not None:
+                out_name = output_names[i]
+            elif name is not None and n_out == 1:
+                out_name = name
+            elif name or n_out > 1:
+                out_name = f"{name or op_type}_out{i}"
+            else:
+                out_name = None
             shape = output_shapes[i] if output_shapes else None
             out_ids.append(self.add_value(out_name, shape))
         attrs_union = None
