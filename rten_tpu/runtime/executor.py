@@ -158,10 +158,17 @@ class GraphExecutor:
                 # the result static (numpy) so downstream shape-operands
                 # fold too. This is lazy constant propagation.
                 with jax.ensure_compile_time_eval():
-                    result = spec.fn(ctx, op.attrs, *[
+                    fold_args = [
                         None if a is None else jnp.asarray(a)
                         if i not in spec.static else np.asarray(a)
-                        for i, a in enumerate(args)])
+                        for i, a in enumerate(args)]
+                    try:
+                        result = spec.fn(ctx, op.attrs, *fold_args)
+                    except NotImplementedError:
+                        # Ops backed by Pallas kernels have no eager eval
+                        # rule under compile-time eval; compile them.
+                        result = jax.jit(
+                            lambda: spec.fn(ctx, op.attrs, *fold_args))()
                 result = jax.tree_util.tree_map(_to_np, result)
             else:
                 if not spec.data_dependent:
