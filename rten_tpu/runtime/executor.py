@@ -157,19 +157,21 @@ class GraphExecutor:
                 # All-static op: evaluate outside any active trace and keep
                 # the result static (numpy) so downstream shape-operands
                 # fold too. This is lazy constant propagation.
-                fold_args = [
-                    None if a is None else jnp.asarray(a)
-                    if i not in spec.static else np.asarray(a)
-                    for i, a in enumerate(args)]
+                def conv_args():
+                    # jnp conversion must happen inside the active context:
+                    # under an outer trace it stages to a tracer.
+                    return [None if a is None else jnp.asarray(a)
+                            if i not in spec.static else np.asarray(a)
+                            for i, a in enumerate(args)]
                 try:
                     with jax.ensure_compile_time_eval():
-                        result = spec.fn(ctx, op.attrs, *fold_args)
+                        result = spec.fn(ctx, op.attrs, *conv_args())
                     result = jax.tree_util.tree_map(_to_np, result)
                 except NotImplementedError:
                     # Pallas-backed ops have no eval rule under compile-time
                     # eval: execute normally instead (result is simply not
                     # static — fine unless it feeds a shape operand).
-                    result = spec.fn(ctx, op.attrs, *fold_args)
+                    result = spec.fn(ctx, op.attrs, *conv_args())
             else:
                 if not spec.data_dependent:
                     # Lowerings expect jax arrays for non-static operands
