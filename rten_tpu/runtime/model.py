@@ -36,6 +36,7 @@ class ModelOptions:
     """Load options (reference ``ModelOptions``, ``src/model.rs:155-207``)."""
     optimize: bool = True
     use_mmap: bool = True
+    native: bool = True    # use the C++ container reader when built
 
 
 class Model:
@@ -63,11 +64,23 @@ class Model:
 
     @staticmethod
     def _from_model_file(mf, options: ModelOptions) -> "Model":
-        graph = graph_from_model_file(mf)
+        graph = None
+        md = None
+        if options.native:
+            try:
+                from ..fmt import native_loader
+                if native_loader.available(auto_build=False):
+                    parsed = native_loader.read_model_json(mf.buf)
+                    graph = native_loader.graph_from_native(mf.buf, parsed)
+                    md = parsed.get("metadata")
+            except Exception:
+                graph = None   # fall back to the Python reader
+        if graph is None:
+            graph = graph_from_model_file(mf)
+            md = mf.model.get("metadata")
         if options.optimize:
             opt.optimize(graph)
         meta = ModelMetadata()
-        md = mf.model.get("metadata")
         if md:
             for key in vars(meta):
                 if md.get(key) is not None:
