@@ -143,8 +143,8 @@ def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
         if not isinstance(w, jnp.ndarray) and not isinstance(w, np.ndarray):
             return w
         arr = np.asarray(w)
-        if arr.ndim != 2 or name in ("embed", "pos_embed"):
-            return w
+        if arr.ndim != 2 or "embed" in name or "pos" in name:
+            return w  # embeddings / position tables stay float (gathered)
         if kind == "int8":
             q, scales = qt.abs_max_quantize_int8(arr, axis=0)
             return QuantWeight("int8", jnp.asarray(q), jnp.asarray(scales),

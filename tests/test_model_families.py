@@ -1,0 +1,116 @@
+"""Encoder-decoder (Whisper-class) + BERT model-family tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rten_tpu.models.bert import Bert, BertConfig
+from rten_tpu.models.encoder_decoder import (EncoderDecoderConfig,
+                                             EncoderDecoderLM,
+                                             log_mel_spectrogram)
+from rten_tpu.models.transformer import quantize_weights
+
+
+@pytest.fixture(scope="module")
+def encdec():
+    cfg = EncoderDecoderConfig.tiny_test()
+    model = EncoderDecoderLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_encoder_shapes(encdec):
+    model, params = encdec
+    feats = jnp.asarray(
+        np.random.RandomState(0).randn(2, 20, 16).astype(np.float32))
+    memory = model.encode(params, feats)
+    assert memory.shape == (2, 20, 64)
+
+
+def test_decode_cached_matches_full(encdec):
+    """Cached step-by-step decoding must equal full-sequence decoding."""
+    model, params = encdec
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(2, 12, 16).astype(np.float32))
+    memory = model.encode(params, feats)
+    cross = model.cross_kv(params, memory)
+    tokens = jnp.asarray(rng.randint(0, 64, (2, 5)), jnp.int32)
+
+    # Full forward (no cache).
+    logits_full, _ = model.decode(params, tokens, cross, None)
+
+    # Step-by-step with cache.
+    cache = model.new_cache(2, capacity=16)
+    logits_p, cache = model.decode(params, tokens[:, :4], cross, cache)
+    logits_d, cache = model.decode(params, tokens[:, 4:5], cross, cache)
+    np.testing.assert_allclose(np.asarray(logits_d[:, 0]),
+                               np.asarray(logits_full[:, 4]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generate_loop(encdec):
+    model, params = encdec
+    feats = jnp.asarray(
+        np.random.RandomState(2).randn(1, 10, 16).astype(np.float32))
+    out = model.generate(params, feats, start_token=1, max_tokens=6)
+    assert out.shape == (1, 6)
+    assert ((out >= 0) & (out < 64)).all()
+
+
+def test_log_mel_spectrogram():
+    sr = 16000
+    t = np.arange(sr // 4) / sr
+    audio = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    mel = log_mel_spectrogram(audio, sample_rate=sr, n_mels=40)
+    assert mel.shape[1] == 40
+    assert mel.shape[0] > 10
+    assert np.isfinite(mel).all()
+    # A 440 Hz tone concentrates energy in low mel bins.
+    assert mel[:, :10].mean() > mel[:, 30:].mean()
+
+
+@pytest.fixture(scope="module")
+def bert():
+    cfg = BertConfig.tiny_test()
+    model = Bert(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_bert_forward_and_heads(bert):
+    model, params = bert
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 100, (2, 10)), jnp.int32)
+    hidden = model.forward(params, ids)
+    assert hidden.shape == (2, 10, 64)
+    pooled = model.pooled(params, ids)
+    assert pooled.shape == (2, 64)
+    start, end = model.qa_spans(params, ids)
+    assert start.shape == (2, 10) and end.shape == (2, 10)
+    emb = model.mean_embedding(params, ids)
+    assert emb.shape == (2, 64)
+
+
+def test_bert_attention_mask_ignores_padding(bert):
+    model, params = bert
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(1, 100, (1, 8)), jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 0, 0, 0]], jnp.int32)
+    emb1 = model.mean_embedding(params, ids, mask)
+    # Change padded token ids: embedding must not change.
+    ids2 = ids.at[0, 5:].set(99)
+    emb2 = model.mean_embedding(params, ids2, mask)
+    np.testing.assert_allclose(np.asarray(emb1), np.asarray(emb2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bert_dynamic_int8(bert):
+    model, params = bert
+    rng = np.random.RandomState(2)
+    ids = jnp.asarray(rng.randint(0, 100, (1, 12)), jnp.int32)
+    ref = np.asarray(model.pooled(params, ids))
+    qparams = quantize_weights(params, "int8")
+    got = np.asarray(model.pooled(qparams, ids))
+    # int8 weight quantization: small relative error on pooled output
+    assert np.abs(got - ref).max() < 0.1
