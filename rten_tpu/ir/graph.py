@@ -110,6 +110,17 @@ class Graph:
         return sum(int(n.data.array.size) for n in self.nodes
                    if isinstance(n.data, ConstantNode))
 
+    # -- mutation (optimizer support; the reference's GraphMutator) --------
+
+    def replace_value_uses(self, old_id: int, new_id: int):
+        """Point every operator input (and graph output) at ``new_id``
+        instead of ``old_id``."""
+        for node in self.nodes:
+            if isinstance(node.data, OperatorNode):
+                node.data.inputs = [new_id if i == old_id else i
+                                    for i in node.data.inputs]
+        self.outputs = [new_id if o == old_id else o for o in self.outputs]
+
     # -- planning ----------------------------------------------------------
 
     def plan(self, input_ids=None, output_ids=None) -> list[int]:

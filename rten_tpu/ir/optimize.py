@@ -66,7 +66,66 @@ def prune_dead_nodes(graph: Graph) -> int:
     return removed
 
 
+def fuse_silu(graph: Graph) -> int:
+    """x * sigmoid(x) → Silu (reference ``fuse_silu``,
+    src/optimize.rs:381-400)."""
+    from .pattern import Op, Symbol, find_matches
+
+    x = Symbol("x")
+    pattern = Op("Mul", Op("Sigmoid", x), x, commutative=True)
+    fused = 0
+    for value_id, bindings in find_matches(graph, pattern):
+        root = bindings["op:root"]
+        out = graph.add_value(f"silu_{value_id}")
+        graph.add_operator(None, "Silu", [bindings["x"]], [out])
+        graph.replace_value_uses(value_id, out)
+        fused += 1
+    return fused
+
+
+def fuse_dequant_matmul(graph: Graph) -> int:
+    """MatMul(DequantizeLinear(a), DequantizeLinear(b)) →
+    MatMulInteger + Cast + scale multiply — the dequant-into-matmul
+    rewrite from the north star: int8 operands reach the MXU directly and
+    only the int32 accumulator is dequantized."""
+    from .pattern import Op, Symbol, find_matches
+
+    pattern = Op("MatMul",
+                 Op("DequantizeLinear", Symbol("a_q"), Symbol("a_s"),
+                    Symbol("a_zp"), bind="dq_a"),
+                 Op("DequantizeLinear", Symbol("b_q"), Symbol("b_s"),
+                    Symbol("b_zp"), bind="dq_b"))
+    short = Op("MatMul",
+               Op("DequantizeLinear", Symbol("a_q"), Symbol("a_s"),
+                  bind="dq_a"),
+               Op("DequantizeLinear", Symbol("b_q"), Symbol("b_s"),
+                  bind="dq_b"))
+    fused = 0
+    matches = find_matches(graph, pattern) or []
+    matched_roots = {b["op:root"] for _, b in matches}
+    for value_id, b in matches + [
+            (v, bb) for v, bb in find_matches(graph, short)
+            if bb["op:root"] not in matched_roots]:
+        # Per-axis dequant on the activation side is rare; both scalar and
+        # vector scales broadcast correctly through the Mul below.
+        acc = graph.add_value(f"qmm_acc_{value_id}")
+        graph.add_operator(None, "MatMulInteger",
+                           [b["a_q"], b["b_q"], b.get("a_zp"),
+                            b.get("b_zp")], [acc])
+        acc_f = graph.add_value(f"qmm_f_{value_id}")
+        graph.add_operator(None, "Cast", [acc], [acc_f], {"to": 1})
+        scale = graph.add_value(f"qmm_s_{value_id}")
+        graph.add_operator(None, "Mul", [b["a_s"], b["b_s"]], [scale])
+        out = graph.add_value(f"qmm_out_{value_id}")
+        graph.add_operator(None, "Mul", [acc_f, scale], [out])
+        graph.replace_value_uses(value_id, out)
+        fused += 1
+    return fused
+
+
 def optimize(graph: Graph) -> Graph:
     propagate_constants(graph)
+    fuse_dequant_matmul(graph)
+    fuse_silu(graph)
     prune_dead_nodes(graph)
     return graph
