@@ -194,3 +194,23 @@ def test_gpt2_style_graph_generation_loop():
         }, ["logits"])
         toks.append(int(np.asarray(outs[0])[0, -1].argmax()))
     assert toks[3:] == tokens
+
+
+def test_mobilenet_v3_graph_matches_native():
+    from rten_tpu.models.mobilenet import MobileNetV3, MobileNetV3Config
+    model = MobileNetV3(MobileNetV3Config(n_classes=10, width=0.5))
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(1, 3, 64, 64).astype(np.float32)
+    want = np.asarray(model.forward(params, jnp.asarray(x)))
+    assert want.shape == (1, 10)
+    mb = model.build_rten(params, input_shape=("batch", 3, 64, 64))
+    graph_model = Model.load(mb.to_bytes())
+    got = np.asarray(graph_model.run({"input": x})[0])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    # depthwise convs present (groups > 1)
+    from rten_tpu.ir.graph import OperatorNode
+    has_depthwise = any(
+        isinstance(n.data, OperatorNode) and n.data.op_type == "Conv"
+        and (n.data.attrs.get("groups") or 1) > 1
+        for n in graph_model.graph.nodes)
+    assert has_depthwise

@@ -25,12 +25,28 @@ SHAPES = [
 PEAK_TFLOPS = {"bf16": 394.0, "int8": 394.0, "f32": 98.5, "int4": 394.0}
 
 
-def bench(fn, iters):
-    fn()  # compile
+def bench(fn, args, iters):
+    """Time ``iters`` chained invocations inside ONE jitted fori_loop —
+    each iteration perturbs the first operand with the loop index, so XLA
+    cannot hoist or dedupe the matmul; a scalar of the result is fetched
+    to force completion. Immune to dispatch-latency artifacts."""
+    import jax
+    import jax.numpy as jnp
+
+    a0 = args[0]
+
+    @jax.jit
+    def loop(a, *rest):
+        def body(i, acc):
+            ai = a + (i % 2).astype(a.dtype)   # loop-variant: no hoisting
+            out = fn(ai, *rest)
+            return acc + jnp.sum(out).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(loop(a0, *args[1:]))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    out.block_until_ready()
+    float(loop(a0, *args[1:]))  # one timed call, iters chained inside
     return (time.perf_counter() - t0) / iters
 
 
@@ -58,12 +74,13 @@ def main():
             dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
             a = jnp.asarray(rng.randn(m, k), dt)
             b = jnp.asarray(rng.randn(k, n), dt)
-            f = jax.jit(lambda: (a @ b))
+            f, fargs = jax.jit(lambda x, y: x @ y), (a, b)
         elif args.dtype == "int8":
             a = jnp.asarray(rng.randint(-127, 128, (m, k)), jnp.int8)
             b = jnp.asarray(rng.randint(-127, 128, (k, n)), jnp.int8)
             scales = jnp.ones(n, jnp.float32)
-            f = lambda: gk.matmul_int8(a, b, 1.0, scales)  # noqa: E731
+            f = lambda x, y: gk.matmul_int8(x, y, 1.0, scales)  # noqa: E731
+            fargs = (a, b)
         else:
             kp = (k + 127) // 128 * 128
             np_pad = (n + 255) // 256 * 256
@@ -71,8 +88,9 @@ def main():
             packed, scales = qt.quantize_int4_groupwise(w, group=128)
             a = jnp.asarray(rng.randn(m, kp), jnp.float32)
             pj, sj = jnp.asarray(packed), jnp.asarray(scales)
-            f = lambda: gk.matmul_int4(a, pj, sj, group=128)  # noqa: E731
-        secs = bench(f, args.iters)
+            f = lambda x, p_, s_: gk.matmul_int4(x, p_, s_, group=128)  # noqa: E731
+            fargs = (a, pj, sj)
+        secs = bench(f, fargs, args.iters)
         gflops = flops / secs / 1e9
         line = f"  {m:5d}x{n:5d}x{k:5d}: {secs * 1e6:9.1f} us  {gflops:9.1f} GFLOPS"
         if peak:
