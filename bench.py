@@ -38,23 +38,23 @@ def main():
     prompts = [list(rng.randint(0, cfg.vocab_size, prompt_len))
                for _ in range(batch)]
 
+    # Bursts amortize tunnel/dispatch latency on TPU; on CPU (smoke mode)
+    # scan-unrolled interpret-mode kernels make bursts trace-slow.
+    burst = 16 if on_tpu else 1
+
     def measure(p):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
                             prefill_buckets=(prompt_len,))
-        for req in [eng.submit(pr, max_new_tokens=decode_steps)
-                    for pr in prompts]:
-            pass
+        for pr in prompts:
+            eng.submit(pr, max_new_tokens=decode_steps)
         eng._admit()
-        eng.step()  # compile decode
+        eng.step_burst(burst)  # compile decode burst
         t0 = time.perf_counter()
-        steps = 0
+        emitted = 0
         while any(r is not None for r in eng.slot_request):
-            n = eng.step()
-            steps += n
-            if steps >= batch * decode_steps:
-                break
+            emitted += eng.step_burst(burst)
         elapsed = time.perf_counter() - t0
-        return steps / elapsed
+        return emitted / elapsed
 
     f32_tps = measure(params)
     try:

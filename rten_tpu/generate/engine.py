@@ -99,6 +99,23 @@ class ServingEngine:
 
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
 
+        def burst_fn(params, tokens, cache, key, n):
+            """n chained decode steps fully on device (one dispatch, one
+            host sync) — amortizes host↔device latency over n tokens."""
+            def body(carry, _):
+                tokens, cache, key = carry
+                key, sub = jax.random.split(key)
+                logits, cache = model.decode_step(params, tokens, cache)
+                nxt = self.sampler.sample(sub, logits)
+                return (nxt, cache, key), nxt
+
+            (tokens, cache, _), toks = jax.lax.scan(
+                body, (tokens, cache, key), None, length=n)
+            return toks, cache
+
+        self._decode_burst = jax.jit(burst_fn, donate_argnums=(2,),
+                                     static_argnums=(4,))
+
         def insert_fn(cache, single, slot, length, token):
             return (cache.insert_sequence(single, slot, length))
 
@@ -170,8 +187,41 @@ class ServingEngine:
             self._finish_if_done(slot, token)
         return len(active)
 
-    def run(self, requests=None, max_steps=100000):
-        """Drive the engine until every request completes."""
+    def step_burst(self, n: int) -> int:
+        """Run ``n`` decode steps on-device for the current batch, then do
+        host-side bookkeeping once. Stop tokens are honored post hoc (a
+        request keeps its tokens up to the stop). Returns tokens emitted
+        to live requests."""
+        self._admit()
+        active = [s for s in range(self.max_batch)
+                  if self.slot_request[s] is not None]
+        if not active:
+            return 0
+        headroom = self.capacity - 1 - max(
+            int(self.cache.lengths[s]) for s in active)
+        n = min(n, max(1, headroom))
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._decode_burst(
+            self.params, jnp.asarray(self.current_tokens), self.cache, sub,
+            n)
+        toks_np = np.asarray(toks)          # [n, B]
+        emitted = 0
+        for slot in active:
+            req = self.slot_request[slot]
+            for i in range(n):
+                token = int(toks_np[i, slot])
+                req.tokens.append(token)
+                req.metrics.step()
+                emitted += 1
+                self.current_tokens[slot] = token
+                self._finish_if_done(slot, token)
+                if self.slot_request[slot] is None:
+                    break
+        return emitted
+
+    def run(self, requests=None, max_steps=100000, burst=1):
+        """Drive the engine until every request completes. ``burst`` > 1
+        decodes that many tokens per device dispatch."""
         if requests:
             for req in requests:
                 if req not in self.queue and not req.done:
@@ -179,14 +229,17 @@ class ServingEngine:
         steps = 0
         while (self.queue or any(r is not None for r in self.slot_request)) \
                 and steps < max_steps:
-            self.step()
+            if burst > 1:
+                self.step_burst(burst)
+            else:
+                self.step()
             steps += 1
         return steps
 
     # -- batch convenience ---------------------------------------------------
 
-    def generate(self, prompts, max_new_tokens=32, stop_ids=()):
+    def generate(self, prompts, max_new_tokens=32, stop_ids=(), burst=1):
         """Synchronous batch API: returns a list of generated-token lists."""
         reqs = [self.submit(p, max_new_tokens, stop_ids) for p in prompts]
-        self.run()
+        self.run(burst=burst)
         return [r.tokens for r in reqs]

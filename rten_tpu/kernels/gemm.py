@@ -137,11 +137,15 @@ def _int4_kernel(x_ref, wp_ref, s_ref, out_ref, acc_ref, *, n_k, group, bk):
     hi = jnp.right_shift(p, 4) - 8
     wq = jnp.concatenate([lo, hi], axis=-1)          # [bk, 256] int32
     # Static loop over K-groups: dequant each group's rows with its scale
-    # row, accumulate MXU partial products.
+    # row, accumulate MXU partial products. The scales ref holds ALL
+    # K-groups (tiny), indexed by absolute group id (Mosaic requires
+    # sublane-aligned or full-dim blocks).
+    groups_per_block = bk // group
     acc = acc_ref[:]
-    for g in range(bk // group):
+    for g in range(groups_per_block):
         rows = slice(g * group, (g + 1) * group)
-        w_g = wq[rows].astype(jnp.float32) * s_ref[g, :][None, :]
+        scale_row = s_ref[k * groups_per_block + g, :][None, :]
+        w_g = wq[rows].astype(jnp.float32) * scale_row
         acc += jnp.dot(x_ref[:, rows], w_g,
                        preferred_element_type=jnp.float32)
     acc_ref[:] = acc
@@ -185,7 +189,7 @@ def matmul_int4(x, w_packed, scales, group=INT4_GROUP, block_m=256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn // 2), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // group, bn), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((kp // group, bn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),

@@ -79,3 +79,25 @@ def test_engine_decode_compiles_once(model_and_params):
     n0 = eng._decode._cache_size()
     eng.generate([[5, 6, 7], [8, 9]], max_new_tokens=4)
     assert eng._decode._cache_size() == n0 == 1
+
+
+def test_engine_burst_matches_single_step(model_and_params):
+    model, params = model_and_params
+    prompts = [[1, 2, 3], [7, 8]]
+    eng1 = ServingEngine(model, params, max_batch=2, capacity=64,
+                         prefill_buckets=(16,))
+    single = eng1.generate(prompts, max_new_tokens=9)
+    eng2 = ServingEngine(model, params, max_batch=2, capacity=64,
+                         prefill_buckets=(16,))
+    burst = eng2.generate(prompts, max_new_tokens=9, burst=4)
+    assert burst == single
+
+
+def test_engine_burst_respects_stop_tokens(model_and_params):
+    model, params = model_and_params
+    first = ref_greedy(model, params, [1, 2], 1)[0]
+    eng = ServingEngine(model, params, max_batch=1, capacity=64,
+                        prefill_buckets=(16,))
+    outs = eng.generate([[1, 2]], max_new_tokens=12, stop_ids=(first,),
+                        burst=8)
+    assert outs[0] == [first]

@@ -26,28 +26,38 @@ PEAK_TFLOPS = {"bf16": 394.0, "int8": 394.0, "f32": 98.5, "int4": 394.0}
 
 
 def bench(fn, args, iters):
-    """Time ``iters`` chained invocations inside ONE jitted fori_loop —
-    each iteration perturbs the first operand with the loop index, so XLA
-    cannot hoist or dedupe the matmul; a scalar of the result is fetched
-    to force completion. Immune to dispatch-latency artifacts."""
+    """Per-iteration time of the op, net of fixed per-call latency.
+
+    ``iters`` and ``3*iters`` chained invocations run inside single jitted
+    fori_loops (the loop index perturbs the first operand so XLA cannot
+    hoist or dedupe the matmul); differencing the two wall times removes
+    the constant dispatch/tunnel cost, leaving pure device time."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    a0 = args[0]
-
-    @jax.jit
-    def loop(a, *rest):
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def loop(n, a, *rest):
         def body(i, acc):
             ai = a + (i % 2).astype(a.dtype)   # loop-variant: no hoisting
             out = fn(ai, *rest)
             return acc + jnp.sum(out).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    float(loop(a0, *args[1:]))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(a0, *args[1:]))  # one timed call, iters chained inside
-    return (time.perf_counter() - t0) / iters
+    def timed(n):
+        float(loop(n, *args))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(n, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(iters)
+    t3 = timed(3 * iters)
+    return max((t3 - t1) / (2 * iters), 1e-9)
 
 
 def main():
