@@ -1,0 +1,91 @@
+"""Multi-device scaling harness: decode throughput at 1..N devices on a
+(data, model) mesh, reporting scaling efficiency (BASELINE target: ≥85%
+multi-host). On CPU it exercises the plumbing on virtual devices; real
+numbers need a pod slice.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python tools/bench_scaling.py --layers 2 --d-model 256
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--layers", type=int, default=4)
+    parser.add_argument("--d-model", type=int, default=512)
+    parser.add_argument("--heads", type=int, default=8)
+    parser.add_argument("--batch-per-device", type=int, default=4)
+    parser.add_argument("--steps", type=int, default=16)
+    parser.add_argument("--capacity", type=int, default=256)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    from rten_tpu.parallel import make_mesh, shard_cache, shard_params
+
+    n_devices = len(jax.devices())
+    cfg = TransformerConfig(
+        vocab_size=1024, n_layers=args.layers, n_heads=args.heads,
+        d_model=args.d_model, d_ff=4 * args.d_model,
+        max_seq_len=args.capacity, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=False)
+    model = TransformerLM(cfg)
+    base_params = model.init_params(jax.random.PRNGKey(0))
+
+    def measure(n):
+        devices = jax.devices()[:n]
+        data = 1 if n == 1 else (2 if n % 2 == 0 else 1)
+        mesh = make_mesh(data=data, model=n // data, devices=devices)
+        batch = args.batch_per_device * data
+        params = shard_params(base_params, mesh)
+        cache = shard_cache(model.new_cache(batch, args.capacity), mesh)
+        tokens = jax.device_put(
+            jnp.asarray(np.random.RandomState(0).randint(
+                0, 1024, (batch, 16)), jnp.int32),
+            NamedSharding(mesh, P("data", None)))
+
+        def burst(params, tokens, cache):
+            def body(carry, _):
+                toks, cache = carry
+                logits, cache = model.decode_step(params, toks, cache)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                return (nxt, cache), nxt
+            (toks, cache), out = jax.lax.scan(
+                body, (tokens, cache), None, length=args.steps)
+            return out, cache
+
+        with mesh:
+            _, cache = jax.jit(model.prefill, donate_argnums=(2,))(
+                params, tokens, cache)
+            burst_jit = jax.jit(burst, donate_argnums=(2,))
+            first = tokens[:, -1]
+            out, cache = burst_jit(params, first, cache)
+            out.block_until_ready()     # warm
+            t0 = time.perf_counter()
+            out, cache = burst_jit(params, first, cache)
+            out.block_until_ready()
+            elapsed = time.perf_counter() - t0
+        return batch * args.steps / elapsed
+
+    base = measure(1)
+    print(f"1 device: {base:,.0f} tokens/s")
+    n = 2
+    while n <= n_devices:
+        tps = measure(n)
+        eff = tps / (base * n)
+        print(f"{n} devices: {tps:,.0f} tokens/s  "
+              f"(scaling efficiency {100 * eff:.0f}%)")
+        n *= 2
+
+
+if __name__ == "__main__":
+    main()
