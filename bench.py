@@ -57,16 +57,22 @@ def main():
         return emitted / elapsed
 
     f32_tps = measure(params)
-    try:
-        int8_tps = measure(quantize_weights(params, "int8"))
-        metric = "gpt2_int8_decode_tokens_s_chip"
-        value = int8_tps
-        vs = int8_tps / f32_tps
-    except Exception as exc:  # pragma: no cover - kernel fallback
-        print(f"int8 path failed ({exc}); reporting fp32", file=sys.stderr)
-        metric = "gpt2_f32_decode_tokens_s_chip"
-        value = f32_tps
-        vs = 1.0
+    if not on_tpu:
+        # CPU smoke: interpret-mode Pallas in a scanned decode is
+        # trace-bound; report the f32 number only.
+        metric, value, vs = "gpt2_f32_decode_tokens_s_chip", f32_tps, 1.0
+    else:
+        try:
+            int8_tps = measure(quantize_weights(params, "int8"))
+            metric = "gpt2_int8_decode_tokens_s_chip"
+            value = int8_tps
+            vs = int8_tps / f32_tps
+        except Exception as exc:  # pragma: no cover - kernel fallback
+            print(f"int8 path failed ({exc}); reporting fp32",
+                  file=sys.stderr)
+            metric = "gpt2_f32_decode_tokens_s_chip"
+            value = f32_tps
+            vs = 1.0
 
     print(json.dumps({
         "metric": metric,

@@ -76,9 +76,13 @@ class Generator:
         self._has_mask = mic.attention_mask in names
         self._has_positions = mic.position_ids in names
 
-        # Discover KV-cache inputs: past_key_values.N.key → present.N.key.
+        # Discover KV-cache inputs by prefix/suffix (reference semantics:
+        # generator.rs:150-153): past_key_values.<middle>.key →
+        # present.<middle>.key, where <middle> is "N" for decoder-only
+        # models or e.g. "N.decoder" / "N.encoder" for Whisper-style
+        # encoder-decoder exports.
         self._kv_inputs = []      # (input_name, output_name)
-        kv_re = re.compile(re.escape(mic.key_cache[0]) + r"(\d+)" + "(" +
+        kv_re = re.compile(re.escape(mic.key_cache[0]) + r"(.+?)" + "(" +
                            re.escape(mic.key_cache[1]) + "|" +
                            re.escape(mic.value_cache[1]) + ")$")
         self._kv_heads = {}

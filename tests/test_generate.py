@@ -224,3 +224,42 @@ def test_kv_cache_is_pytree():
     assert len(leaves) == 3  # k, v, lengths
     out = jax.jit(lambda c: c.advance(1))(cache)
     assert int(out.lengths[0]) == 1
+
+
+def test_generator_whisper_style_kv_names():
+    """Encoder-decoder exports name caches past_key_values.N.decoder.key /
+    past_key_values.N.encoder.key; discovery must map both to present.*."""
+    model = FakeModel(scripted_tokens=[5, 7], n_layers=1)
+    model._input_names = [
+        "input_ids",
+        "past_key_values.0.decoder.key", "past_key_values.0.decoder.value",
+        "past_key_values.0.encoder.key", "past_key_values.0.encoder.value",
+    ]
+    model._all_names = set(model._input_names) | {
+        "logits",
+        "present.0.decoder.key", "present.0.decoder.value",
+        "present.0.encoder.key", "present.0.encoder.value",
+    }
+    gen = Generator(model, [3], GeneratorConfig(max_seq_len=8))
+    assert {n for n, _ in gen._kv_inputs} == {
+        "past_key_values.0.decoder.key", "past_key_values.0.decoder.value",
+        "past_key_values.0.encoder.key", "past_key_values.0.encoder.value"}
+    outs = dict(gen._kv_inputs)
+    assert outs["past_key_values.0.encoder.value"] == \
+        "present.0.encoder.value"
+    assert [next(gen) for _ in range(2)] == [5, 7]
+
+
+def test_generator_constant_inputs_passed_through():
+    """Encoder outputs flow as constant inputs each step (the reference's
+    add-constant-input path, generator.rs:425)."""
+    model = FakeModel(scripted_tokens=[4, 6])
+    model._input_names.append("encoder_hidden_states")
+    model._all_names.add("encoder_hidden_states")
+    enc = np.ones((1, 7, 4), np.float32)
+    gen = Generator(model, [2], GeneratorConfig(max_seq_len=8),
+                    constant_inputs={"encoder_hidden_states": enc})
+    next(gen)
+    next(gen)
+    for step in model.steps:
+        np.testing.assert_array_equal(step["encoder_hidden_states"], enc)

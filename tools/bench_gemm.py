@@ -21,8 +21,8 @@ SHAPES = [
     (4096, 4096, 4096),
 ]
 
-# v5e peak: 394 TFLOP/s bf16/int8; f32 ~ 1/4 of bf16 on MXU.
-PEAK_TFLOPS = {"bf16": 394.0, "int8": 394.0, "f32": 98.5, "int4": 394.0}
+# v5e peak: 197 TFLOP/s bf16, 394 TOP/s int8; f32 ≈ bf16/3 (bf16x3 passes).
+PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0, "f32": 65.7, "int4": 197.0}
 
 
 def bench(fn, args, iters):
@@ -55,9 +55,17 @@ def bench(fn, args, iters):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = timed(iters)
-    t3 = timed(3 * iters)
-    return max((t3 - t1) / (2 * iters), 1e-9)
+    # Grow the iteration count until the differenced compute time clears
+    # the per-call jitter (~ms through a remote tunnel) by a wide margin.
+    n = iters
+    for _ in range(5):
+        t1 = timed(n)
+        t3 = timed(3 * n)
+        delta = t3 - t1
+        if delta > 0.1:  # ≥100 ms of pure compute: jitter-immune
+            break
+        n *= 8
+    return max(delta / (2 * n), 1e-9)
 
 
 def main():
