@@ -66,7 +66,8 @@ class Model:
     def _from_model_file(mf, options: ModelOptions) -> "Model":
         graph = None
         md = None
-        if options.native:
+        from ..utils.env import env_flag
+        if options.native and not env_flag("RTEN_TPU_NO_NATIVE"):
             try:
                 from ..fmt import native_loader
                 if native_loader.available(auto_build=False):
@@ -142,7 +143,11 @@ class Model:
     def run(self, inputs: dict, outputs=None,
             options: Optional[RunOptions] = None) -> list:
         """Run the model. ``inputs``: {name-or-id: array};
-        ``outputs``: names/ids (default: graph outputs)."""
+        ``outputs``: names/ids (default: graph outputs). Honors the
+        RTEN_TPU_TIMING / RTEN_TPU_EAGER env knobs (the reference reads
+        RTEN_TIMING here too, src/model.rs:587)."""
+        from ..utils.env import timing_options_from_env
+        options = timing_options_from_env(options)
         return self.executor.run(self._resolve_inputs(inputs),
                                  self._resolve_outputs(outputs), options)
 

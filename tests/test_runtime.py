@@ -192,3 +192,17 @@ def test_seed_determinism():
     a = np.asarray(ex.run({}, options=RunOptions(seed=5))[0])
     b = np.asarray(ex.run({}, options=RunOptions(seed=5))[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_env_timing_flag(monkeypatch, capsys):
+    from rten_tpu import Model
+    from rten_tpu.fmt.model_builder import ModelBuilder
+    mb = ModelBuilder()
+    g = mb.graph
+    x = g.add_value("x")
+    out = g.add_operator("Relu", [x], name="relu")
+    g.inputs, g.outputs = [x], [out]
+    model = Model.load(mb.to_bytes())
+    monkeypatch.setenv("RTEN_TPU_TIMING", "sort=name")
+    model.run({"x": np.float32([[1, -1]])})
+    assert "Relu" in capsys.readouterr().out
