@@ -155,14 +155,19 @@ class ServingEngine:
             req.metrics.step()
             self.current_tokens[slot] = first
             self.slot_request[slot] = req
-            self._finish_if_done(slot, first)
+            self._finish_if_done(slot, first, length=n)
 
-    def _finish_if_done(self, slot, token):
+    def _finish_if_done(self, slot, token, length=None):
         req = self.slot_request[slot]
         if req is None:
             return
+        # `length` is passed from a single host-side snapshot per step —
+        # reading self.cache.lengths[slot] here would be one device fetch
+        # per token, which dominates through a high-latency link.
+        if length is None:
+            length = int(np.asarray(self.cache.lengths)[slot])
         if token in req.stop_ids or len(req.tokens) >= req.max_new_tokens \
-                or int(self.cache.lengths[slot]) + 1 >= self.capacity:
+                or length + 1 >= self.capacity:
             req.done = True
             self.slot_request[slot] = None
 
@@ -178,13 +183,14 @@ class ServingEngine:
         next_tokens, logits, self.cache = self._decode(
             self.params, jnp.asarray(self.current_tokens), self.cache, sub)
         next_np = np.asarray(next_tokens)
+        lengths_np = np.asarray(self.cache.lengths)
         for slot in active:
             req = self.slot_request[slot]
             token = int(next_np[slot])
             req.tokens.append(token)
             req.metrics.step()
             self.current_tokens[slot] = token
-            self._finish_if_done(slot, token)
+            self._finish_if_done(slot, token, length=int(lengths_np[slot]))
         return len(active)
 
     def step_burst(self, n: int) -> int:
@@ -197,8 +203,8 @@ class ServingEngine:
                   if self.slot_request[s] is not None]
         if not active:
             return 0
-        headroom = self.capacity - 1 - max(
-            int(self.cache.lengths[s]) for s in active)
+        lengths_np = np.asarray(self.cache.lengths)
+        headroom = self.capacity - 1 - max(int(lengths_np[s]) for s in active)
         n = min(n, max(1, headroom))
         self._key, sub = jax.random.split(self._key)
         toks, self.cache = self._decode_burst(
@@ -214,7 +220,8 @@ class ServingEngine:
                 req.metrics.step()
                 emitted += 1
                 self.current_tokens[slot] = token
-                self._finish_if_done(slot, token)
+                self._finish_if_done(slot, token,
+                                     length=int(lengths_np[slot]) + i + 1)
                 if self.slot_request[slot] is None:
                     break
         return emitted
