@@ -122,6 +122,11 @@ def linear(x, w, bias=None):
             xq = jnp.clip(jnp.round(x2 / x_scale), -127, 127).astype(jnp.int8)
             out = gk.matmul_int8(xq, w.data, x_scale, w.scales)
         elif w.kind == "int4":
+            k_packed = w.data.shape[0]
+            if x2.shape[1] < k_packed:
+                # Quantization pads K up to the group size; padded weight
+                # rows are zero, so zero-padding x is exact.
+                x2 = jnp.pad(x2, ((0, 0), (0, k_packed - x2.shape[1])))
             out = gk.matmul_int4(x2, w.data, w.scales, group=w.group)
             out = out[:, :w.n]
         else:

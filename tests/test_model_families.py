@@ -114,3 +114,42 @@ def test_bert_dynamic_int8(bert):
     got = np.asarray(model.pooled(qparams, ids))
     # int8 weight quantization: small relative error on pooled output
     assert np.abs(got - ref).max() < 0.1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from rten_tpu.models.checkpoint import load_params, save_params
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM)
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    path = tmp_path / "model.npz"
+    save_params(path, params)
+    loaded = load_params(path)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 6)),
+                      jnp.int32)
+    a, _ = model.forward(params, ids)
+    b, _ = model.forward(loaded, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_quantized(tmp_path):
+    import jax
+    from rten_tpu.models.checkpoint import load_params, save_params
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM, QuantWeight)
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = quantize_weights(model.init_params(jax.random.PRNGKey(0)),
+                              "int4")
+    path = tmp_path / "model_q.npz"
+    save_params(path, params)
+    loaded = load_params(path)
+    assert isinstance(loaded["layers"][0]["wq"], QuantWeight)
+    assert loaded["layers"][0]["wq"].kind == "int4"
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 6)),
+                      jnp.int32)
+    a, _ = model.forward(params, ids)
+    b, _ = model.forward(loaded, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
