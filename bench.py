@@ -26,7 +26,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         cfg = TransformerConfig.gpt2()
-        batch, prompt_len, decode_steps, capacity = 8, 64, 128, 512
+        batch, prompt_len, decode_steps, capacity = 8, 64, 384, 512
     else:
         # CPU smoke configuration (fast local check only).
         cfg = TransformerConfig.tiny_test()
@@ -40,7 +40,7 @@ def main():
 
     # Bursts amortize tunnel/dispatch latency on TPU; on CPU (smoke mode)
     # scan-unrolled interpret-mode kernels make bursts trace-slow.
-    burst = 16 if on_tpu else 1
+    burst = 64 if on_tpu else 1
 
     def measure(p):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
