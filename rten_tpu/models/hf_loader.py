@@ -74,14 +74,12 @@ def load_gpt2(source, config: TransformerConfig) -> dict:
     }
     for i in range(config.n_layers):
         p = f"h.{i}."
-        c_attn_w = sd[p + "attn.c_attn.weight"]      # [d, 3d]
-        c_attn_b = sd[p + "attn.c_attn.bias"]
-        wq, wk, wv = np.split(c_attn_w, 3, axis=1)
-        bq, bk, bv = np.split(c_attn_b, 3)
         params["layers"].append({
             "ln1_scale": sd[p + "ln_1.weight"],
             "ln1_bias": sd[p + "ln_1.bias"],
-            "wq": wq, "bq": bq, "wk": wk, "bk": bk, "wv": wv, "bv": bv,
+            # GPT-2's c_attn is already the fused [q|k|v] layout.
+            "wqkv": sd[p + "attn.c_attn.weight"],
+            "bqkv": sd[p + "attn.c_attn.bias"],
             "wo": sd[p + "attn.c_proj.weight"],
             "bo": sd[p + "attn.c_proj.bias"],
             "ln2_scale": sd[p + "ln_2.weight"],
@@ -130,9 +128,10 @@ def load_llama(source, config: TransformerConfig) -> dict:
         p = f"layers.{i}."
         params["layers"].append({
             "ln1_scale": sd[p + "input_layernorm.weight"],
-            "wq": sd[p + "self_attn.q_proj.weight"].T,
-            "wk": sd[p + "self_attn.k_proj.weight"].T,
-            "wv": sd[p + "self_attn.v_proj.weight"].T,
+            "wqkv": np.concatenate(
+                [sd[p + "self_attn.q_proj.weight"].T,
+                 sd[p + "self_attn.k_proj.weight"].T,
+                 sd[p + "self_attn.v_proj.weight"].T], axis=1),
             "wo": sd[p + "self_attn.o_proj.weight"].T,
             "ln2_scale": sd[p + "post_attention_layernorm.weight"],
             "w_gate": sd[p + "mlp.gate_proj.weight"].T,

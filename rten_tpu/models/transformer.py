@@ -227,18 +227,16 @@ class TransformerLM:
         for _ in range(cfg.n_layers):
             layer = {
                 "ln1_scale": jnp.ones(d, dt),
-                "wq": dense(None, (d, h * hd)),
-                "wk": dense(None, (d, kvh * hd)),
-                "wv": dense(None, (d, kvh * hd)),
+                # Fused QKV projection: one MXU matmul instead of three
+                # (column layout [q | k | v]; GPT-2's c_attn layout).
+                "wqkv": dense(None, (d, (h + 2 * kvh) * hd)),
                 "wo": dense(None, (h * hd, d)),
                 "ln2_scale": jnp.ones(d, dt),
             }
             if cfg.norm == "layernorm":
                 layer["ln1_bias"] = jnp.zeros(d, dt)
                 layer["ln2_bias"] = jnp.zeros(d, dt)
-                layer["bq"] = jnp.zeros(h * hd, dt)
-                layer["bk"] = jnp.zeros(kvh * hd, dt)
-                layer["bv"] = jnp.zeros(kvh * hd, dt)
+                layer["bqkv"] = jnp.zeros((h + 2 * kvh) * hd, dt)
                 layer["bo"] = jnp.zeros(d, dt)
             if cfg.act == "swiglu":
                 layer["w_gate"] = dense(None, (d, dff))
@@ -259,9 +257,10 @@ class TransformerLM:
         cfg = self.config
         b, s, d = x.shape
         h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-        q = linear(x, layer_params["wq"], layer_params.get("bq"))
-        k = linear(x, layer_params["wk"], layer_params.get("bk"))
-        v = linear(x, layer_params["wv"], layer_params.get("bv"))
+        qkv = linear(x, layer_params["wqkv"], layer_params.get("bqkv"))
+        q = qkv[..., :h * hd]
+        k = qkv[..., h * hd:(h + kvh) * hd]
+        v = qkv[..., (h + kvh) * hd:]
         q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)

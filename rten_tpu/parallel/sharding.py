@@ -30,9 +30,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 # Parameter-name → PartitionSpec for 2-D projection weights.
-_COL_SHARDED = {"wq", "wk", "wv", "w_up", "w_gate", "lm_head"}
+_COL_SHARDED = {"wq", "wk", "wv", "wqkv", "w_up", "w_gate", "lm_head"}
 _ROW_SHARDED = {"wo", "w_down"}
-_COL_SHARDED_BIAS = {"bq", "bk", "bv", "b_up"}
+_COL_SHARDED_BIAS = {"bq", "bk", "bv", "bqkv", "b_up"}
 
 
 def _spec_for(name: str, ndim: int) -> P:

@@ -153,3 +153,33 @@ def test_checkpoint_roundtrip_quantized(tmp_path):
     a, _ = model.forward(params, ids)
     b, _ = model.forward(loaded, ids)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_detr_forward_and_postprocess():
+    from rten_tpu.models.detr import Detr, DetrConfig, postprocess
+    cfg = DetrConfig.tiny_test()
+    model = Detr(cfg)
+    params = model.init_params(None)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64)
+                    .astype(np.float32))
+    logits, boxes = model.forward(params, x)
+    assert logits.shape == (1, cfg.n_queries, cfg.n_classes + 1)
+    assert boxes.shape == (1, cfg.n_queries, 4)
+    b = np.asarray(boxes)
+    assert (b >= 0).all() and (b <= 1).all()
+    dets = postprocess(logits, boxes, score_threshold=0.0)
+    assert len(dets) == 1 and len(dets[0]) == cfg.n_queries
+    # jit-compiles as one program (no host round trips)
+    jitted = jax.jit(model.forward)
+    l2, b2 = jitted(params, x)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(logits),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_detr_sine_position_embedding():
+    from rten_tpu.models.detr import sine_position_embedding
+    emb = sine_position_embedding(4, 6, 64)
+    assert emb.shape == (24, 64)
+    # distinct positions get distinct encodings
+    assert not np.allclose(emb[0], emb[1])
+    assert np.isfinite(emb).all()

@@ -39,7 +39,7 @@ def test_param_shardings_follow_tp_rules(mesh, model_and_params):
     _, params = model_and_params
     shardings = param_shardings(params, mesh)
     layer = shardings["layers"][0]
-    assert layer["wq"].spec == P(None, "model")
+    assert layer["wqkv"].spec == P(None, "model")
     assert layer["wo"].spec == P("model", None)
     assert layer["w_up"].spec == P(None, "model")
     assert layer["w_down"].spec == P("model", None)
@@ -92,6 +92,6 @@ def test_sharded_int8_params_tree(mesh, model_and_params):
     model, params = model_and_params
     qp = quantize_weights(params, "int8")
     sharded = shard_params(qp, mesh)
-    w = sharded["layers"][0]["wq"]
+    w = sharded["layers"][0]["wqkv"]
     assert w.kind == "int8"
     assert w.data.sharding.spec == P(None, "model")
