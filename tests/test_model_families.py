@@ -146,8 +146,8 @@ def test_checkpoint_roundtrip_quantized(tmp_path):
     path = tmp_path / "model_q.npz"
     save_params(path, params)
     loaded = load_params(path)
-    assert isinstance(loaded["layers"][0]["wq"], QuantWeight)
-    assert loaded["layers"][0]["wq"].kind == "int4"
+    assert isinstance(loaded["layers"][0]["wqkv"], QuantWeight)
+    assert loaded["layers"][0]["wqkv"].kind == "int4"
     ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 6)),
                       jnp.int32)
     a, _ = model.forward(params, ids)
