@@ -101,11 +101,13 @@ def fuse_dequant_matmul(graph: Graph) -> int:
                Op("DequantizeLinear", Symbol("b_q"), Symbol("b_s"),
                   bind="dq_b"))
     fused = 0
+    fused_roots: set = set()
     matches = find_matches(graph, pattern) or []
     matched_roots = {b["op:root"] for _, b in matches}
     for value_id, b in matches + [
             (v, bb) for v, bb in find_matches(graph, short)
             if bb["op:root"] not in matched_roots]:
+        fused_roots.add(b["op:root"])
         # Per-axis dequant on the activation side is rare; both scalar and
         # vector scales broadcast correctly through the Mul below.
         acc = graph.add_value(f"qmm_acc_{value_id}")
@@ -120,12 +122,44 @@ def fuse_dequant_matmul(graph: Graph) -> int:
         graph.add_operator(None, "Mul", [acc_f, scale], [out])
         graph.replace_value_uses(value_id, out)
         fused += 1
+
+    # Weight-only QDQ (MatMul(x_f32, DQ(w_q, w_s))): insert dynamic
+    # activation quantization — the ONNX dynamic-int8 pattern (BERT
+    # config): DynQuant(x) → MatMulInteger → rescale.
+    wo_pattern = Op("MatMul", Symbol("x"),
+                    Op("DequantizeLinear", Symbol("b_q"), Symbol("b_s"),
+                       bind="dq_b"))
+    for value_id, b in find_matches(graph, wo_pattern):
+        from .graph import ConstantNode
+        if b["op:root"] in fused_roots:
+            continue   # already rewritten by the two-sided pass
+        if not isinstance(graph.nodes[b["b_q"]].data, ConstantNode):
+            continue
+        x_q = graph.add_value(f"wq_xq_{value_id}")
+        x_s = graph.add_value(f"wq_xs_{value_id}")
+        x_zp = graph.add_value(f"wq_xzp_{value_id}")
+        graph.add_operator(None, "DynamicQuantizeLinear", [b["x"]],
+                           [x_q, x_s, x_zp])
+        acc = graph.add_value(f"wq_acc_{value_id}")
+        graph.add_operator(None, "MatMulInteger",
+                           [x_q, b["b_q"], x_zp, None], [acc])
+        acc_f = graph.add_value(f"wq_f_{value_id}")
+        graph.add_operator(None, "Cast", [acc], [acc_f], {"to": 1})
+        scale = graph.add_value(f"wq_s_{value_id}")
+        graph.add_operator(None, "Mul", [x_s, b["b_s"]], [scale])
+        out = graph.add_value(f"wq_out_{value_id}")
+        graph.add_operator(None, "Mul", [acc_f, scale], [out])
+        graph.replace_value_uses(value_id, out)
+        fused += 1
     return fused
 
 
 def optimize(graph: Graph) -> Graph:
-    propagate_constants(graph)
+    # Dequant fusion must precede constant propagation: DQ(q_const, s_const)
+    # would otherwise fold back into an f32 constant and the MatMulInteger
+    # rewrite (and the int8 storage saving) would be lost.
     fuse_dequant_matmul(graph)
+    propagate_constants(graph)
     fuse_silu(graph)
     prune_dead_nodes(graph)
     return graph
