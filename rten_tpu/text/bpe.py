@@ -47,6 +47,19 @@ class BpeTokenizer:
         import regex
         self._split_re = regex.compile(split_pattern or _GPT2_SPLIT)
 
+    def _native_encoder(self):
+        """Lazily build the C++ merge-loop encoder (native/bpe_encoder.cpp)
+        with string→id interning; None if the library isn't available."""
+        if hasattr(self, "_native"):
+            return self._native
+        self._native = None
+        try:
+            from . import native_bpe
+            self._native = native_bpe.NativeBpe(self.merge_ranks)
+        except Exception:
+            pass
+        return self._native
+
     @functools.lru_cache(maxsize=65536)
     def _bpe_word(self, word: str) -> tuple[str, ...]:
         parts = list(word)
@@ -54,6 +67,9 @@ class BpeTokenizer:
             parts[-1] += self.end_of_word_suffix
         if len(parts) == 1:
             return tuple(parts)
+        native = self._native_encoder()
+        if native is not None:
+            return native.apply(parts)
         while True:
             best_rank, best_i = None, None
             for i in range(len(parts) - 1):

@@ -105,3 +105,19 @@ def test_text_decoder_incremental_utf8(hf_byte_bpe):
     decoder = TextDecoder(ours)
     out = "".join(decoder.push(i) for i in ids) + decoder.flush()
     assert out == hf_byte_bpe.decode(ids)
+
+
+def test_native_bpe_matches_python(hf_byte_bpe):
+    """The C++ merge loop must produce identical tokenization to the pure
+    Python path (and thus to HF)."""
+    import os
+    from rten_tpu.fmt import native_loader
+    if not native_loader.build():
+        pytest.skip("native build unavailable")
+    ours = from_json_str(hf_byte_bpe.to_str())
+    native = ours.impl._native_encoder()
+    assert native is not None, "native BPE should load after build"
+    for text in SAMPLES + [" ".join(CORPUS)]:
+        got = ours.encode(text)
+        want = hf_byte_bpe.encode(text).ids
+        assert got == want
