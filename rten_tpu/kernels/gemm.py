@@ -118,6 +118,71 @@ def matmul_int8(x, w, x_scale, w_scales, block_m=256, block_n=256,
 # INT4 weight-only GEMM
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# INT8 weight-only GEMM (float activations)
+# ---------------------------------------------------------------------------
+
+def _int8wo_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Dequantize the weight tile in VMEM (int8 → f32 × per-column scale)
+    # and run a float MXU matmul: no activation quantization, so small-M
+    # decode pays only the 1-byte weight stream.
+    w = w_ref[:].astype(jnp.float32) * s_ref[0, :][None, :]
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+def matmul_int8_weight_only(x, w, w_scales, block_m=256, block_n=256,
+                            block_k=512):
+    """``x`` f32 [M, K] × int8 ``w`` [K, N] (per-column ``w_scales``) → f32.
+    The decode-friendly int8 path: weights stream at 1 byte/element and
+    dequantize in VMEM; activations stay float."""
+    m, k = x.shape
+    k2, n = w.shape
+    assert k == k2, f"contraction mismatch {k} vs {k2}"
+    bm = min(block_m, _round_up(m, 8))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, _round_up(k, 128))
+    mp, np_, kp = _round_up(m, bm), _round_up(n, bn), _round_up(k, bk)
+    x = _pad_to(x.astype(jnp.float32), mp, kp)
+    w = _pad_to(w, kp, np_)
+    ws = jnp.pad(jnp.asarray(w_scales, jnp.float32).reshape(1, -1),
+                 ((0, 0), (0, np_ - n)))
+    n_k = kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_int8wo_kernel, n_k=n_k),
+        grid=(mp // bm, np_ // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=4 * mp * kp + kp * np_ + 4 * mp * np_,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, w, ws)
+    return out[:m, :n]
+
+
 _INT4_BN = 256  # matches the tile-planar pack tile (quant.INT4_PACK_TILE)
 
 

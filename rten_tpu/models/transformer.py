@@ -116,11 +116,18 @@ def linear(x, w, bias=None):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         if w.kind == "int8":
-            # Dynamic per-tensor activation quantization, MXU int8 matmul.
-            absmax = jnp.max(jnp.abs(x2))
-            x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-            xq = jnp.clip(jnp.round(x2 / x_scale), -127, 127).astype(jnp.int8)
-            out = gk.matmul_int8(xq, w.data, x_scale, w.scales)
+            if x2.shape[0] <= 64:
+                # Decode-size M: weight-only path — weights stream at
+                # 1 B/elt, activations stay float, no quant overhead.
+                out = gk.matmul_int8_weight_only(x2, w.data, w.scales)
+            else:
+                # Batch/prefill: dynamic per-tensor activation
+                # quantization + int8×int8 on the MXU (2× rate).
+                absmax = jnp.max(jnp.abs(x2))
+                x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+                xq = jnp.clip(jnp.round(x2 / x_scale), -127,
+                              127).astype(jnp.int8)
+                out = gk.matmul_int8(xq, w.data, x_scale, w.scales)
         elif w.kind == "int4":
             k_packed = w.data.shape[0]
             if x2.shape[1] < k_packed:

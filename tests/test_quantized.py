@@ -175,3 +175,13 @@ def test_silu():
     out = run_op("Silu", [x])[0]
     np.testing.assert_allclose(out, x / (1 + np.exp(-x)), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_matmul_int8_weight_only_matches_dequant():
+    x = rng.randn(8, 200).astype(np.float32)
+    w = rng.randint(-127, 128, (200, 130)).astype(np.int8)
+    ws = (np.abs(rng.randn(130)) * 0.01 + 0.001).astype(np.float32)
+    out = np.asarray(gk.matmul_int8_weight_only(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(ws)))
+    want = x @ (w.astype(np.float32) * ws[None, :])
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
