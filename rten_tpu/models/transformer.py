@@ -180,13 +180,19 @@ def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
 # ---------------------------------------------------------------------------
 
 def _norm(cfg, x, scale, bias):
+    # Statistics in f32 even under bf16 activations (mean/var cancellation
+    # is catastrophic in bf16); output returns to the compute dtype.
+    xf = x.astype(jnp.float32)
     if cfg.norm == "rmsnorm":
-        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-        return x * jax.lax.rsqrt(var + cfg.layer_norm_eps) * scale
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    out = (x - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps) * scale
-    return out + bias if bias is not None else out
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + cfg.layer_norm_eps) * scale
+        return out.astype(x.dtype)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps) * scale
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
 
 
 def _rope(x, positions, theta):
@@ -369,6 +375,7 @@ class TransformerLM:
 
     def new_cache(self, batch, capacity=None, quantized=False):
         cfg = self.config
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         return KVCache.create(batch, cfg.n_layers, cfg.n_kv_heads,
                               capacity or cfg.max_seq_len, cfg.head_dim,
-                              quantized=quantized)
+                              dtype=dtype, quantized=quantized)

@@ -101,3 +101,28 @@ def test_engine_burst_respects_stop_tokens(model_and_params):
     outs = eng.generate([[1, 2]], max_new_tokens=12, stop_ids=(first,),
                         burst=8)
     assert outs[0] == [first]
+
+
+def test_engine_bfloat16_mode():
+    """bf16 compute/caches generate successfully and track the f32 greedy
+    path closely (logits-argmax may diverge on near-ties, so compare the
+    step logits, not token ids)."""
+    import jax.numpy as jnp
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    cfg32 = TransformerConfig.tiny_test()
+    cfg16 = TransformerConfig.tiny_test(dtype="bfloat16")
+    m32, m16 = TransformerLM(cfg32), TransformerLM(cfg16)
+    params = m32.init_params(jax.random.PRNGKey(0))
+    tokens = jnp.asarray([[5, 9, 11]], jnp.int32)
+    l32, _ = m32.forward(params, tokens)
+    l16, _ = m16.forward(params, tokens)
+    assert l16.dtype == jnp.float32          # logits always f32
+    np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                               rtol=0.05, atol=0.05)
+    # cache dtype follows the compute dtype
+    cache = m16.new_cache(1, 16)
+    assert cache.keys[0].dtype == jnp.bfloat16
+    eng = ServingEngine(m16, params, max_batch=1, capacity=32,
+                        prefill_buckets=(8,))
+    outs = eng.generate([[5, 9, 11]], max_new_tokens=4)
+    assert len(outs[0]) == 4
