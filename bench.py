@@ -26,7 +26,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         cfg = TransformerConfig.gpt2()
-        batch, prompt_len, decode_steps, capacity = 8, 64, 384, 512
+        batch, prompt_len, decode_steps, capacity = 32, 64, 384, 512
     else:
         # CPU smoke configuration (fast local check only).
         cfg = TransformerConfig.tiny_test()
