@@ -19,6 +19,10 @@ from ..ir.graph import ConstantNode, Graph, ValueNode, graph_from_model_file
 from .executor import GraphExecutor, RunOptions
 
 
+class RunError(RuntimeError):
+    """Model execution error (reference ``RunError``, src/graph.rs:248)."""
+
+
 @dataclass
 class ModelMetadata:
     onnx_hash: Optional[str] = None
@@ -148,7 +152,13 @@ class Model:
         RTEN_TIMING here too, src/model.rs:587)."""
         from ..utils.env import timing_options_from_env
         options = timing_options_from_env(options)
-        return self.executor.run(self._resolve_inputs(inputs),
+        resolved = self._resolve_inputs(inputs)
+        missing = [self.graph.nodes[i].name or str(i)
+                   for i in self.graph.inputs if i not in resolved]
+        if missing:
+            raise RunError(f"missing model inputs: {missing} "
+                           f"(expected {self.input_names()})")
+        return self.executor.run(resolved,
                                  self._resolve_outputs(outputs), options)
 
     def run_one(self, input_array, options: Optional[RunOptions] = None):

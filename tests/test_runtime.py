@@ -206,3 +206,20 @@ def test_env_timing_flag(monkeypatch, capsys):
     monkeypatch.setenv("RTEN_TPU_TIMING", "sort=name")
     model.run({"x": np.float32([[1, -1]])})
     assert "Relu" in capsys.readouterr().out
+
+
+def test_missing_input_error_message():
+    from rten_tpu import Model
+    from rten_tpu.runtime.model import RunError
+    from rten_tpu.fmt.model_builder import ModelBuilder
+    mb = ModelBuilder()
+    g = mb.graph
+    a = g.add_value("a")
+    b = g.add_value("b")
+    out = g.add_operator("Add", [a, b], name="sum")
+    g.inputs, g.outputs = [a, b], [out]
+    model = Model.load(mb.to_bytes())
+    with pytest.raises(RunError, match="missing model inputs.*'b'"):
+        model.run({"a": np.float32([1.0])})
+    with pytest.raises(KeyError, match="no node named"):
+        model.run({"a": np.float32([1.0]), "nope": np.float32([2.0])})
