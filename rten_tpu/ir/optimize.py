@@ -162,4 +162,6 @@ def optimize(graph: Graph) -> Graph:
     propagate_constants(graph)
     fuse_silu(graph)
     prune_dead_nodes(graph)
+    from .quantize_graph import strip_dead_constants
+    strip_dead_constants(graph)
     return graph

@@ -154,6 +154,25 @@ class GraphExecutor:
 
             t0 = time.perf_counter() if timing else None
             if fold and not spec.data_dependent:
+                # Host fast path: fold-common ops evaluate in pure numpy —
+                # no device dispatch (critical when the accelerator is
+                # remote: per-op link latency turns load-time folding of
+                # weight chains into minutes).
+                from ..ops.numpy_eval import try_numpy_eval
+                handled, np_result = try_numpy_eval(op.op_type, op.attrs,
+                                                    args)
+                if handled:
+                    result = np_result
+                    if not isinstance(result, tuple):
+                        result = (result,)
+                    for out_id, value in zip(op.outputs, result):
+                        if out_id is not None:
+                            env[out_id] = value
+                    if timing is not None:
+                        timing.add(op.op_type, time.perf_counter() - t0,
+                                   tuple(tuple(a.shape) for a in required))
+                    continue
+            if fold and not spec.data_dependent:
                 # All-static op: evaluate outside any active trace and keep
                 # the result static (numpy) so downstream shape-operands
                 # fold too. This is lazy constant propagation.
