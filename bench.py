@@ -14,9 +14,22 @@ import time
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # Persistent compilation cache: driver reruns skip the multi-minute
+    # remote compiles.
+    try:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/rten_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from rten_tpu.generate.engine import ServingEngine
     from rten_tpu.models.transformer import (TransformerConfig,
