@@ -53,13 +53,22 @@ class KVCache:
 
     @staticmethod
     def create(batch, n_layers, kv_heads, capacity, head_dim,
-               dtype=jnp.float32, quantized=False):
+               dtype=jnp.float32, quantized=False, stacked=False):
+        """``stacked=True`` holds all layers in single [L, B, KVH, cap, D]
+        arrays (required for `lax.scan` over layers, where the layer index
+        is traced); the default is one array per layer."""
         shape = (batch, kv_heads, capacity, head_dim)
         store_dtype = jnp.int8 if quantized else dtype
-        keys = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
-        values = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
+        if stacked:
+            keys = jnp.zeros((n_layers, *shape), store_dtype)
+            values = jnp.zeros((n_layers, *shape), store_dtype)
+        else:
+            keys = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
+            values = [jnp.zeros(shape, store_dtype)
+                      for _ in range(n_layers)]
         scales = None
         if quantized:
+            assert not stacked, "quantized+stacked not supported yet"
             sshape = (batch, kv_heads, capacity, 1)
             scales = [(jnp.ones(sshape, jnp.float32),
                        jnp.ones(sshape, jnp.float32))
@@ -67,11 +76,19 @@ class KVCache:
         return KVCache(keys, values, jnp.zeros(batch, jnp.int32), scales)
 
     @property
+    def stacked(self):
+        return not isinstance(self.keys, list)
+
+    @property
     def capacity(self):
+        if self.stacked:
+            return self.keys.shape[3]
         return self.keys[0].shape[2]
 
     @property
     def n_layers(self):
+        if self.stacked:
+            return self.keys.shape[0]
         return len(self.keys)
 
     # -- updates -----------------------------------------------------------
@@ -85,6 +102,29 @@ class KVCache:
 
         Returns a new KVCache (same buffers aliased via donation under jit).
         """
+        if self.stacked:
+            # Stacked layout: ``layer`` may be a traced index (scan body).
+            if position is None:
+                def upd(buf_l, new, pos):
+                    return jax.lax.dynamic_update_slice(buf_l, new,
+                                                        (0, pos, 0))
+
+                def write(buf, new):
+                    layer_buf = jax.lax.dynamic_index_in_dim(
+                        buf, layer, 0, keepdims=False)
+                    updated = jax.vmap(upd)(layer_buf,
+                                            new.astype(buf.dtype),
+                                            self.lengths)
+                    return jax.lax.dynamic_update_index_in_dim(
+                        buf, updated, layer, 0)
+            else:
+                def write(buf, new):
+                    return jax.lax.dynamic_update_slice(
+                        buf, new[None].astype(buf.dtype),
+                        (layer, 0, 0, position, 0))
+            return KVCache(write(self.keys, k_new),
+                           write(self.values, v_new), self.lengths,
+                           self.quant_scales)
         if position is None:
             def upd(buf, new, pos):
                 return jax.lax.dynamic_update_slice(buf, new, (0, pos, 0))
@@ -110,6 +150,15 @@ class KVCache:
         """Copy sequence 0 of ``other`` (a batch-1 cache) into batch slot
         ``slot`` — the continuous-batching admission primitive: a freshly
         prefilled request takes over a finished sequence's slot."""
+        if self.stacked:
+            keys = jax.lax.dynamic_update_slice(
+                self.keys, other.keys.astype(self.keys.dtype),
+                (0, slot, 0, 0, 0))
+            values = jax.lax.dynamic_update_slice(
+                self.values, other.values.astype(self.values.dtype),
+                (0, slot, 0, 0, 0))
+            lengths = self.lengths.at[slot].set(length)
+            return KVCache(keys, values, lengths, self.quant_scales)
         keys = [jax.lax.dynamic_update_slice(
                     buf, src.astype(buf.dtype), (slot, 0, 0, 0))
                 for buf, src in zip(self.keys, other.keys)]
@@ -130,7 +179,14 @@ class KVCache:
                        self.quant_scales)
 
     def layer_kv(self, layer):
-        """Dequantized K/V for attention (f32)."""
+        """Dequantized K/V for attention (f32). ``layer`` may be traced
+        in stacked mode."""
+        if self.stacked:
+            k = jax.lax.dynamic_index_in_dim(self.keys, layer, 0,
+                                             keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(self.values, layer, 0,
+                                             keepdims=False)
+            return k, v
         k, v = self.keys[layer], self.values[layer]
         if self.quant_scales is not None:
             ks, vs = self.quant_scales[layer]

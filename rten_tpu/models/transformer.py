@@ -51,6 +51,9 @@ class TransformerConfig:
     dtype: str = "float32"               # compute dtype: float32 | bfloat16
     use_pallas: bool = True              # False → pure-jnp attention (lets
                                          # GSPMD partition multi-chip runs)
+    scan_layers: bool = False            # lax.scan over layers (one traced
+                                         # layer body; needs stacked params
+                                         # + stacked KV cache)
 
     @property
     def head_dim(self):
@@ -173,6 +176,12 @@ def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
         return convert(path, obj)
 
     return walk(params, ())
+
+
+def stack_layer_params(layers: list) -> dict:
+    """Stack homogeneous per-layer param dicts into one pytree with a
+    leading layer axis (the `lax.scan` xs)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
 # ---------------------------------------------------------------------------
@@ -341,13 +350,41 @@ class TransformerLM:
             x = x + jnp.take(params["pos_embed"], positions, axis=0)
         x = x.astype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
 
-        for i, layer in enumerate(params["layers"]):
-            attn_in = _norm(cfg, x, layer["ln1_scale"], layer.get("ln1_bias"))
-            attn_out, cache = self._attention(layer, attn_in, positions,
-                                              cache, i, lengths)
-            x = x + attn_out
-            mlp_in = _norm(cfg, x, layer["ln2_scale"], layer.get("ln2_bias"))
-            x = x + self._mlp(layer, mlp_in)
+        if cfg.scan_layers:
+            layers = params["layers"]
+            if isinstance(layers, list):
+                layers = stack_layer_params(layers)
+            n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+            if cache is not None and not cache.stacked:
+                raise ValueError("scan_layers requires a stacked KV cache "
+                                 "(new_cache builds one automatically)")
+
+            def body(carry, xs):
+                x, cache = carry
+                layer, idx = xs
+                attn_in = _norm(cfg, x, layer["ln1_scale"],
+                                layer.get("ln1_bias"))
+                attn_out, cache = self._attention(layer, attn_in,
+                                                  positions, cache, idx,
+                                                  lengths)
+                x = x + attn_out
+                mlp_in = _norm(cfg, x, layer["ln2_scale"],
+                               layer.get("ln2_bias"))
+                x = x + self._mlp(layer, mlp_in)
+                return (x, cache), None
+
+            (x, cache), _ = jax.lax.scan(
+                body, (x, cache), (layers, jnp.arange(n_layers)))
+        else:
+            for i, layer in enumerate(params["layers"]):
+                attn_in = _norm(cfg, x, layer["ln1_scale"],
+                                layer.get("ln1_bias"))
+                attn_out, cache = self._attention(layer, attn_in, positions,
+                                                  cache, i, lengths)
+                x = x + attn_out
+                mlp_in = _norm(cfg, x, layer["ln2_scale"],
+                               layer.get("ln2_bias"))
+                x = x + self._mlp(layer, mlp_in)
 
         x = _norm(cfg, x, params["ln_f_scale"], params.get("ln_f_bias"))
         if cfg.tie_embeddings:
@@ -378,4 +415,5 @@ class TransformerLM:
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         return KVCache.create(batch, cfg.n_layers, cfg.n_kv_heads,
                               capacity or cfg.max_seq_len, cfg.head_dim,
-                              dtype=dtype, quantized=quantized)
+                              dtype=dtype, quantized=quantized,
+                              stacked=cfg.scan_layers)

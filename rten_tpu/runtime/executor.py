@@ -362,12 +362,141 @@ class GraphExecutor:
         key = ("supported", tuple(sorted(inputs.keys())),
                tuple(output_ids) if output_ids else None)
         if self._jit_unsupported.get(key):
-            return self.run_eager(inputs, output_ids, options)
+            return self.run_segmented(inputs, output_ids, options)
         try:
             return self.run_jit(inputs, output_ids, options)
         except (JitUnsupported, StaticRequired):
             self._jit_unsupported[key] = True
-            return self.run_eager(inputs, output_ids, options)
+            return self.run_segmented(inputs, output_ids, options)
+
+    # ------------------------------------------------------------------
+    # Segmented execution (host-op islands inside jitted segments)
+    # ------------------------------------------------------------------
+
+    def _host_ops(self, plan):
+        """Ops that cannot live under jit: value-dependent output shapes,
+        or static-required operands that are not constants (after
+        load-time folding, any remaining one is genuinely dynamic)."""
+        graph = self.graph
+        host = set()
+        for op_id in plan:
+            op = graph.nodes[op_id].data
+            spec = get_op(op.op_type)
+            if spec.data_dependent or spec.has_subgraph:
+                host.add(op_id)
+                continue
+            for i in spec.static:
+                if i < len(op.inputs) and op.inputs[i] is not None and \
+                        not isinstance(graph.nodes[op.inputs[i]].data,
+                                       ConstantNode):
+                    host.add(op_id)
+                    break
+        return host
+
+    def run_segmented(self, inputs: dict, output_ids=None,
+                      options: Optional[RunOptions] = None):
+        """Execute the plan as jitted segments separated by host ops —
+        a graph with one NonZero/NMS keeps everything else compiled."""
+        options = options or RunOptions()
+        graph = self.graph
+        output_ids = list(output_ids) if output_ids is not None \
+            else graph.outputs
+        plan = graph.plan(list(inputs.keys()), output_ids)
+        host_ops = self._host_ops(plan)
+
+        segments: list[tuple[str, list[int]]] = []
+        for op_id in plan:
+            kind = "host" if op_id in host_ops else "jit"
+            if segments and segments[-1][0] == kind:
+                segments[-1][1].append(op_id)
+            else:
+                segments.append((kind, [op_id]))
+
+        env = dict(inputs)
+        for i, n in enumerate(graph.nodes):
+            if isinstance(n.data, ConstantNode):
+                env[i] = n.data.array
+        key_state = {"key": jax.random.PRNGKey(options.seed)}
+
+        def rng_next():
+            key_state["key"], sub = jax.random.split(key_state["key"])
+            return sub
+
+        # Which segment consumes each value (for tight segment outputs).
+        op_segment = {}
+        for seg_idx, (_, seg_plan) in enumerate(segments):
+            for op_id in seg_plan:
+                op_segment[op_id] = seg_idx
+        consumers: dict[int, set] = {}
+        for op_id in plan:
+            for i in graph.nodes[op_id].data.inputs:
+                if i is not None:
+                    consumers.setdefault(i, set()).add(op_segment[op_id])
+
+        for seg_idx, (kind, seg_plan) in enumerate(segments):
+            if kind == "host":
+                self._eval_plan(graph, env, seg_plan, eager=True,
+                                rng_next=rng_next,
+                                verbose=options.verbose)
+                continue
+            # Segment boundary values: inputs = consumed but not produced
+            # inside; outputs = produced and consumed later (or final).
+            produced = set()
+            for op_id in seg_plan:
+                produced.update(o for o in graph.nodes[op_id].data.outputs
+                                if o is not None)
+            seg_inputs = sorted({
+                i for op_id in seg_plan
+                for i in graph.nodes[op_id].data.inputs
+                if i is not None and i not in produced
+                and not isinstance(graph.nodes[i].data, ConstantNode)})
+            seg_outputs = sorted(
+                o for o in produced
+                if o in output_ids
+                or any(s > seg_idx for s in consumers.get(o, ())))
+
+            cache_key = ("seg", seg_idx, tuple(seg_inputs),
+                         tuple(seg_outputs),
+                         tuple((tuple(np.shape(env[i])),
+                                str(np.asarray(env[i]).dtype) if _is_static(env[i])
+                                else str(env[i].dtype))
+                               for i in seg_inputs))
+            entry = self._jit_cache.get(cache_key)
+            if entry is None:
+                const_ids = self._const_split(seg_plan)
+
+                def seg_fn(in_arrays, const_arrays, key,
+                           _plan=tuple(seg_plan), _inputs=tuple(seg_inputs),
+                           _outputs=tuple(seg_outputs),
+                           _consts=tuple(const_ids)):
+                    local_env = {}
+                    for node_id, node in enumerate(graph.nodes):
+                        if isinstance(node.data, ConstantNode):
+                            local_env[node_id] = node.data.array
+                    for node_id, arr in zip(_consts, const_arrays):
+                        local_env[node_id] = arr
+                    for node_id, arr in zip(_inputs, in_arrays):
+                        local_env[node_id] = arr
+                    ks = {"key": key}
+
+                    def seg_rng():
+                        ks["key"], sub = jax.random.split(ks["key"])
+                        return sub
+
+                    self._eval_plan(graph, local_env, list(_plan),
+                                    eager=False, rng_next=seg_rng)
+                    return tuple(jnp.asarray(local_env[o])
+                                 for o in _outputs)
+
+                entry = (jax.jit(seg_fn), const_ids)
+                self._jit_cache[cache_key] = entry
+            jitted, const_ids = entry
+            const_arrays = [graph.nodes[i].data.array for i in const_ids]
+            results = jitted(tuple(env[i] for i in seg_inputs),
+                             tuple(const_arrays), rng_next())
+            for out_id, value in zip(seg_outputs, results):
+                env[out_id] = value
+        return [env[o] for o in output_ids]
 
     # ------------------------------------------------------------------
     # Partial evaluation

@@ -126,3 +126,45 @@ def test_engine_bfloat16_mode():
                         prefill_buckets=(8,))
     outs = eng.generate([[5, 9, 11]], max_new_tokens=4)
     assert len(outs[0]) == 4
+
+
+def test_scan_layers_matches_loop():
+    """lax.scan-over-layers forward/prefill/decode must match the
+    python-loop path exactly."""
+    import jax.numpy as jnp
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    cfg_loop = TransformerConfig.tiny_test(n_layers=3)
+    cfg_scan = TransformerConfig.tiny_test(n_layers=3, scan_layers=True)
+    m_loop, m_scan = TransformerLM(cfg_loop), TransformerLM(cfg_scan)
+    params = m_loop.init_params(jax.random.PRNGKey(0))
+    tokens = jnp.asarray([[3, 7, 11, 2]], jnp.int32)
+    l1, _ = m_loop.forward(params, tokens)
+    l2, _ = m_scan.forward(params, tokens)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-5, atol=1e-5)
+    # cached decode parity
+    c_loop = m_loop.new_cache(1, 16)
+    c_scan = m_scan.new_cache(1, 16)
+    assert c_scan.stacked and not c_loop.stacked
+    p1, c_loop = m_loop.prefill(params, tokens, c_loop)
+    p2, c_scan = m_scan.prefill(params, tokens, c_scan)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-5, atol=1e-5)
+    nxt = jnp.argmax(p1[:, -1], -1).astype(jnp.int32)
+    d1, _ = m_loop.decode_step(params, nxt, c_loop)
+    d2, _ = m_scan.decode_step(params, nxt, c_scan)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_with_scan_layers():
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    cfg = TransformerConfig.tiny_test(n_layers=3, scan_layers=True)
+    cfg_ref = TransformerConfig.tiny_test(n_layers=3)
+    model, ref_model = TransformerLM(cfg), TransformerLM(cfg_ref)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,))
+    outs = eng.generate([[1, 2, 3], [9, 4]], max_new_tokens=5)
+    for prompt, out in zip([[1, 2, 3], [9, 4]], outs):
+        assert out == ref_greedy(ref_model, params, prompt, 5)

@@ -223,3 +223,46 @@ def test_missing_input_error_message():
         model.run({"a": np.float32([1.0])})
     with pytest.raises(KeyError, match="no node named"):
         model.run({"a": np.float32([1.0]), "nope": np.float32([2.0])})
+
+
+def test_segmented_execution_keeps_jit_islands():
+    """A NonZero in the middle must not force the whole graph eager:
+    surrounding op runs execute as compiled segments."""
+    g = Graph()
+    x = g.add_value("x")
+    w = g.add_constant("w", randf(4, 4))
+    pre = g.add_value("pre")
+    nz = g.add_value("nz")
+    nzf = g.add_value("nzf")
+    post = g.add_value("post")
+    g.add_operator("mm", "MatMul", [x, w], [pre])
+    g.add_operator("nonzero", "NonZero", [pre], [nz])
+    g.add_operator("cast", "Cast", [nz], [nzf], {"to": 1})
+    g.add_operator("exp", "Exp", [nzf], [post])
+    g.inputs, g.outputs = [x], [post]
+    ex = GraphExecutor(g)
+    x_in = np.abs(randf(2, 4)) + 0.1   # all nonzero → stable shape
+    out = np.asarray(ex.run({x: x_in})[0])
+    want = np.exp(np.stack(np.nonzero(x_in @ np.asarray(
+        g.nodes[w].data.array))).astype(np.float32))
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+    seg_keys = [k for k in ex._jit_cache if k[0] == "seg"]
+    assert len(seg_keys) >= 2  # pre-matmul segment + post-exp segment
+
+
+def test_segmented_matches_eager_with_dynamic_reshape():
+    """Reshape target produced at runtime → host op; rest stays compiled."""
+    g = Graph()
+    x = g.add_value("x")
+    flat_len = g.add_value("flat_len")      # runtime-provided shape input
+    reshaped = g.add_value("reshaped")
+    out = g.add_value("out")
+    g.add_operator("reshape", "Reshape", [x, flat_len], [reshaped])
+    g.add_operator("relu", "Relu", [reshaped], [out])
+    g.inputs, g.outputs = [x, flat_len], [out]
+    ex = GraphExecutor(g)
+    x_in = randf(2, 6)
+    out_v = np.asarray(ex.run({x: x_in,
+                               flat_len: np.asarray([3, 4], np.int32)})[0])
+    assert out_v.shape == (3, 4)
+    np.testing.assert_allclose(out_v, np.maximum(x_in.reshape(3, 4), 0))
