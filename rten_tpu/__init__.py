@@ -14,12 +14,13 @@ Layer map (SURVEY.md §1 analog):
   convert/  ONNX → .rten converter
 """
 
-from .runtime.model import Model, ModelMetadata, ModelOptions
+from .runtime.model import Model, ModelMetadata, ModelOptions, RunError
 from .runtime.executor import GraphExecutor, RunOptions
 from .ir.graph import Graph
 from .fmt.model_builder import ModelBuilder
 
 __version__ = "0.1.0"
 
-__all__ = ["Model", "ModelMetadata", "ModelOptions", "GraphExecutor",
-           "RunOptions", "Graph", "ModelBuilder", "__version__"]
+__all__ = ["Model", "ModelMetadata", "ModelOptions", "RunError",
+           "GraphExecutor", "RunOptions", "Graph", "ModelBuilder",
+           "__version__"]
