@@ -41,7 +41,7 @@ def main():
         # Batch 8 completes (incl. compiles + per-request prefills) well
         # inside the driver's budget through the remote tunnel; larger
         # batches raise tokens/s further but risk timing out the harness.
-        cfg = TransformerConfig.gpt2()
+        cfg = TransformerConfig.gpt2(dtype="bfloat16")
         batch, prompt_len, decode_steps, capacity = 8, 64, 384, 512
     else:
         # CPU smoke configuration (fast local check only).

@@ -141,7 +141,7 @@ def linear(x, w, bias=None):
             out = out[:, :w.n]
         else:
             raise ValueError(w.kind)
-        out = out.reshape(*lead, -1)
+        out = out.reshape(*lead, -1).astype(x.dtype)
     else:
         out = jnp.matmul(x, w, preferred_element_type=jnp.float32)
         out = out.astype(x.dtype)
@@ -302,7 +302,10 @@ class TransformerLM:
                                  position=0 if s > 1 else None)
         if s == 1 and cache is not None:
             kc, vc = cache.layer_kv(layer_idx)
-            if cfg.use_pallas:
+            # The per-(batch, kv-head) flash-decode grid only pays off when
+            # each program has real MXU rows (GQA: q_per_kv > 1). For MHA
+            # (1 query row/program) XLA's fused attention is faster.
+            if cfg.use_pallas and h // kvh > 1:
                 out = flash_decode(q[:, :, 0, :], kc, vc, cache.lengths + 1)
                 out = out[:, :, None, :]
             else:
