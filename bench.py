@@ -41,7 +41,10 @@ def main():
         # Batch 8 completes (incl. compiles + per-request prefills) well
         # inside the driver's budget through the remote tunnel; larger
         # batches raise tokens/s further but risk timing out the harness.
-        cfg = TransformerConfig.gpt2(dtype="bfloat16")
+        # f32 compute keeps total compile count inside the harness budget
+        # through the remote tunnel; bf16 measures ~1.4× faster decode in
+        # isolation (see BASELINE.md) but its extra compiles overflow it.
+        cfg = TransformerConfig.gpt2()
         batch, prompt_len, decode_steps, capacity = 8, 64, 384, 512
     else:
         # CPU smoke configuration (fast local check only).
