@@ -56,8 +56,18 @@ class Request:
 class ServingEngine:
     def __init__(self, model, params, max_batch=8, capacity=1024,
                  sampler: Optional[Sampler] = None, quantized_cache=False,
-                 prefill_buckets=(64, 128, 256, 512, 1024), seed=0):
+                 prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
+                 mesh=None):
+        """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
+        parallel over `model`, the KV cache shards over (batch=data,
+        heads=model), and every compiled program runs under GSPMD with
+        XLA inserting the ICI collectives. ``max_batch`` must divide by
+        the data-axis size."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+            params = shard_params(params, mesh)
         self.params = params
         self.max_batch = max_batch
         self.capacity = capacity
@@ -69,6 +79,9 @@ class ServingEngine:
 
         self.cache = model.new_cache(max_batch, capacity,
                                      quantized=quantized_cache)
+        if mesh is not None:
+            from ..parallel import shard_cache
+            self.cache = shard_cache(self.cache, mesh)
         # Slot bookkeeping (host side).
         self.slot_request: list[Optional[Request]] = [None] * max_batch
         self.queue: list[Request] = []

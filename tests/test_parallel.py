@@ -95,3 +95,29 @@ def test_sharded_int8_params_tree(mesh, model_and_params):
     w = sharded["layers"][0]["wqkv"]
     assert w.kind == "int8"
     assert w.data.sharding.spec == P(None, "model")
+
+
+def test_sharded_serving_engine_matches_unsharded(mesh):
+    """ServingEngine over a (data=2, model=4) mesh: weights TP-sharded,
+    KV cache sharded over (batch, heads); generations must match the
+    single-device engine exactly."""
+    from rten_tpu.generate.engine import ServingEngine
+    cfg = TransformerConfig(
+        vocab_size=256, n_layers=2, n_heads=8, kv_heads=8, d_model=128,
+        d_ff=256, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=False)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    plain = ServingEngine(model, params, max_batch=4, capacity=64,
+                          prefill_buckets=(16,))
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8]]
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    sharded = ServingEngine(model, params, max_batch=4, capacity=64,
+                            prefill_buckets=(16,), mesh=mesh)
+    # params/cache actually landed on the mesh
+    assert sharded.params["layers"][0]["wqkv"].sharding.spec == \
+        P(None, "model")
+    got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
