@@ -152,7 +152,7 @@ class _OnnxGraphConverter:
 
     def map_attrs(self, op_type, attrs) -> dict:
         out = {}
-        if op_type in ("Conv", "QLinearConv"):
+        if op_type in ("Conv", "QLinearConv", "ConvInteger"):
             _auto_pad(attrs, out)
             if "strides" in attrs:
                 out["strides"] = [int(s) for s in attrs.pop("strides")]

@@ -46,6 +46,7 @@ ATTRS_TABLE_FOR_OP: dict[str, str] = {
     "QuantizeLinear": "QuantizeLinearAttrs",
     "DequantizeLinear": "QuantizeLinearAttrs",
     "QLinearConv": "QLinearConvAttrs",
+    "ConvInteger": "QLinearConvAttrs",
     "Split": "SplitAttrs", "TopK": "TopKAttrs",
     "Transpose": "TransposeAttrs", "Trilu": "TriluAttrs",
 }

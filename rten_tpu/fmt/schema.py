@@ -48,6 +48,7 @@ ENUMS: dict[str, list[str]] = {
         # ops) that the north star adds on top of the reference.
         "QuantizeLinear", "DequantizeLinear", "DynamicQuantizeLinear",
         "MatMulInteger", "QLinearMatMul", "QLinearConv", "Silu",
+        "ConvInteger",
     ],
     "RNNDirection": ["Forward", "Reverse", "Bidirectional"],
     "AutoPad": ["Same", "NotSet"],

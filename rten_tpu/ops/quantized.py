@@ -165,3 +165,37 @@ def qlinear_conv(ctx, attrs, x, x_scale, x_zp, w, w_scale, w_zp,
 @register("Silu")
 def silu(ctx, attrs, x):
     return x * jax.nn.sigmoid(x)
+
+
+@register("ConvInteger")
+def conv_integer(ctx, attrs, x, w, x_zero_point=None, w_zero_point=None):
+    """int8/uint8 conv with int32 accumulation (ONNX ConvInteger): the
+    integer half of a weight-only quantized conv — callers rescale the
+    int32 output by x_scale*w_scale."""
+    import jax.lax as lax
+
+    from .common import attr_ints, resolve_pads
+
+    x32 = x.astype(jnp.int32)
+    w32 = w.astype(jnp.int32)
+    if x_zero_point is not None:
+        x32 = x32 - jnp.asarray(x_zero_point).astype(jnp.int32)
+    if w_zero_point is not None:
+        w32 = w32 - jnp.asarray(w_zero_point).astype(jnp.int32)
+    squeeze_h = x32.ndim == 3
+    if squeeze_h:
+        x32, w32 = x32[:, :, None, :], w32[:, :, None, :]
+    strides = attr_ints(attrs, "strides") or [1, 1]
+    dilations = attr_ints(attrs, "dilations") or [1, 1]
+    groups = int(attrs.get("groups") or 1)
+    pads = resolve_pads(attrs, 2, x32.shape[2:], w32.shape[2:], strides,
+                        dilations)
+    acc = lax.conv_general_dilated(
+        x32, w32, window_strides=strides, padding=pads,
+        rhs_dilation=dilations,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    if squeeze_h:
+        acc = acc[:, :, 0, :]
+    return acc

@@ -150,6 +150,11 @@ case("QLinearMatMul",
       np.int8(0).reshape(()), rng.randint(-8, 8, (3, 2)).astype(np.int8),
       scalar(0.1), np.int8(0).reshape(()), scalar(0.1),
       np.int8(0).reshape(())])
+case("ConvInteger",
+     [rng.randint(-8, 8, (1, 1, 4, 4)).astype(np.int8),
+      rng.randint(-8, 8, (2, 1, 3, 3)).astype(np.int8)],
+     {"auto_pad": 1, "pads": [1, 1, 1, 1], "strides": [1, 1], "groups": 1,
+      "dilations": [1, 1]})
 case("QLinearConv",
      [rng.randint(-8, 8, (1, 1, 4, 4)).astype(np.int8), scalar(0.1),
       np.int8(0).reshape(()), rng.randint(-8, 8, (2, 1, 3, 3)).astype(np.int8),

@@ -185,3 +185,18 @@ def test_matmul_int8_weight_only_matches_dequant():
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(ws)))
     want = x @ (w.astype(np.float32) * ws[None, :])
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_integer_op():
+    import torch
+    import torch.nn.functional as F
+    x = rng.randint(0, 255, (1, 2, 6, 6)).astype(np.uint8)
+    w = rng.randint(-127, 128, (3, 2, 3, 3)).astype(np.int8)
+    out = run_op("ConvInteger", [x, w, np.uint8(128), None],
+                 {"strides": [1, 1], "pads": [1, 1, 1, 1], "auto_pad": 1,
+                  "groups": 1, "dilations": [1, 1]},
+                 const_mask=[False, False, True, True])[0]
+    want = F.conv2d(torch.tensor(x.astype(np.float32) - 128),
+                    torch.tensor(w.astype(np.float32)), padding=1).numpy()
+    np.testing.assert_array_equal(out, want.astype(np.int32))
+    assert out.dtype == np.int32
