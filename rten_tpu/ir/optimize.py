@@ -154,11 +154,68 @@ def fuse_dequant_matmul(graph: Graph) -> int:
     return fused
 
 
-def optimize(graph: Graph) -> Graph:
+def fuse_dequant_conv(graph: Graph) -> int:
+    """Conv(x, DQ(w_q, w_s), b?) → rescale(ConvInteger(DynQuant(x), w_q))
+    (+ bias): int8 activations × int8 weights on the conv path. Not in the
+    default pipeline until int-conv wins on target hardware — call
+    explicitly or via ``optimize(graph, int_conv=True)``."""
+    from .pattern import Op, Symbol, find_matches
+
+    pattern = Op("Conv", Symbol("x"),
+                 Op("DequantizeLinear", Symbol("w_q"), Symbol("w_s"),
+                    bind="dq"))
+    fused = 0
+    for value_id, b in find_matches(graph, pattern):
+        w_node = graph.nodes[b["w_q"]].data
+        s_node = graph.nodes[b["w_s"]].data
+        if not isinstance(w_node, ConstantNode) or \
+                not isinstance(s_node, ConstantNode):
+            continue
+        conv_id = b["op:root"]
+        conv = graph.nodes[conv_id].data
+        bias_id = conv.inputs[2] if len(conv.inputs) > 2 else None
+
+        x_q = graph.add_value(f"qc_xq_{value_id}")
+        x_s = graph.add_value(f"qc_xs_{value_id}")
+        x_zp = graph.add_value(f"qc_xzp_{value_id}")
+        graph.add_operator(None, "DynamicQuantizeLinear", [b["x"]],
+                           [x_q, x_s, x_zp])
+        acc = graph.add_value(f"qc_acc_{value_id}")
+        graph.add_operator(None, "ConvInteger",
+                           [x_q, b["w_q"], x_zp, None], [acc],
+                           dict(conv.attrs))
+        acc_f = graph.add_value(f"qc_f_{value_id}")
+        graph.add_operator(None, "Cast", [acc], [acc_f], {"to": 1})
+        # Per-output-channel scales broadcast over NCHW.
+        ws = np.asarray(s_node.array).reshape(1, -1, 1, 1)
+        ws_id = graph.add_constant(f"qc_ws_{value_id}", ws)
+        scale = graph.add_value(f"qc_s_{value_id}")
+        graph.add_operator(None, "Mul", [x_s, ws_id], [scale])
+        out = graph.add_value(f"qc_out_{value_id}")
+        graph.add_operator(None, "Mul", [acc_f, scale], [out])
+        if bias_id is not None:
+            bias_arr = graph.nodes[bias_id].data
+            if isinstance(bias_arr, ConstantNode):
+                b4 = graph.add_constant(
+                    f"qc_b_{value_id}",
+                    np.asarray(bias_arr.array).reshape(1, -1, 1, 1))
+            else:
+                b4 = bias_id
+            final = graph.add_value(f"qc_ob_{value_id}")
+            graph.add_operator(None, "Add", [out, b4], [final])
+            out = final
+        graph.replace_value_uses(value_id, out)
+        fused += 1
+    return fused
+
+
+def optimize(graph: Graph, int_conv: bool = False) -> Graph:
     # Dequant fusion must precede constant propagation: DQ(q_const, s_const)
     # would otherwise fold back into an f32 constant and the MatMulInteger
     # rewrite (and the int8 storage saving) would be lost.
     fuse_dequant_matmul(graph)
+    if int_conv:
+        fuse_dequant_conv(graph)
     propagate_constants(graph)
     fuse_silu(graph)
     prune_dead_nodes(graph)

@@ -85,3 +85,38 @@ def test_quantized_file_is_smaller():
     q_bytes = graph_to_bytes(graph)
     # int8 weights ≈ 1/4 the f32 payload (plus scales/overhead)
     assert len(q_bytes) < 0.6 * len(data)
+
+
+def test_fuse_dequant_conv_int8_path():
+    from rten_tpu.ir.optimize import (fuse_dequant_conv, prune_dead_nodes,
+                                      propagate_constants)
+    rng = np.random.RandomState(0)
+    from rten_tpu.fmt.model_builder import ModelBuilder
+    mb = ModelBuilder()
+    g = mb.graph
+    x = g.add_value("x", shape=[1, 2, 6, 6])
+    w = g.add_constant("w", rng.randn(3, 2, 3, 3).astype(np.float32) * 0.2)
+    bias = g.add_constant("b", rng.randn(3).astype(np.float32))
+    y = g.add_operator("Conv", [x, w, bias],
+                       attrs={"auto_pad": 1, "pads": [1, 1, 1, 1],
+                              "strides": [1, 1], "groups": 1,
+                              "dilations": [1, 1]}, name="conv")
+    g.inputs, g.outputs = [x], [y]
+    data = mb.to_bytes()
+
+    graph = graph_from_model_file(container.load_bytes(data))
+    assert quantize_graph_weights(graph, min_elements=32) == 1
+    assert fuse_dequant_conv(graph) == 1
+    propagate_constants(graph)
+    prune_dead_nodes(graph)
+    ops = [graph.nodes[i].data.op_type for i in graph.plan()]
+    assert "ConvInteger" in ops and "Conv" not in ops
+
+    m_q = Model.load(container.load_bytes(data).model and data)  # f32 ref
+    from rten_tpu.runtime.executor import GraphExecutor
+    x_in = rng.randn(1, 2, 6, 6).astype(np.float32)
+    want = np.asarray(m_q.run({"x": x_in})[0])
+    got = np.asarray(GraphExecutor(graph).run(
+        {graph.node_id("x"): x_in})[0])
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05
