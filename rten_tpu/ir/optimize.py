@@ -156,9 +156,9 @@ def fuse_dequant_matmul(graph: Graph) -> int:
 
 def fuse_dequant_conv(graph: Graph) -> int:
     """Conv(x, DQ(w_q, w_s), b?) → rescale(ConvInteger(DynQuant(x), w_q))
-    (+ bias): int8 activations × int8 weights on the conv path. Not in the
-    default pipeline until int-conv wins on target hardware — call
-    explicitly or via ``optimize(graph, int_conv=True)``."""
+    (+ bias): int8 activations × int8 weights on the conv path — measured
+    3.5× faster than f32 conv for ResNet-50 on v5e (BASELINE.md), so on
+    by default for QDQ graphs; disable via ``optimize(int_conv=False)``."""
     from .pattern import Op, Symbol, find_matches
 
     pattern = Op("Conv", Symbol("x"),
@@ -209,7 +209,7 @@ def fuse_dequant_conv(graph: Graph) -> int:
     return fused
 
 
-def optimize(graph: Graph, int_conv: bool = False) -> Graph:
+def optimize(graph: Graph, int_conv: bool = True) -> Graph:
     # Dequant fusion must precede constant propagation: DQ(q_const, s_const)
     # would otherwise fold back into an f32 constant and the MatMulInteger
     # rewrite (and the int8 storage saving) would be lost.
