@@ -271,3 +271,33 @@ def test_quantized_ops_conversion():
     out = run_converted(onnx_bytes, {"x": x})[0]
     want = x @ w
     assert np.abs(out - want).max() < 0.15  # dynamic-int8 quantization error
+
+
+def test_upsample_conversion():
+    onnx_bytes = make_model(
+        nodes=[dict(op_type="Upsample", inputs=["x"], outputs=["y"],
+                    attrs={"mode": "nearest",
+                           "scales": [1.0, 1.0, 2.0, 2.0]})],
+        inputs=[("x", [1, 1, 3, 3])],
+        outputs=[("y", [1, 1, 6, 6])],
+    )
+    x = rng.randn(1, 1, 3, 3).astype(np.float32)
+    out = run_converted(onnx_bytes, {"x": x})[0]
+    assert out.shape == (1, 1, 6, 6)
+    np.testing.assert_allclose(out, x.repeat(2, 2).repeat(2, 3))
+
+
+def test_resize_sizes_input_conversion():
+    onnx_bytes = make_model(
+        nodes=[dict(op_type="Resize", inputs=["x", "", "", "sizes"],
+                    outputs=["y"],
+                    attrs={"mode": "nearest",
+                           "coordinate_transformation_mode": "asymmetric",
+                           "nearest_mode": "floor"})],
+        inputs=[("x", [1, 1, 2, 2])],
+        outputs=[("y", [1, 1, 4, 4])],
+        initializers=[("sizes", np.asarray([1, 1, 4, 4], np.int64))],
+    )
+    x = rng.randn(1, 1, 2, 2).astype(np.float32)
+    out = run_converted(onnx_bytes, {"x": x})[0]
+    assert out.shape == (1, 1, 4, 4)

@@ -266,3 +266,19 @@ def test_segmented_matches_eager_with_dynamic_reshape():
                                flat_len: np.asarray([3, 4], np.int32)})[0])
     assert out_v.shape == (3, 4)
     np.testing.assert_allclose(out_v, np.maximum(x_in.reshape(3, 4), 0))
+
+
+def test_segmented_with_if_subgraph():
+    """If is a host op (subgraph dispatch); surrounding ops still jit."""
+    from tests.test_ops_nn import _build_if_model
+    graph = _build_if_model()
+    # Append a jittable consumer after the If output.
+    out_id = graph.outputs[0]
+    final = graph.add_value("final")
+    graph.add_operator("exp", "Exp", [out_id], [final])
+    graph.outputs = [final]
+    ex = GraphExecutor(graph)
+    x = randf(2, 2)
+    got = np.asarray(ex.run({graph.node_id("cond"): np.asarray([1], np.int32),
+                             graph.node_id("x"): x})[0])
+    np.testing.assert_allclose(got, np.exp(x * 2), rtol=1e-5)
