@@ -64,8 +64,8 @@ def main():
     def measure(p):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
                             prefill_buckets=(prompt_len,))
-        for pr in prompts:
-            eng.submit(pr, max_new_tokens=decode_steps)
+        reqs = [eng.submit(pr, max_new_tokens=decode_steps)
+                for pr in prompts]
         eng._admit()
         eng.step_burst(burst)  # compile decode burst
         t0 = time.perf_counter()
@@ -73,19 +73,26 @@ def main():
         while any(r is not None for r in eng.slot_request):
             emitted += eng.step_burst(burst)
         elapsed = time.perf_counter() - t0
-        return emitted / elapsed
+        ttfts = sorted(r.metrics.ttft_s for r in reqs
+                       if r.metrics.ttft_s is not None)
+        p50_ttft = ttfts[len(ttfts) // 2] if ttfts else None
+        return emitted / elapsed, p50_ttft
 
-    f32_tps = measure(params)
+    f32_tps, f32_ttft = measure(params)
     if not on_tpu:
         # CPU smoke: interpret-mode Pallas in a scanned decode is
         # trace-bound; report the f32 number only.
         metric, value, vs = "gpt2_f32_decode_tokens_s_chip", f32_tps, 1.0
     else:
         try:
-            int8_tps = measure(quantize_weights(params, "int8"))
+            int8_tps, int8_ttft = measure(quantize_weights(params, "int8"))
             metric = "gpt2_int8_decode_tokens_s_chip"
             value = int8_tps
             vs = int8_tps / f32_tps
+            if int8_ttft is not None:
+                print(f"p50 TTFT: {1000 * int8_ttft:.1f} ms "
+                      f"(int8; f32 {1000 * (f32_ttft or 0):.1f} ms)",
+                      file=sys.stderr)
         except Exception as exc:  # pragma: no cover - kernel fallback
             print(f"int8 path failed ({exc}); reporting fp32",
                   file=sys.stderr)
