@@ -26,9 +26,11 @@ def model_path(tmp_path_factory):
 
 def _run_cli(*args):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # Generous timeout: a fresh interpreter pays jax import + compile on
+    # a weak shared host.
     return subprocess.run(
         [sys.executable, "-m", "rten_tpu.cli", *args],
-        capture_output=True, text=True, timeout=180, env=env,
+        capture_output=True, text=True, timeout=420, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
