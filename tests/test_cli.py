@@ -26,6 +26,10 @@ def model_path(tmp_path_factory):
 
 def _run_cli(*args):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # The environment's sitecustomize dials a TPU relay at interpreter
+    # start when this var is set — a busy/wedged relay then blocks the
+    # subprocess for minutes. CPU-only children must not dial it.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     # Generous timeout: a fresh interpreter pays jax import + compile on
     # a weak shared host.
     return subprocess.run(
