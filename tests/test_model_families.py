@@ -183,3 +183,46 @@ def test_detr_sine_position_embedding():
     # distinct positions get distinct encodings
     assert not np.allclose(emb[0], emb[1])
     assert np.isfinite(emb).all()
+
+
+def test_detr_rten_graph_matches_native():
+    from rten_tpu import Model
+    from rten_tpu.models.detr import Detr, DetrConfig, build_detr_rten
+    cfg = DetrConfig.tiny_test()
+    model = Detr(cfg)
+    params = model.init_params(None)
+    x = np.random.RandomState(0).randn(2, 3, 64, 64).astype(np.float32)
+    want_cls, want_box = model.forward(params, jnp.asarray(x))
+    mb = build_detr_rten(model, params, input_hw=(64, 64))
+    gm = Model.load(mb.to_bytes())
+    got_cls, got_box = gm.run({"input": x})
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want_cls),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_box), np.asarray(want_box),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_detr_rten_graph_quantizes():
+    from rten_tpu import Model
+    from rten_tpu.fmt import container
+    from rten_tpu.fmt.serialize import graph_to_bytes
+    from rten_tpu.ir.graph import graph_from_model_file
+    from rten_tpu.ir.quantize_graph import quantize_graph_weights
+    from rten_tpu.models.detr import Detr, DetrConfig, build_detr_rten
+    cfg = DetrConfig.tiny_test()
+    model = Detr(cfg)
+    params = model.init_params(None)
+    mb = build_detr_rten(model, params, input_hw=(64, 64))
+    data = mb.to_bytes()
+    graph = graph_from_model_file(container.load_bytes(data))
+    n = quantize_graph_weights(graph, min_elements=256)
+    assert n > 20   # backbone convs + attention/ffn matmuls
+    q = Model.load(graph_to_bytes(graph))
+    x = np.random.RandomState(1).randn(1, 3, 64, 64).astype(np.float32)
+    ref = Model.load(data)
+    want_cls, _ = ref.run({"input": x})
+    got_cls, got_box = q.run({"input": x})
+    rel = np.abs(np.asarray(got_cls) - np.asarray(want_cls)).max() / \
+        (np.abs(np.asarray(want_cls)).max() + 1e-9)
+    assert rel < 0.25  # int8 through 4 transformer layers + backbone
+    assert np.asarray(got_box).shape == (1, cfg.n_queries, 4)
