@@ -89,17 +89,22 @@ class ServingEngine:
         self.current_tokens = np.zeros(max_batch, np.int32)
 
         # --- compiled programs ---
-        def prefill_fn(params, tokens, length):
-            cache = model.new_cache(1, capacity, quantized=quantized_cache)
+        def prefill_fn(params, tokens, lengths):
+            """Batched prefill: tokens [G, bucket], per-request lengths
+            [G]. One compile per (bucket, G) pair; admission batches all
+            same-bucket queued requests to amortize dispatch."""
+            group = tokens.shape[0]
+            cache = model.new_cache(group, capacity,
+                                    quantized=quantized_cache)
             logits, cache = model.forward(
                 params, tokens, cache,
-                lengths=jnp.zeros(1, jnp.int32))
-            # The bucket may exceed the true length: the cache holds
-            # garbage past `length`, which decode masks out; pick the
-            # logits at the last *real* token.
-            last = logits[jnp.arange(tokens.shape[0]), length - 1]
+                lengths=jnp.zeros(group, jnp.int32))
+            # The bucket may exceed each true length: the cache holds
+            # garbage past `lengths[g]`, which decode masks out; pick the
+            # logits at each request's last *real* token.
+            last = logits[jnp.arange(group), lengths - 1]
             cache = KVCache(cache.keys, cache.values,
-                            jnp.full(1, length, jnp.int32),
+                            jnp.asarray(lengths, jnp.int32),
                             cache.quant_scales)
             return last, cache
 
@@ -129,8 +134,9 @@ class ServingEngine:
         self._decode_burst = jax.jit(burst_fn, donate_argnums=(2,),
                                      static_argnums=(4,))
 
-        def insert_fn(cache, single, slot, length, token):
-            return (cache.insert_sequence(single, slot, length))
+        def insert_fn(cache, prefilled, slot, length, token, src_slot):
+            return cache.insert_sequence(prefilled, slot, length,
+                                         src_slot=src_slot)
 
         self._insert = jax.jit(insert_fn, donate_argnums=(0,))
 
@@ -146,29 +152,45 @@ class ServingEngine:
         return req
 
     def _admit(self):
-        """Fill free slots from the queue (prefill + slot insertion)."""
-        for slot in range(self.max_batch):
-            if self.slot_request[slot] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
+        """Fill free slots from the queue: batched prefill per prompt-
+        length bucket (one compiled program admits the whole group — the
+        p50-TTFT lever), then scatter each sequence into its slot."""
+        free = [s for s in range(self.max_batch)
+                if self.slot_request[s] is None]
+        if not free or not self.queue:
+            return
+        batch_reqs = self.queue[:len(free)]
+        del self.queue[:len(batch_reqs)]
+        by_bucket: dict = {}
+        for req in batch_reqs:
             n = len(req.prompt_ids)
             if n >= self.capacity:
                 raise ValueError(
                     f"prompt length {n} exceeds cache capacity")
-            bucket = _bucket(n, self.prefill_buckets)
-            tokens = np.zeros((1, bucket), np.int32)
-            tokens[0, :n] = req.prompt_ids
-            last_logits, single = self._prefill(
-                self.params, jnp.asarray(tokens), n)
+            by_bucket.setdefault(_bucket(n, self.prefill_buckets),
+                                 []).append(req)
+        slot_iter = iter(free)
+        for bucket, reqs in by_bucket.items():
+            group = len(reqs)
+            tokens = np.zeros((group, bucket), np.int32)
+            lengths = np.zeros(group, np.int32)
+            for gi, req in enumerate(reqs):
+                tokens[gi, :len(req.prompt_ids)] = req.prompt_ids
+                lengths[gi] = len(req.prompt_ids)
+            last_logits, prefilled = self._prefill(
+                self.params, jnp.asarray(tokens), jnp.asarray(lengths))
             self._key, sub = jax.random.split(self._key)
-            first = int(np.asarray(
-                self.sampler.sample(sub, last_logits[0])))
-            self.cache = self._insert(self.cache, single, slot, n, first)
-            req.tokens.append(first)
-            req.metrics.step()
-            self.current_tokens[slot] = first
-            self.slot_request[slot] = req
-            self._finish_if_done(slot, first, length=n)
+            firsts = np.asarray(self.sampler.sample(sub, last_logits))
+            for gi, req in enumerate(reqs):
+                slot = next(slot_iter)
+                first = int(np.asarray(firsts).reshape(-1)[gi])
+                self.cache = self._insert(self.cache, prefilled, slot,
+                                          int(lengths[gi]), first, gi)
+                req.tokens.append(first)
+                req.metrics.step()
+                self.current_tokens[slot] = first
+                self.slot_request[slot] = req
+                self._finish_if_done(slot, first, length=int(lengths[gi]))
 
     def _finish_if_done(self, slot, token, length=None):
         req = self.slot_request[slot]

@@ -146,30 +146,39 @@ class KVCache:
         values[layer] = write(self.values[layer], v_new)
         return KVCache(keys, values, self.lengths, scales)
 
-    def insert_sequence(self, other: "KVCache", slot, length):
-        """Copy sequence 0 of ``other`` (a batch-1 cache) into batch slot
+    def insert_sequence(self, other: "KVCache", slot, length, src_slot=0):
+        """Copy sequence ``src_slot`` of ``other`` into batch slot
         ``slot`` — the continuous-batching admission primitive: a freshly
-        prefilled request takes over a finished sequence's slot."""
+        prefilled request takes over a finished sequence's slot (batched
+        admission prefills several prompts at once and scatters them)."""
         if self.stacked:
+            src_k = jax.lax.dynamic_slice_in_dim(other.keys, src_slot, 1, 1)
+            src_v = jax.lax.dynamic_slice_in_dim(other.values, src_slot, 1,
+                                                 1)
             keys = jax.lax.dynamic_update_slice(
-                self.keys, other.keys.astype(self.keys.dtype),
-                (0, slot, 0, 0, 0))
+                self.keys, src_k.astype(self.keys.dtype), (0, slot, 0, 0, 0))
             values = jax.lax.dynamic_update_slice(
-                self.values, other.values.astype(self.values.dtype),
+                self.values, src_v.astype(self.values.dtype),
                 (0, slot, 0, 0, 0))
             lengths = self.lengths.at[slot].set(length)
             return KVCache(keys, values, lengths, self.quant_scales)
+
+        def pick(src):
+            return jax.lax.dynamic_slice_in_dim(src, src_slot, 1, 0)
+
         keys = [jax.lax.dynamic_update_slice(
-                    buf, src.astype(buf.dtype), (slot, 0, 0, 0))
+                    buf, pick(src).astype(buf.dtype), (slot, 0, 0, 0))
                 for buf, src in zip(self.keys, other.keys)]
         values = [jax.lax.dynamic_update_slice(
-                      buf, src.astype(buf.dtype), (slot, 0, 0, 0))
+                      buf, pick(src).astype(buf.dtype), (slot, 0, 0, 0))
                   for buf, src in zip(self.values, other.values)]
         scales = self.quant_scales
         if scales is not None:
             scales = [
-                (jax.lax.dynamic_update_slice(ks, oks, (slot, 0, 0, 0)),
-                 jax.lax.dynamic_update_slice(vs, ovs, (slot, 0, 0, 0)))
+                (jax.lax.dynamic_update_slice(ks, pick(oks),
+                                              (slot, 0, 0, 0)),
+                 jax.lax.dynamic_update_slice(vs, pick(ovs),
+                                              (slot, 0, 0, 0)))
                 for (ks, vs), (oks, ovs) in zip(scales, other.quant_scales)]
         lengths = self.lengths.at[slot].set(length)
         return KVCache(keys, values, lengths, scales)
