@@ -8,10 +8,12 @@ synthesizing varying inputs (``attention_mask`` = ones, ``position_ids``
 = arange), caching the loop-invariant constant prefix via ``partial_run``
 and transferring cache ownership back into each run.
 
-Execution model: graph steps run in eager mode (per-op dispatch), because
-the ONNX-style graph grows KV shapes every step and jit would recompile
-each one. This path exists for format parity and correctness testing;
-high-throughput serving uses the native engine
+Execution model: by default graph steps run eagerly (per-op dispatch) —
+exact reference semantics, no recompiles. With ``pad_to=N`` the Generator
+switches to bucketed jit decoding: the past-KV view is padded to the next
+multiple of N (masked via attention_mask) so the graph compiles at most
+max_seq_len/N signatures while stored KV stays compact. High-throughput
+serving still belongs to the native engine
 (:mod:`rten_tpu.generate.engine`) with fixed shapes + flash kernels.
 """
 
@@ -48,6 +50,11 @@ class GeneratorConfig:
     model_inputs: ModelInputsConfig = field(default_factory=ModelInputsConfig)
     seed: int = 0
     eager: bool = True
+    # Bucketed jit decoding: pad the past-KV length to multiples of
+    # ``pad_to`` (masked via attention_mask) so the graph re-jits at most
+    # max_seq_len/pad_to times instead of every step. Sets eager=False
+    # semantics for the padded steps automatically.
+    pad_to: int = 0
 
 
 class GeneratorError(RuntimeError):
@@ -149,16 +156,41 @@ class Generator:
         input_ids = np.asarray([self._pending_input], dtype=np.int32)
         n_cur = input_ids.shape[1]
         batch = 1
+        pad_to = self.config.pad_to
 
         inputs = {mic.input_ids: input_ids}
-        if self._has_mask:
-            inputs[mic.attention_mask] = np.ones((batch, n_past + n_cur),
-                                                 dtype=np.int32)
-        if self._has_positions:
-            inputs[mic.position_ids] = np.arange(
-                n_past, n_past + n_cur, dtype=np.int32)[None, :]
-        for name, _ in self._kv_inputs:
-            inputs[name] = self._kv_input_array(name, batch)
+        padded_past = n_past
+        if pad_to and self._kv_inputs:
+            # Bucketed jit path: stored KV stays compact (valid entries
+            # only); each step feeds a view padded to the next pad_to
+            # multiple, masked so padding is inert. Signatures are bounded
+            # by max_seq_len/pad_to.
+            padded_past = -(-n_past // pad_to) * pad_to if n_past else 0
+            if self._has_mask:
+                mask = np.zeros((batch, padded_past + n_cur), np.int32)
+                mask[:, :n_past] = 1
+                mask[:, padded_past:] = 1
+                inputs[mic.attention_mask] = mask
+            if self._has_positions:
+                inputs[mic.position_ids] = np.arange(
+                    n_past, n_past + n_cur, dtype=np.int32)[None, :]
+            for name, _ in self._kv_inputs:
+                kv = self._kv_input_array(name, batch)
+                extra = padded_past - kv.shape[-2]
+                if extra:
+                    pad_spec = [(0, 0)] * kv.ndim
+                    pad_spec[-2] = (0, extra)
+                    kv = np.pad(kv, pad_spec)
+                inputs[name] = kv
+        else:
+            if self._has_mask:
+                inputs[mic.attention_mask] = np.ones(
+                    (batch, n_past + n_cur), dtype=np.int32)
+            if self._has_positions:
+                inputs[mic.position_ids] = np.arange(
+                    n_past, n_past + n_cur, dtype=np.int32)[None, :]
+            for name, _ in self._kv_inputs:
+                inputs[name] = self._kv_input_array(name, batch)
         inputs.update(self._constant_inputs)
 
         # Constant-prefix caching: on the first step, precompute values
@@ -172,13 +204,24 @@ class Generator:
                 self._prefix_values = {}
 
         outputs = [mic.logits] + self._extra_outputs
-        options = RunOptions(eager=self.config.eager, seed=self.config.seed)
+        eager = self.config.eager and not self.config.pad_to
+        options = RunOptions(eager=eager, seed=self.config.seed)
         results = self.model.run(inputs, outputs, options)
         logits = np.asarray(results[0])
 
         # Re-capture KV caches from the run (ownership transfer analog).
-        for (name, _), value in zip(self._kv_inputs, results[1:]):
-            self._kv_state[name] = np.asarray(value)
+        if pad_to and self._kv_inputs:
+            # present = [padded_past | current]: compact back to valid
+            # entries (drop the padding hole) before storing.
+            for (name, _), value in zip(self._kv_inputs, results[1:]):
+                present = np.asarray(value)
+                valid = present[..., :n_past, :]
+                cur = present[..., padded_past:, :]
+                self._kv_state[name] = np.concatenate([valid, cur],
+                                                      axis=-2)
+        else:
+            for (name, _), value in zip(self._kv_inputs, results[1:]):
+                self._kv_state[name] = np.asarray(value)
 
         self._rng_key, sub = jax.random.split(self._rng_key)
         last_logits = logits[0, -1] if logits.ndim == 3 else logits[0]

@@ -214,3 +214,24 @@ def test_mobilenet_v3_graph_matches_native():
         and (n.data.attrs.get("groups") or 1) > 1
         for n in graph_model.graph.nodes)
     assert has_depthwise
+
+
+def test_generator_bucketed_jit_matches_eager():
+    """pad_to bucketing: the graph decodes under jit with bounded
+    signatures and produces the same tokens as exact eager decoding."""
+    from rten_tpu.generate import Generator, GeneratorConfig
+
+    mb = _build_gpt2_style_rten()
+    eager_model = Model.load(mb.to_bytes())
+    gen_eager = Generator(eager_model, [3, 14, 15],
+                          GeneratorConfig(max_seq_len=20))
+    want = [next(gen_eager) for _ in range(8)]
+
+    jit_model = Model.load(mb.to_bytes())
+    gen_jit = Generator(jit_model, [3, 14, 15],
+                        GeneratorConfig(max_seq_len=24, pad_to=4))
+    got = [next(gen_jit) for _ in range(8)]
+    assert got == want
+    # Bounded jit signatures: past lengths only hit pad_to multiples.
+    n_sigs = len(jit_model.executor._jit_cache)
+    assert n_sigs <= 1 + (3 + 8) // 4 + 1
