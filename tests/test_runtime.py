@@ -282,3 +282,51 @@ def test_segmented_with_if_subgraph():
     got = np.asarray(ex.run({graph.node_id("cond"): np.asarray([1], np.int32),
                              graph.node_id("x"): x})[0])
     np.testing.assert_allclose(got, np.exp(x * 2), rtol=1e-5)
+
+
+def test_numpy_eval_matches_jnp_lowerings():
+    """Every op in the host-folding fast path must agree with its jnp
+    lowering — the two implementations may never diverge."""
+    import jax.numpy as jnp
+    from rten_tpu.ops.numpy_eval import NUMPY_EVAL, try_numpy_eval
+    from rten_tpu.ops.registry import ensure_registered, get_op
+
+    ensure_registered()
+    rng = np.random.RandomState(0)
+    f = rng.randn(3, 4).astype(np.float32)
+    cases = {
+        "DequantizeLinear": ([rng.randint(-127, 128, (3, 4)).astype(np.int8),
+                              np.float32(0.05), np.int8(3)], {"axis": 1}),
+        "QuantizeLinear": ([f, np.float32(0.1), np.int8(0)], {"axis": 1}),
+        "Cast": ([f * 7], {"to": 0}),
+        "Transpose": ([f], {"perm": [1, 0]}),
+        "Concat": ([f, f], {"axis": 1}),
+        "Gather": ([f, np.asarray([2, 0], np.int32)], {"axis": 0}),
+        "Unsqueeze": ([f, np.asarray([0], np.int32)], {}),
+        "Squeeze": ([f[None], np.asarray([0], np.int32)], {}),
+        "Identity": ([f], {}),
+        "Add": ([f, f], {}),
+        "Sub": ([f, f * 2], {}),
+        "Mul": ([f, f], {}),
+        "Neg": ([f], {}),
+        "Sqrt": ([np.abs(f)], {}),
+        "Reciprocal": ([f + 3], {}),
+        "Relu": ([f], {}),
+    }
+    missing = set(NUMPY_EVAL) - set(cases)
+    assert not missing, f"numpy-eval ops without a consistency case: {missing}"
+    for op_type, (args, attrs) in cases.items():
+        handled, np_out = try_numpy_eval(op_type, attrs, args)
+        assert handled, op_type
+        spec = get_op(op_type)
+
+        class _Ctx:
+            n_outputs = 1
+        jnp_args = [None if a is None else
+                    (np.asarray(a) if i in spec.static else jnp.asarray(a))
+                    for i, a in enumerate(args)]
+        jnp_out = spec.fn(_Ctx(), attrs, *jnp_args)
+        np.testing.assert_allclose(np.asarray(np_out), np.asarray(jnp_out),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=op_type)
+        assert np.asarray(np_out).dtype == np.asarray(jnp_out).dtype, op_type
