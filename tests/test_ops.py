@@ -537,3 +537,50 @@ def test_random_shapes():
     x = randf(2, 5)
     out = run_op("RandomNormalLike", [x], {"mean": 0.0, "scale": 1.0})[0]
     assert out.shape == x.shape
+
+
+def test_einsum_three_operands():
+    a, b, c = randf(2, 3), randf(3, 4), randf(4, 2)
+    out = run_op("Einsum", [a, b, c], {"equation": "ij,jk,kl->il"})[0]
+    np.testing.assert_allclose(out, np.einsum("ij,jk,kl->il", a, b, c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gather_nd_batch2():
+    x = randf(2, 3, 4, 5)
+    idx = RNG.randint(0, 4, (2, 3, 1)).astype(np.int32)
+    out = run_op("GatherND", [x, idx], {"batch_dims": 2})[0]
+    want = np.stack([
+        np.stack([x[i, j, idx[i, j, 0]] for j in range(3)])
+        for i in range(2)])
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_slice_multi_axis_negative_step():
+    x = randf(4, 6, 8)
+    out = run_op("Slice",
+                 [x, np.array([3, 1]), np.array([0, 7]),
+                  np.array([0, 2]), np.array([-1, 2])],
+                 const_mask=[False, True, True, True, True])[0]
+    np.testing.assert_allclose(out, x[3:0:-1, :, 1:7:2])
+
+
+def test_pad_all_dims_with_value():
+    x = randf(2, 3)
+    out = run_op("Pad", [x, np.array([1, 2, 3, 4]), np.float32(-5)],
+                 const_mask=[False, True, True])[0]
+    want = np.pad(x, [(1, 3), (2, 4)], constant_values=-5)
+    np.testing.assert_allclose(out, want)
+
+
+def test_expand_scalar_broadcast():
+    x = np.float32(7).reshape(1, 1)
+    out = run_op("Expand", [x, np.array([3, 4])], const_mask=[False, True])[0]
+    np.testing.assert_array_equal(out, np.full((3, 4), 7, np.float32))
+
+
+def test_split_uneven_default():
+    x = randf(2, 7)
+    parts = run_op("Split", [x], {"axis": 1}, n_outputs=3)
+    assert [p.shape[1] for p in parts] == [3, 3, 1]
+    np.testing.assert_allclose(np.concatenate(parts, 1), x)
