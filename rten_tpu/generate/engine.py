@@ -82,7 +82,15 @@ class ServingEngine:
         if mesh is not None:
             from ..parallel import shard_cache
             self.cache = shard_cache(self.cache, mesh)
-        # Slot bookkeeping (host side).
+        # Slot bookkeeping. When the native C++ scheduler is built
+        # (native/scheduler.cpp), it owns the queue, slot lifecycle, and
+        # the per-token stop-condition scan; ``slot_request`` stays as a
+        # mirror mapping slots to Request objects for token delivery.
+        from .native_sched import NativeScheduler
+        from .native_sched import available as _sched_available
+        self._sched = (NativeScheduler(max_batch, capacity)
+                       if _sched_available() else None)
+        self._handle_req: dict[int, Request] = {}
         self.slot_request: list[Optional[Request]] = [None] * max_batch
         self.queue: list[Request] = []
         self._next_id = 0
@@ -103,9 +111,7 @@ class ServingEngine:
             # garbage past `lengths[g]`, which decode masks out; pick the
             # logits at each request's last *real* token.
             last = logits[jnp.arange(group), lengths - 1]
-            cache = KVCache(cache.keys, cache.values,
-                            jnp.asarray(lengths, jnp.int32),
-                            cache.quant_scales)
+            cache = cache.with_lengths(lengths)
             return last, cache
 
         self._prefill = jax.jit(prefill_fn)
@@ -145,44 +151,55 @@ class ServingEngine:
     def submit(self, prompt_ids, max_new_tokens=128, stop_ids=()) -> Request:
         req = Request(list(map(int, prompt_ids)), max_new_tokens,
                       tuple(stop_ids))
+        if len(req.prompt_ids) >= self.capacity:
+            raise ValueError(f"prompt length {len(req.prompt_ids)} exceeds "
+                             f"cache capacity")
         req.request_id = self._next_id
         self._next_id += 1
         req.metrics.start()
-        self.queue.append(req)
+        if self._sched is not None:
+            handle = self._sched.submit(len(req.prompt_ids),
+                                        req.max_new_tokens, req.stop_ids)
+            self._handle_req[handle] = req
+        else:
+            self.queue.append(req)
         return req
 
     def _admit(self):
         """Fill free slots from the queue: batched prefill per prompt-
         length bucket (one compiled program admits the whole group — the
         p50-TTFT lever), then scatter each sequence into its slot."""
-        free = [s for s in range(self.max_batch)
-                if self.slot_request[s] is None]
-        if not free or not self.queue:
-            return
-        batch_reqs = self.queue[:len(free)]
-        del self.queue[:len(batch_reqs)]
+        if self._sched is not None:
+            handles, slots = self._sched.admit()
+            if len(handles) == 0:
+                return
+            pairs = [(self._handle_req[int(h)], int(s))
+                     for h, s in zip(handles, slots)]
+        else:
+            free = [s for s in range(self.max_batch)
+                    if self.slot_request[s] is None]
+            if not free or not self.queue:
+                return
+            batch_reqs = self.queue[:len(free)]
+            del self.queue[:len(batch_reqs)]
+            pairs = list(zip(batch_reqs, free))
         by_bucket: dict = {}
-        for req in batch_reqs:
+        for req, slot in pairs:
             n = len(req.prompt_ids)
-            if n >= self.capacity:
-                raise ValueError(
-                    f"prompt length {n} exceeds cache capacity")
             by_bucket.setdefault(_bucket(n, self.prefill_buckets),
-                                 []).append(req)
-        slot_iter = iter(free)
-        for bucket, reqs in by_bucket.items():
-            group = len(reqs)
+                                 []).append((req, slot))
+        for bucket, group_pairs in by_bucket.items():
+            group = len(group_pairs)
             tokens = np.zeros((group, bucket), np.int32)
             lengths = np.zeros(group, np.int32)
-            for gi, req in enumerate(reqs):
+            for gi, (req, _) in enumerate(group_pairs):
                 tokens[gi, :len(req.prompt_ids)] = req.prompt_ids
                 lengths[gi] = len(req.prompt_ids)
             last_logits, prefilled = self._prefill(
                 self.params, jnp.asarray(tokens), jnp.asarray(lengths))
             self._key, sub = jax.random.split(self._key)
             firsts = np.asarray(self.sampler.sample(sub, last_logits))
-            for gi, req in enumerate(reqs):
-                slot = next(slot_iter)
+            for gi, (req, slot) in enumerate(group_pairs):
                 first = int(np.asarray(firsts).reshape(-1)[gi])
                 self.cache = self._insert(self.cache, prefilled, slot,
                                           int(lengths[gi]), first, gi)
@@ -190,7 +207,13 @@ class ServingEngine:
                 req.metrics.step()
                 self.current_tokens[slot] = first
                 self.slot_request[slot] = req
-                self._finish_if_done(slot, first, length=int(lengths[gi]))
+                if self._sched is not None:
+                    if self._sched.commit_first(slot, first):
+                        req.done = True
+                        self.slot_request[slot] = None
+                else:
+                    self._finish_if_done(slot, first,
+                                         length=int(lengths[gi]))
 
     def _finish_if_done(self, slot, token, length=None):
         req = self.slot_request[slot]
@@ -206,6 +229,41 @@ class ServingEngine:
             req.done = True
             self.slot_request[slot] = None
 
+    def _commit_tokens(self, toks_np, lengths_np, active) -> int:
+        """Deliver a [n, B] burst of sampled tokens to the active
+        requests, honoring stop conditions. The native scheduler scans
+        the matrix in C++; the Python fallback loops per token."""
+        emitted = 0
+        if self._sched is not None:
+            accepted, done, _ = self._sched.commit_burst(toks_np, lengths_np)
+            for slot in active:
+                req = self.slot_request[slot]
+                n_acc = int(accepted[slot])
+                if req is None or n_acc == 0:
+                    continue
+                req.tokens.extend(int(t) for t in toks_np[:n_acc, slot])
+                req.metrics.step_n(n_acc)
+                emitted += n_acc
+                self.current_tokens[slot] = req.tokens[-1]
+                if done[slot]:
+                    req.done = True
+                    self.slot_request[slot] = None
+            return emitted
+        n = toks_np.shape[0]
+        for slot in active:
+            req = self.slot_request[slot]
+            for i in range(n):
+                token = int(toks_np[i, slot])
+                req.tokens.append(token)
+                req.metrics.step()
+                emitted += 1
+                self.current_tokens[slot] = token
+                self._finish_if_done(slot, token,
+                                     length=int(lengths_np[slot]) + i + 1)
+                if self.slot_request[slot] is None:
+                    break
+        return emitted
+
     def step(self) -> int:
         """One engine iteration: admit queued requests, run one decode
         step for every active slot. Returns number of active slots."""
@@ -218,14 +276,8 @@ class ServingEngine:
         next_tokens, logits, self.cache = self._decode(
             self.params, jnp.asarray(self.current_tokens), self.cache, sub)
         next_np = np.asarray(next_tokens)
-        lengths_np = np.asarray(self.cache.lengths)
-        for slot in active:
-            req = self.slot_request[slot]
-            token = int(next_np[slot])
-            req.tokens.append(token)
-            req.metrics.step()
-            self.current_tokens[slot] = token
-            self._finish_if_done(slot, token, length=int(lengths_np[slot]))
+        lengths_np = np.asarray(self.cache.lengths) - 1  # pre-step depths
+        self._commit_tokens(next_np[None, :], lengths_np, active)
         return len(active)
 
     def step_burst(self, n: int) -> int:
@@ -246,31 +298,23 @@ class ServingEngine:
             self.params, jnp.asarray(self.current_tokens), self.cache, sub,
             n)
         toks_np = np.asarray(toks)          # [n, B]
-        emitted = 0
-        for slot in active:
-            req = self.slot_request[slot]
-            for i in range(n):
-                token = int(toks_np[i, slot])
-                req.tokens.append(token)
-                req.metrics.step()
-                emitted += 1
-                self.current_tokens[slot] = token
-                self._finish_if_done(slot, token,
-                                     length=int(lengths_np[slot]) + i + 1)
-                if self.slot_request[slot] is None:
-                    break
-        return emitted
+        return self._commit_tokens(toks_np, lengths_np, active)
+
+    def _pending(self) -> bool:
+        if self._sched is not None:
+            return bool(self._sched.queued() or self._sched.active())
+        return bool(self.queue
+                    or any(r is not None for r in self.slot_request))
 
     def run(self, requests=None, max_steps=100000, burst=1):
         """Drive the engine until every request completes. ``burst`` > 1
         decodes that many tokens per device dispatch."""
-        if requests:
+        if requests and self._sched is None:
             for req in requests:
                 if req not in self.queue and not req.done:
                     self.queue.append(req)
         steps = 0
-        while (self.queue or any(r is not None for r in self.slot_request)) \
-                and steps < max_steps:
+        while self._pending() and steps < max_steps:
             if burst > 1:
                 self.step_burst(burst)
             else:

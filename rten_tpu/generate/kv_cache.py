@@ -1,97 +1,125 @@
-"""Preallocated KV cache.
+"""Preallocated KV cache, token-major fused layout.
 
 The reference amortizes cache growth with ``NdTensor::with_capacity`` +
 in-place ``append`` (rten-tensor/src/tensor.rs:1110,830; ownership
-transfer in generator.rs:507-521). Under XLA, in-place growth becomes:
-fixed-capacity arrays + ``lax.dynamic_update_slice`` + buffer donation —
-the donated cache aliases its output, so each decode step updates HBM in
-place with no copy.
+transfer in generator.rs:507-521). Under XLA, in-place growth becomes
+fixed-capacity arrays updated through buffer donation.
 
-Layout: per layer, K and V are [batch, kv_heads, capacity, head_dim].
-``lengths`` [batch] tracks per-sequence fill (enables continuous
-batching, where sequences in a batch are at different positions).
-Optional int8 quantized storage halves/quarters cache bandwidth.
+Layout: per layer one array ``[B, cap, 2, KVH*D]`` — plane 0 holds K,
+plane 1 holds V, and a token's K/V for *all* heads is one contiguous
+row. Chosen over the textbook ``[B, KVH, cap, D]`` pair because on TPU:
+
+* appending a token is ONE contiguous-row DMA per sequence (the Pallas
+  kernel in :mod:`rten_tpu.kernels.cache`), instead of XLA's scatter
+  lowering of ``vmap(dynamic_update_slice)`` which profiled at
+  ~103 us/layer on v5e — half the GPT-2 decode step. Mosaic requires
+  DMA slices to be 128-lane aligned, which ``KVH*D`` rows satisfy for
+  real models (768 for GPT-2, 256 for TinyLlama) while a bare
+  ``head_dim`` (64) cannot;
+* K and V land in one buffer: half the append DMAs, one donated alias;
+* flash-decode reads K blocks as ``[block, D]`` tiles via BlockSpec
+  index maps (no layout change needed);
+* a future fused decode-layer kernel streams cache rows token-major.
+
+``lengths`` [batch] tracks per-sequence fill (continuous batching puts
+sequences of one batch at different depths). Optional int8 quantized
+storage (per-token-per-head scales, ``[B, cap, 2, KVH]``) halves or
+quarters cache bandwidth.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Mosaic DMA slices must be 128-lane aligned on the last dim.
+_LANE = 128
+
 
 def _quantize_tokens(x):
-    """Per-(token, head) symmetric int8: scale = absmax/127 over head_dim."""
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    """Per-(token, head) symmetric int8: scale = absmax/127 over head_dim.
+    x: [B, T, KVH, D] → (q [B, T, KVH, D], scales [B, T, KVH])."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
     scale = jnp.where(absmax == 0, 1.0, absmax / 127.0).astype(jnp.float32)
-    q = jnp.clip(jnp.round(x / scale), -127, 127)
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
     return q, scale
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    keys: list        # per layer [B, KVH, cap, D]
-    values: list      # per layer [B, KVH, cap, D]
-    lengths: object   # [B] int32
-    quant_scales: list | None = None   # per layer (k_scales, v_scales) or None
+    kv: object          # per layer [B, cap, 2, KVH*D]; stacked: [L, ...]
+    lengths: object     # [B] int32
+    quant_scales: object = None  # per layer [B, cap, 2, KVH] f32, or None
+    kv_heads: int = 1
+    head_dim: int = 1
 
     # -- pytree plumbing (so caches flow through jit/donation) -------------
 
     def tree_flatten(self):
-        return ((self.keys, self.values, self.lengths, self.quant_scales),
-                None)
+        return ((self.kv, self.lengths, self.quant_scales),
+                (self.kv_heads, self.head_dim))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
     # -- construction ------------------------------------------------------
 
     @staticmethod
     def create(batch, n_layers, kv_heads, capacity, head_dim,
                dtype=jnp.float32, quantized=False, stacked=False):
-        """``stacked=True`` holds all layers in single [L, B, KVH, cap, D]
-        arrays (required for `lax.scan` over layers, where the layer index
+        """``stacked=True`` holds all layers in one [L, B, cap, 2, KVH*D]
+        array (required for `lax.scan` over layers, where the layer index
         is traced); the default is one array per layer."""
-        shape = (batch, kv_heads, capacity, head_dim)
+        shape = (batch, capacity, 2, kv_heads * head_dim)
         store_dtype = jnp.int8 if quantized else dtype
         if stacked:
-            keys = jnp.zeros((n_layers, *shape), store_dtype)
-            values = jnp.zeros((n_layers, *shape), store_dtype)
+            assert not quantized, "quantized+stacked not supported yet"
+            kv = jnp.zeros((n_layers, *shape), store_dtype)
         else:
-            keys = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
-            values = [jnp.zeros(shape, store_dtype)
-                      for _ in range(n_layers)]
+            kv = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
         scales = None
         if quantized:
-            assert not stacked, "quantized+stacked not supported yet"
-            sshape = (batch, kv_heads, capacity, 1)
-            scales = [(jnp.ones(sshape, jnp.float32),
-                       jnp.ones(sshape, jnp.float32))
-                      for _ in range(n_layers)]
-        return KVCache(keys, values, jnp.zeros(batch, jnp.int32), scales)
+            sshape = (batch, capacity, 2, kv_heads)
+            scales = [jnp.ones(sshape, jnp.float32) for _ in range(n_layers)]
+        return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
+                       kv_heads, head_dim)
 
     @property
     def stacked(self):
-        return not isinstance(self.keys, list)
+        return not isinstance(self.kv, list)
 
     @property
     def capacity(self):
-        if self.stacked:
-            return self.keys.shape[3]
-        return self.keys[0].shape[2]
+        return self.kv.shape[2] if self.stacked else self.kv[0].shape[1]
 
     @property
     def n_layers(self):
-        if self.stacked:
-            return self.keys.shape[0]
-        return len(self.keys)
+        return self.kv.shape[0] if self.stacked else len(self.kv)
+
+    def with_lengths(self, lengths):
+        return KVCache(self.kv, jnp.asarray(lengths, jnp.int32),
+                       self.quant_scales, self.kv_heads, self.head_dim)
 
     # -- updates -----------------------------------------------------------
+
+    def _pack(self, k_new, v_new):
+        """[B, KVH, T, D] k/v → token-major [B, T, 2, KVH*D] (+ scales)."""
+        b, kvh, t, d = k_new.shape
+        k_t = k_new.transpose(0, 2, 1, 3)           # [B, T, KVH, D]
+        v_t = v_new.transpose(0, 2, 1, 3)
+        scales = None
+        if self.quant_scales is not None:
+            k_t, k_s = _quantize_tokens(k_t)
+            v_t, v_s = _quantize_tokens(v_t)
+            scales = jnp.stack([k_s, v_s], axis=2)  # [B, T, 2, KVH]
+        packed = jnp.stack([k_t.reshape(b, t, kvh * d),
+                            v_t.reshape(b, t, kvh * d)], axis=2)
+        return packed, scales
 
     def append(self, layer, k_new, v_new, position=None):
         """Write k/v [B, KVH, T, D] into the cache.
@@ -100,51 +128,68 @@ class KVCache:
         None → per-sequence offsets from ``self.lengths`` (decode under
         continuous batching, where sequences sit at different depths).
 
-        Returns a new KVCache (same buffers aliased via donation under jit).
-        """
+        Returns a new KVCache (same buffers aliased via donation under
+        jit)."""
+        b, kvh, t, d = k_new.shape
+        packed, new_scales = self._pack(k_new, v_new)
+
         if self.stacked:
-            # Stacked layout: ``layer`` may be a traced index (scan body).
+            # ``layer`` may be a traced index (scan body).
+            packed = packed.astype(self.kv.dtype)
             if position is None:
                 def upd(buf_l, new, pos):
                     return jax.lax.dynamic_update_slice(buf_l, new,
-                                                        (0, pos, 0))
+                                                        (pos, 0, 0))
 
-                def write(buf, new):
-                    layer_buf = jax.lax.dynamic_index_in_dim(
-                        buf, layer, 0, keepdims=False)
-                    updated = jax.vmap(upd)(layer_buf,
-                                            new.astype(buf.dtype),
-                                            self.lengths)
-                    return jax.lax.dynamic_update_index_in_dim(
-                        buf, updated, layer, 0)
+                layer_buf = jax.lax.dynamic_index_in_dim(
+                    self.kv, layer, 0, keepdims=False)
+                updated = jax.vmap(upd)(layer_buf, packed, self.lengths)
+                kv = jax.lax.dynamic_update_index_in_dim(
+                    self.kv, updated, layer, 0)
             else:
-                def write(buf, new):
-                    return jax.lax.dynamic_update_slice(
-                        buf, new[None].astype(buf.dtype),
-                        (layer, 0, 0, position, 0))
-            return KVCache(write(self.keys, k_new),
-                           write(self.values, v_new), self.lengths,
-                           self.quant_scales)
-        if position is None:
-            def upd(buf, new, pos):
-                return jax.lax.dynamic_update_slice(buf, new, (0, pos, 0))
-            write = lambda buf, new: jax.vmap(upd)(
-                buf, new.astype(buf.dtype), self.lengths)
-        else:
-            write = lambda buf, new: jax.lax.dynamic_update_slice(
-                buf, new.astype(buf.dtype), (0, 0, position, 0))
+                kv = jax.lax.dynamic_update_slice(
+                    self.kv, packed[None], (layer, 0, position, 0, 0))
+            return KVCache(kv, self.lengths, self.quant_scales,
+                           self.kv_heads, self.head_dim)
+
+        buf = self.kv[layer]
+        packed = packed.astype(buf.dtype)
         scales = self.quant_scales
+
+        if position is None and t == 1 and (kvh * d) % _LANE == 0:
+            # Decode append at per-sequence depths: the Pallas in-place
+            # kernel writes B contiguous row DMAs instead of XLA's
+            # scatter (see module docstring).
+            from ..kernels.cache import cache_append
+            (new_buf,) = cache_append(self.lengths, (buf,), (packed,))
+        elif position is None:
+            def upd(b_buf, new, pos):
+                return jax.lax.dynamic_update_slice(b_buf, new, (pos, 0, 0))
+            new_buf = jax.vmap(upd)(buf, packed, self.lengths)
+        else:
+            new_buf = jax.lax.dynamic_update_slice(
+                buf, packed, (0, position, 0, 0))
+
+        kv = list(self.kv)
+        kv[layer] = new_buf
         if scales is not None:
-            k_new, k_scale = _quantize_tokens(k_new)
-            v_new, v_scale = _quantize_tokens(v_new)
-            ks, vs = scales[layer]
+            sbuf = scales[layer]
+            if position is None:
+                if t == 1:
+                    s_new = sbuf.at[jnp.arange(b), self.lengths].set(
+                        new_scales[:, 0])
+                else:
+                    def supd(bb, new, pos):
+                        return jax.lax.dynamic_update_slice(bb, new,
+                                                            (pos, 0, 0))
+                    s_new = jax.vmap(supd)(sbuf, new_scales, self.lengths)
+            else:
+                s_new = jax.lax.dynamic_update_slice(
+                    sbuf, new_scales, (0, position, 0, 0))
             scales = list(scales)
-            scales[layer] = (write(ks, k_scale), write(vs, v_scale))
-        keys = list(self.keys)
-        values = list(self.values)
-        keys[layer] = write(self.keys[layer], k_new)
-        values[layer] = write(self.values[layer], v_new)
-        return KVCache(keys, values, self.lengths, scales)
+            scales[layer] = s_new
+        return KVCache(kv, self.lengths, scales, self.kv_heads,
+                       self.head_dim)
 
     def insert_sequence(self, other: "KVCache", slot, length, src_slot=0):
         """Copy sequence ``src_slot`` of ``other`` into batch slot
@@ -152,53 +197,56 @@ class KVCache:
         prefilled request takes over a finished sequence's slot (batched
         admission prefills several prompts at once and scatters them)."""
         if self.stacked:
-            src_k = jax.lax.dynamic_slice_in_dim(other.keys, src_slot, 1, 1)
-            src_v = jax.lax.dynamic_slice_in_dim(other.values, src_slot, 1,
-                                                 1)
-            keys = jax.lax.dynamic_update_slice(
-                self.keys, src_k.astype(self.keys.dtype), (0, slot, 0, 0, 0))
-            values = jax.lax.dynamic_update_slice(
-                self.values, src_v.astype(self.values.dtype),
-                (0, slot, 0, 0, 0))
-            lengths = self.lengths.at[slot].set(length)
-            return KVCache(keys, values, lengths, self.quant_scales)
+            src = jax.lax.dynamic_slice_in_dim(other.kv, src_slot, 1, 1)
+            kv = jax.lax.dynamic_update_slice(
+                self.kv, src.astype(self.kv.dtype), (0, slot, 0, 0, 0))
+            return KVCache(kv, self.lengths.at[slot].set(length),
+                           self.quant_scales, self.kv_heads, self.head_dim)
 
         def pick(src):
             return jax.lax.dynamic_slice_in_dim(src, src_slot, 1, 0)
 
-        keys = [jax.lax.dynamic_update_slice(
-                    buf, pick(src).astype(buf.dtype), (slot, 0, 0, 0))
-                for buf, src in zip(self.keys, other.keys)]
-        values = [jax.lax.dynamic_update_slice(
-                      buf, pick(src).astype(buf.dtype), (slot, 0, 0, 0))
-                  for buf, src in zip(self.values, other.values)]
+        kv = [jax.lax.dynamic_update_slice(
+                  buf, pick(src).astype(buf.dtype), (slot, 0, 0, 0))
+              for buf, src in zip(self.kv, other.kv)]
         scales = self.quant_scales
         if scales is not None:
-            scales = [
-                (jax.lax.dynamic_update_slice(ks, pick(oks),
-                                              (slot, 0, 0, 0)),
-                 jax.lax.dynamic_update_slice(vs, pick(ovs),
-                                              (slot, 0, 0, 0)))
-                for (ks, vs), (oks, ovs) in zip(scales, other.quant_scales)]
-        lengths = self.lengths.at[slot].set(length)
-        return KVCache(keys, values, lengths, scales)
+            scales = [jax.lax.dynamic_update_slice(s, pick(o),
+                                                   (slot, 0, 0, 0))
+                      for s, o in zip(scales, other.quant_scales)]
+        return KVCache(kv, self.lengths.at[slot].set(length), scales,
+                       self.kv_heads, self.head_dim)
 
     def advance(self, n):
-        return KVCache(self.keys, self.values, self.lengths + n,
-                       self.quant_scales)
+        return KVCache(self.kv, self.lengths + n, self.quant_scales,
+                       self.kv_heads, self.head_dim)
+
+    # -- reads ---------------------------------------------------------------
+
+    def fused_layer(self, layer):
+        """Raw token-major buffer [B, cap, 2, KVH*D] for Pallas consumers
+        (flash_decode reads K/V planes via BlockSpec index maps)."""
+        if self.stacked:
+            return jax.lax.dynamic_index_in_dim(self.kv, layer, 0,
+                                                keepdims=False)
+        return self.kv[layer]
 
     def layer_kv(self, layer):
-        """Dequantized K/V for attention (f32). ``layer`` may be traced
-        in stacked mode."""
-        if self.stacked:
-            k = jax.lax.dynamic_index_in_dim(self.keys, layer, 0,
-                                             keepdims=False)
-            v = jax.lax.dynamic_index_in_dim(self.values, layer, 0,
-                                             keepdims=False)
-            return k, v
-        k, v = self.keys[layer], self.values[layer]
+        """Dequantized K/V views [B, KVH, cap, D] for jnp attention.
+        These are reshape+transpose views of the token-major buffer — XLA
+        folds them into the consuming dot. ``layer`` may be traced in
+        stacked mode."""
+        buf = self.fused_layer(layer)
+        b, cap = buf.shape[0], buf.shape[1]
+        kvh, d = self.kv_heads, self.head_dim
+
+        def split(plane):
+            x = buf[:, :, plane].reshape(b, cap, kvh, d)
+            return x.transpose(0, 2, 1, 3)
+
+        k, v = split(0), split(1)
         if self.quant_scales is not None:
-            ks, vs = self.quant_scales[layer]
-            k = k.astype(jnp.float32) * ks
-            v = v.astype(jnp.float32) * vs
+            s = self.quant_scales[layer]               # [B, cap, 2, KVH]
+            k = k.astype(jnp.float32) * s[:, :, 0].transpose(0, 2, 1)[..., None]
+            v = v.astype(jnp.float32) * s[:, :, 1].transpose(0, 2, 1)[..., None]
         return k, v

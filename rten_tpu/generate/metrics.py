@@ -26,6 +26,19 @@ class Metrics:
         self.step_times.append(now - self._last)
         self._last = now
 
+    def step_n(self, n):
+        """Record ``n`` tokens that arrived together (an on-device decode
+        burst): the interval since the last step is split evenly, so
+        tokens/sec math stays exact without n timestamp calls."""
+        if n <= 0:
+            return
+        now = time.perf_counter()
+        if self.first_token_time is None:
+            self.first_token_time = now - self.start_time
+        dt = (now - self._last) / n
+        self.step_times.extend([dt] * n)
+        self._last = now
+
     @property
     def ttft_s(self) -> float | None:
         return self.first_token_time

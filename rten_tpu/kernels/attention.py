@@ -180,6 +180,127 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
             o_ref.dtype)
 
 
+def _decode_fused_kernel(len_ref, q_ref, kv_ref, o_ref, m_ref, l_ref,
+                         acc_ref, *, scale, block_k, n_k):
+    kb = pl.program_id(1)
+    b = pl.program_id(0)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b]
+    q = q_ref[0]                       # [H, KVH*D] block-diagonal rows
+    kblk = kv_ref[0, :, 0, :]          # [block_k, KVH*D]
+    vblk = kv_ref[0, :, 1, :]
+    h = q.shape[0]
+
+    # Row h of q is zero outside its kv head's column block, so ONE dot
+    # against the full token-major rows yields exactly the per-head
+    # scores — the MXU does the head selection (no in-kernel slicing,
+    # which costs cross-lane relayouts).
+    s = jax.lax.dot_general(q, kblk.astype(q.dtype),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_pos = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (h, block_k), 1)
+    s = jnp.where(k_pos < length, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    # P @ V over full rows: row h's slice at its head's columns is the
+    # true output; the caller extracts the block diagonal.
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(kb == n_k - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kv_heads", "scale", "block_k"))
+def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256):
+    """Single-step decode attention over the token-major fused cache.
+
+    q: [B, H, D] (one query token per sequence);
+    kv: [B, cap, 2, KVH*D] — the KVCache fused layout (plane 0 = K,
+    plane 1 = V);
+    lengths: [B] int32 — number of valid cache entries per sequence.
+
+    One program per (sequence, cache block) streams the block's
+    token-major rows once (K and V for ALL heads — bandwidth-optimal).
+    Head separation happens on the MXU: q is expanded to block-diagonal
+    [H, KVH*D] rows outside the kernel, one dot against the full rows
+    gives per-head scores, and P·V accumulates [H, KVH*D] whose block
+    diagonal is the output (extracted by a tiny einsum afterwards). The
+    extra MXU flops are negligible at decode sizes; in exchange the
+    kernel has zero in-kernel slicing and folds the old per-(batch,
+    kv-head) grid (B·KVH·n_k programs) down to B·n_k."""
+    b, h, d = q.shape
+    _, s_max, two, hd_tot = kv.shape
+    assert two == 2 and hd_tot == kv_heads * d and h % kv_heads == 0
+    q_per_kv = h // kv_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_k = min(block_k, s_max)
+    if s_max % block_k:
+        # Ragged capacities: jnp fallback with the same masking semantics.
+        kc = kv[:, :, 0].reshape(b, s_max, kv_heads, d).transpose(0, 2, 1, 3)
+        vc = kv[:, :, 1].reshape(b, s_max, kv_heads, d).transpose(0, 2, 1, 3)
+        kc = jnp.repeat(kc, q_per_kv, axis=1)
+        vc = jnp.repeat(vc, q_per_kv, axis=1)
+        return _attn_reference(q[:, :, None, :], kc, vc, False, scale,
+                               lengths)[:, :, 0, :]
+    n_k = s_max // block_k
+
+    # Head→kv-head one-hot [H, KVH]; block-diagonal expansion and final
+    # extraction are tiny XLA fusions ([B, H, KVH*D] ≈ hundreds of KB).
+    onehot = jnp.eye(kv_heads, dtype=q.dtype).repeat(q_per_kv, axis=0)
+    q_full = (q[:, :, None, :] * onehot[None, :, :, None]).reshape(
+        b, h, hd_tot)
+
+    out_full = pl.pallas_call(
+        functools.partial(_decode_fused_kernel, scale=scale,
+                          block_k=block_k, n_k=n_k),
+        grid=(b, n_k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lengths
+            pl.BlockSpec((1, h, hd_tot), lambda bb, kk: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # One block spans BOTH planes (K and V arrive together;
+            # Mosaic requires the last-two block dims be full or 8/128-
+            # aligned, so the plane dim must be whole anyway).
+            pl.BlockSpec((1, block_k, 2, hd_tot),
+                         lambda bb, kk: (bb, kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, hd_tot), lambda bb, kk: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, hd_tot), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, hd_tot), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_max * hd_tot,
+            bytes_accessed=kv.size * kv.dtype.itemsize + 8 * b * h * hd_tot,
+            transcendentals=b * h * s_max),
+        interpret=_interpret(),
+    )(jnp.asarray(lengths, jnp.int32), q_full, kv)
+    # Extract the block diagonal: out[b, h] = out_full[b, h, g(h) block].
+    out4 = out_full.reshape(b, h, kv_heads, d)
+    return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_k"))
 def flash_decode(q, k_cache, v_cache, lengths, scale=None, block_k=256):
     """Single-step decode attention.

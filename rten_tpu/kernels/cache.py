@@ -1,0 +1,92 @@
+"""Pallas KV-cache append: in-place per-sequence writes into HBM.
+
+The decode-step profile (tools/profile_decode.py, v5e round 2) showed the
+XLA lowering of the per-slot cache append — ``vmap(dynamic_update_slice)``
+over batch with per-sequence offsets — costing ~103 us/layer, half the
+entire GPT-2 decode step: XLA turns it into a scatter that rewrites the
+KV buffer. The append is logically B tiny contiguous writes, so this
+kernel does exactly that: the cache stays in HBM (aliased input->output
+so nothing is copied) and one DMA per (sequence, buffer) moves the new
+token's row to ``cache[b, lengths[b]]`` — the token-major fused layout
+(generate/kv_cache.py) makes that row contiguous and 128-lane aligned,
+which Mosaic requires of DMA slices.
+
+The reference's analog is the ownership-transferring in-place
+``NdTensor::append`` (rten-tensor/src/tensor.rs:1110,830;
+rten-generate/src/generator.rs:507-521) — this is its TPU re-imagining.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def cache_append(lengths, caches, news):
+    """Write one new position into each cache at per-sequence offsets.
+
+    lengths: [B] int32 — write position per sequence.
+    caches:  tuple of token-major [B, cap, ...] arrays (any dtypes) —
+             position is dim 1, trailing dims are copied whole. The
+             trailing row must be 128-lane aligned (e.g. [B, cap, 2,
+             KVH*D] with KVH*D a multiple of 128).
+    news:    tuple of [B, 1, ...] arrays (same trailing dims/dtypes).
+
+    Returns the updated caches. The cache buffers are aliased in place —
+    under ``jit`` with the caller donating the caches, no copy is made.
+    """
+    caches = tuple(caches)
+    news = tuple(news)
+    n = len(caches)
+    assert n == len(news) and n >= 1
+    batch = news[0].shape[0]
+
+    def kernel(*refs):
+        lens_ref = refs[0]
+        new_refs = refs[1:1 + n]
+        out_refs = refs[1 + 2 * n:1 + 3 * n]
+        sem = refs[-1]
+        # Start all DMAs, then drain. Each copies [H, 1, D] from VMEM into
+        # the HBM cache row at this sequence's current length.
+        copies = []
+        for b in range(batch):
+            pos = lens_ref[b]
+            for i in range(n):
+                dma = pltpu.make_async_copy(
+                    new_refs[i].at[b],
+                    out_refs[i].at[b, pl.ds(pos, 1)],
+                    sem.at[b * n + i],
+                )
+                dma.start()
+                copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=(
+            # News stay in HBM like the caches (ANY would place the small
+            # arrays in VMEM, whose refs Mosaic slices with stricter
+            # tiling rules); the DMA engine copies HBM→HBM rows directly.
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.HBM)] * n
+            + [pl.BlockSpec(memory_space=pltpu.HBM)] * n
+        ),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.HBM)
+                        for _ in range(n)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches),
+        # args: lengths, new_0..new_{n-1}, cache_0..cache_{n-1}
+        input_output_aliases={1 + n + i: i for i in range(n)},
+        scratch_shapes=[pltpu.SemaphoreType.DMA((batch * n,))],
+        interpret=_interpret(),
+    )(jnp.asarray(lengths, jnp.int32), *news, *caches)
+    return tuple(out) if isinstance(out, (list, tuple)) else (out,)

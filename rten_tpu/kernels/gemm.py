@@ -144,14 +144,26 @@ def _int8wo_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k):
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
-def matmul_int8_weight_only(x, w, w_scales, block_m=256, block_n=256,
-                            block_k=512):
+def matmul_int8_weight_only(x, w, w_scales, block_m=256, block_n=None,
+                            block_k=None):
     """``x`` f32 [M, K] × int8 ``w`` [K, N] (per-column ``w_scales``) → f32.
     The decode-friendly int8 path: weights stream at 1 byte/element and
-    dequantize in VMEM; activations stay float."""
+    dequantize in VMEM; activations stay float.
+
+    Decode-size calls (small M) are grid-overhead-bound, not compute-bound
+    (v5e profile: the old 256×512 tiles put an 18-program grid on a
+    [8,768]×[768,2304] matmul and lost to the plain f32 dot), so the
+    default tiling keeps K whole and N wide — a handful of programs, each
+    dequantizing one VMEM-resident panel."""
     m, k = x.shape
     k2, n = w.shape
     assert k == k2, f"contraction mismatch {k} vs {k2}"
+    if block_n is None:
+        # Wide-N default; shrink for large M where the f32 dequant panel
+        # (bk × bn × 4B) plus accumulator must still fit VMEM.
+        block_n = 1024 if m <= 64 else 256
+    if block_k is None:
+        block_k = 2048 if m <= 64 else 512
     bm = min(block_m, _round_up(m, 8))
     bn = min(block_n, _round_up(n, 128))
     bk = min(block_k, _round_up(k, 128))

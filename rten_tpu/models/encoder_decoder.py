@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..generate.kv_cache import KVCache
-from ..kernels.attention import _attn_reference, flash_attention, flash_decode
+from ..kernels.attention import (_attn_reference, flash_attention,
+                                 flash_decode_fused)
 from .transformer import _norm, _rope, linear
 
 
@@ -180,11 +181,12 @@ class EncoderDecoderLM:
             if cache is not None:
                 cache = cache.append(i, k, v, position=0 if s > 1 else None)
             if s == 1 and cache is not None:
-                kc, vc = cache.layer_kv(i)
-                if cfg.use_pallas:
-                    out = flash_decode(q[:, :, 0, :], kc, vc,
-                                       cache.lengths + 1)[:, :, None, :]
+                if cfg.use_pallas and cache.quant_scales is None:
+                    out = flash_decode_fused(
+                        q[:, :, 0, :], cache.fused_layer(i),
+                        cache.lengths + 1, cfg.n_heads)[:, :, None, :]
                 else:
+                    kc, vc = cache.layer_kv(i)
                     out = _attn_reference(q, kc, vc, False,
                                           1.0 / math.sqrt(cfg.head_dim),
                                           cache.lengths + 1)

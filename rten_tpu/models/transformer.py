@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..generate.kv_cache import KVCache
-from ..kernels.attention import flash_attention, flash_decode
+from ..kernels.attention import flash_attention, flash_decode_fused
 from ..kernels import gemm as gk
 from ..kernels import quant as qt
 
@@ -152,7 +152,13 @@ def linear(x, w, bias=None):
 
 def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
     """Convert all 2-D projection weights in a parameter pytree to
-    quantized storage. Embeddings / norms stay in float."""
+    quantized storage. Embeddings / norms stay in float.
+
+    Tied-embedding models get a separate quantized ``lm_head`` built from
+    ``embed.T``: the logits matmul is the single largest weight read of a
+    decode step (vocab×d_model, e.g. 154 MB in f32 for GPT-2-small), so
+    streaming it at 1 B/element matters even though the gather-side
+    embedding stays float."""
     def convert(path, w):
         name = path[-1] if path else ""
         if not isinstance(w, jnp.ndarray) and not isinstance(w, np.ndarray):
@@ -175,7 +181,13 @@ def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
             return [walk(v, path + (str(i),)) for i, v in enumerate(obj)]
         return convert(path, obj)
 
-    return walk(params, ())
+    out = walk(params, ())
+    if isinstance(out, dict) and "embed" in out and "lm_head" not in out:
+        head = np.asarray(out["embed"]).T  # [d_model, vocab]
+        q, scales = qt.abs_max_quantize_int8(head, axis=0)
+        out["lm_head"] = QuantWeight("int8", jnp.asarray(q),
+                                     jnp.asarray(scales), n=head.shape[1])
+    return out
 
 
 def stack_layer_params(layers: list) -> dict:
@@ -301,15 +313,17 @@ class TransformerLM:
             cache = cache.append(layer_idx, k, v,
                                  position=0 if s > 1 else None)
         if s == 1 and cache is not None:
-            kc, vc = cache.layer_kv(layer_idx)
-            # The per-(batch, kv-head) flash-decode grid only pays off when
-            # each program has real MXU rows (GQA: q_per_kv > 1). For MHA
-            # (1 query row/program) XLA's fused attention is faster.
-            if cfg.use_pallas and h // kvh > 1:
-                out = flash_decode(q[:, :, 0, :], kc, vc, cache.lengths + 1)
+            # Fused token-major kernel: one program per (sequence, cache
+            # block) streams K+V rows for all heads once
+            # (kernels/attention.py::flash_decode_fused).
+            if cfg.use_pallas and cache.quant_scales is None:
+                out = flash_decode_fused(q[:, :, 0, :],
+                                         cache.fused_layer(layer_idx),
+                                         cache.lengths + 1, kvh)
                 out = out[:, :, None, :]
             else:
                 from ..kernels.attention import _attn_reference
+                kc, vc = cache.layer_kv(layer_idx)
                 if kvh != h:
                     kc = jnp.repeat(kc, h // kvh, axis=1)
                     vc = jnp.repeat(vc, h // kvh, axis=1)
@@ -390,7 +404,7 @@ class TransformerLM:
                 x = x + self._mlp(layer, mlp_in)
 
         x = _norm(cfg, x, params["ln_f_scale"], params.get("ln_f_bias"))
-        if cfg.tie_embeddings:
+        if cfg.tie_embeddings and "lm_head" not in params:
             logits = jnp.matmul(x, params["embed"].T.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
         else:

@@ -76,14 +76,18 @@ def shard_params(params, mesh: Mesh):
 
 
 def cache_shardings(cache, mesh: Mesh):
-    kv = NamedSharding(mesh, P("data", "model", None, None))
+    # Token-major fused layout [B, cap, 2, KVH*D]: batch over the data
+    # axis, the head-fused last dim over the model axis (aligned with the
+    # column-sharded QKV projections that produce it).
+    kv = NamedSharding(mesh, P("data", None, None, "model"))
     lengths = NamedSharding(mesh, P("data"))
     from ..generate.kv_cache import KVCache
     scales = None
     if cache.quant_scales is not None:
-        scales = [(kv, kv) for _ in cache.quant_scales]
-    return KVCache([kv] * cache.n_layers, [kv] * cache.n_layers, lengths,
-                   scales)
+        scales = [NamedSharding(mesh, P("data", None, None, "model"))
+                  for _ in cache.quant_scales]
+    return KVCache([kv] * cache.n_layers, lengths, scales,
+                   cache.kv_heads, cache.head_dim)
 
 
 def shard_cache(cache, mesh: Mesh):

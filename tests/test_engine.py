@@ -121,7 +121,7 @@ def test_engine_bfloat16_mode():
                                rtol=0.05, atol=0.05)
     # cache dtype follows the compute dtype
     cache = m16.new_cache(1, 16)
-    assert cache.keys[0].dtype == jnp.bfloat16
+    assert cache.kv[0].dtype == jnp.bfloat16
     eng = ServingEngine(m16, params, max_batch=1, capacity=32,
                         prefill_buckets=(8,))
     outs = eng.generate([[5, 9, 11]], max_new_tokens=4)

@@ -226,3 +226,26 @@ def test_detr_rten_graph_quantizes():
         (np.abs(np.asarray(want_cls)).max() + 1e-9)
     assert rel < 0.25  # int8 through 4 transformer layers + backbone
     assert np.asarray(got_box).shape == (1, cfg.n_queries, 4)
+
+
+def test_quantized_tied_lm_head():
+    """quantize_weights on a tied-embedding model adds an int8 lm_head
+    (the logits matmul is the largest per-step weight read; see
+    models/transformer.py). Logits must stay close to f32 and the
+    greedy decision must agree on a tiny model."""
+    from rten_tpu.models.transformer import (QuantWeight, TransformerConfig,
+                                             TransformerLM)
+    cfg = TransformerConfig.tiny_test()
+    assert cfg.tie_embeddings
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    qparams = quantize_weights(params, "int8")
+    assert isinstance(qparams["lm_head"], QuantWeight)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 6)),
+                      jnp.int32)
+    ref, _ = model.forward(params, ids)
+    got, _ = model.forward(qparams, ids)
+    # Per-channel int8 on both projections and the head: small abs error.
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 0.05
+    assert (np.argmax(np.asarray(got)[:, -1], -1)
+            == np.argmax(np.asarray(ref)[:, -1], -1)).all()

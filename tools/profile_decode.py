@@ -1,0 +1,246 @@
+"""Decode-step cost decomposition (round-2 item 1: confirm the overhead
+model before building the fused decode kernel).
+
+Times on-device decode bursts for ablated model variants and differences
+them:
+
+* layer scaling (12/6/3 layers) -> per-layer cost + fixed cost
+  (embed + final norm + LM head + sampler + scan step overhead);
+* attention ablated (attn block replaced by the QKV projection result's
+  first slice) -> attention cost incl. cache append;
+* cache-append ablated -> dynamic_update_slice cost;
+* MLP ablated -> MLP cost;
+* f32 vs int8-weight variants;
+* HLO kernel counts from the compiled program (launch-overhead model).
+
+Run on TPU:  python tools/profile_decode.py
+Run on CPU:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+                 python tools/profile_decode.py --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def build(cfg_kw, ablate=()):
+    import jax.numpy as jnp
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+
+    cfg = TransformerConfig.gpt2(**cfg_kw)
+
+    class Ablated(TransformerLM):
+        def _attention(self, layer_params, x, positions, cache, layer_idx,
+                       lengths):
+            if "attn" in ablate:
+                # Keep the QKV projection (it is a matmul we still want to
+                # count) but skip scores/softmax/PV and the cache append.
+                from rten_tpu.models.transformer import linear
+                qkv = linear(x, layer_params["wqkv"],
+                             layer_params.get("bqkv"))
+                d = x.shape[-1]
+                out = qkv[..., :d]
+                return linear(out, layer_params["wo"],
+                              layer_params.get("bo")), cache
+            if "append" in ablate and cache is not None:
+                # Attention against the (stale) cache without appending.
+                saved_append = cache.append
+                cache.append = lambda *a, **k: cache  # type: ignore
+                try:
+                    return super()._attention(layer_params, x, positions,
+                                              cache, layer_idx, lengths)
+                finally:
+                    cache.append = saved_append
+            return super()._attention(layer_params, x, positions, cache,
+                                      layer_idx, lengths)
+
+        def _mlp(self, layer_params, x):
+            if "mlp" in ablate:
+                return x
+            return super()._mlp(layer_params, x)
+
+    return Ablated(cfg), cfg
+
+
+def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=()):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache = model.new_cache(batch, capacity)
+    # Fake a prefill depth so attention reads a realistic cache span.
+    cache = cache.advance(64)
+    tokens = jnp.zeros(batch, jnp.int32)
+
+    def burst(params, tokens, cache):
+        def body(carry, _):
+            tokens, cache = carry
+            logits, cache = model.decode_step(params, tokens, cache)
+            if "sample" in ablate:
+                # Keep logits live (else the head is dead code) but skip
+                # the argmax reduction.
+                nxt = tokens + logits[:, 0].astype(jnp.int32) * 0
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, cache), None
+
+        (tokens, cache), _ = jax.lax.scan(body, (tokens, cache), None,
+                                          length=n_steps)
+        return tokens, cache
+
+    fn = jax.jit(burst, donate_argnums=(2,))
+    lowered = fn.lower(params, tokens, cache)
+    compiled = lowered.compile()
+    kernels = count_kernels(compiled)
+
+    # Warmup (the cache is donated; rebind to each call's output).
+    out, cache = fn(params, tokens, cache)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, cache = fn(params, tokens, cache)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return best / n_steps, kernels
+
+
+_KERNEL_OPS = ("fusion", "custom-call", "dynamic-update-slice", "scatter",
+               "dot", "copy", "convolution")
+
+
+def count_kernels(compiled):
+    """Count kernel-launching opcodes in the while-body computation of the
+    compiled HLO (the scan body ≈ one decode step) — a proxy for
+    per-step kernel launches."""
+    try:
+        text = compiled.as_text()
+    except Exception:
+        return None
+    # Split into computations: a computation header is a line ending in '{'
+    # whose first token is ENTRY or %name / name.
+    comps: dict[str, dict] = {}
+    current = None
+    for line in text.splitlines():
+        stripped = line.strip()
+        if stripped.endswith("{") and ("(" in stripped) and \
+                not stripped.startswith(("ROOT", "//")):
+            current = stripped.split()[0].lstrip("%")
+            if current == "ENTRY":
+                current = stripped.split()[1].lstrip("%")
+            comps[current] = {}
+        elif current and " = " in stripped:
+            m = re.match(r"(?:ROOT\s+)?%?[\w\.\-]+\s*=\s*\S+\s+([\w\-]+)",
+                         stripped)
+            if m:
+                op = m.group(1)
+                comps[current][op] = comps[current].get(op, 0) + 1
+    if not comps:
+        return None
+    # The scan body is the computation with the most kernel-launching ops.
+    def launches(ops):
+        return sum(v for k, v in ops.items() if k in _KERNEL_OPS)
+    name, ops = max(comps.items(), key=lambda kv: launches(kv[1]))
+    return {"computation": name, "ops": launches(ops),
+            "total_ops": sum(ops.values()),
+            "breakdown": {k: v for k, v in sorted(
+                ops.items(), key=lambda kv: -kv[1]) if k in _KERNEL_OPS}}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config for CPU smoke")
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substring filter of variant names "
+                         "(saves remote compiles)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/rten_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from rten_tpu.models.transformer import quantize_weights
+
+    print(f"backend={jax.default_backend()}", flush=True)
+
+    if args.tiny:
+        base_kw = dict(vocab_size=512, n_layers=4, n_heads=4, d_model=128,
+                       d_ff=256, max_seq_len=128)
+        layer_counts = (4, 2)
+        batch, capacity = 4, 128
+    else:
+        base_kw = {}
+        layer_counts = (12, 6, 3)
+        batch, capacity = 8, 512
+
+    results = {}
+
+    def run(name, cfg_kw, ablate=(), quant=None):
+        if args.only and not any(tok in name
+                                 for tok in args.only.split(",")):
+            return
+        model, cfg = build(cfg_kw, ablate)
+        params = model.init_params(jax.random.PRNGKey(0))
+        if "lmhead" in ablate:
+            # Shrink the head to 128 columns (the burst only argmaxes the
+            # logits, so the narrower shape is legal) — isolates the
+            # [d, vocab] weight stream of the real head.
+            params["lm_head"] = jnp.asarray(
+                np.asarray(params["embed"]).T[:, :128].copy())
+        if quant:
+            params = quantize_weights(params, quant)
+        per_step, kernels = time_burst(model, params, batch, capacity,
+                                       args.steps, ablate=ablate)
+        results[name] = (per_step, kernels)
+        kinfo = ""
+        if kernels:
+            kinfo = (f" launches/step={kernels['ops']}"
+                     f" {kernels['breakdown']}")
+        print(f"{name:30s} {per_step * 1e6:9.1f} us/step{kinfo}", flush=True)
+
+    for L in layer_counts:
+        run(f"f32 L={L}", {**base_kw, "n_layers": L})
+    L0 = layer_counts[0]
+    run("f32 no-attn", {**base_kw, "n_layers": L0}, ablate=("attn",))
+    run("f32 no-append", {**base_kw, "n_layers": L0}, ablate=("append",))
+    run("f32 no-mlp", {**base_kw, "n_layers": L0}, ablate=("mlp",))
+    run("f32 no-lmhead", {**base_kw, "n_layers": L0}, ablate=("lmhead",))
+    run("f32 no-sample", {**base_kw, "n_layers": L0}, ablate=("sample",))
+    run("int8 full", {**base_kw, "n_layers": L0}, quant="int8")
+    run("bf16 full", {**base_kw, "n_layers": L0, "dtype": "bfloat16"})
+
+    # Derived decomposition
+    if args.only:
+        return
+    if len(layer_counts) >= 2:
+        a, b = layer_counts[0], layer_counts[1]
+        ta, tb = results[f"f32 L={a}"][0], results[f"f32 L={b}"][0]
+        per_layer = (ta - tb) / (a - b)
+        fixed = ta - per_layer * a
+        print(f"\nper-layer {per_layer * 1e6:.1f} us; "
+              f"fixed (embed+lmhead+sample+scan) {fixed * 1e6:.1f} us")
+        attn = (results[f"f32 L={L0}"][0] - results["f32 no-attn"][0]) / L0
+        app = (results[f"f32 L={L0}"][0] - results["f32 no-append"][0]) / L0
+        mlp = (results[f"f32 L={L0}"][0] - results["f32 no-mlp"][0]) / L0
+        print(f"per-layer attention(+append) {attn * 1e6:.1f} us; "
+              f"append alone {app * 1e6:.1f} us; mlp {mlp * 1e6:.1f} us")
+
+
+if __name__ == "__main__":
+    main()
