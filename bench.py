@@ -61,9 +61,10 @@ def main():
     # scan-unrolled interpret-mode kernels make bursts trace-slow.
     burst = 64 if on_tpu else 1
 
-    def measure(p):
+    def measure(p, cache_dtype=None):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
-                            prefill_buckets=(prompt_len,))
+                            prefill_buckets=(prompt_len,),
+                            cache_dtype=cache_dtype)
         reqs = [eng.submit(pr, max_new_tokens=decode_steps)
                 for pr in prompts]
         eng._admit()
@@ -85,7 +86,11 @@ def main():
         metric, value, vs = "gpt2_f32_decode_tokens_s_chip", f32_tps, 1.0
     else:
         try:
-            int8_tps, int8_ttft = measure(quantize_weights(params, "int8"))
+            # The int8 serving config: int8 weights (Pallas 1 B/elt GEMM
+            # for large weights incl. the LM head, loop-hoisted bf16 for
+            # small ones) + bf16 KV cache via the fused decode kernel.
+            int8_tps, int8_ttft = measure(quantize_weights(params, "int8"),
+                                          cache_dtype="bfloat16")
             metric = "gpt2_int8_decode_tokens_s_chip"
             value = int8_tps
             vs = int8_tps / f32_tps

@@ -57,12 +57,20 @@ class ServingEngine:
     def __init__(self, model, params, max_batch=8, capacity=1024,
                  sampler: Optional[Sampler] = None, quantized_cache=False,
                  prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
-                 mesh=None):
+                 mesh=None, paged=False, page_size=64, pool_pages=None,
+                 cache_dtype=None):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
         XLA inserting the ICI collectives. ``max_batch`` must divide by
-        the data-axis size."""
+        the data-axis size.
+
+        ``paged=True``: block-paged KV cache — HBM holds only the pages
+        sequences actually use (``pool_pages`` × ``page_size`` tokens
+        shared across slots; default pool = max_batch × capacity, i.e.
+        no oversubscription). Long and short requests share the pool;
+        a request exceeding its mapped pages gets more from the host
+        allocator before each decode burst."""
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -73,12 +81,25 @@ class ServingEngine:
         self.capacity = capacity
         self.sampler = sampler or ArgMaxSampler()
         self.quantized_cache = quantized_cache
+        self.cache_dtype = cache_dtype
+        self.paged = paged
+        self.page_size = page_size
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= capacity) or (capacity,)
         self._key = jax.random.PRNGKey(seed)
 
-        self.cache = model.new_cache(max_batch, capacity,
-                                     quantized=quantized_cache)
+        if paged:
+            assert mesh is None and not quantized_cache, \
+                "paged mode is single-mesh, float-cache for now"
+            from .paged_cache import PagedKVCache
+            n_pages = pool_pages or max_batch * (-(-capacity // page_size))
+            self.cache = model.new_paged_cache(max_batch, capacity,
+                                               page_size, n_pages)
+            self.allocator = PagedKVCache.make_allocator(n_pages)
+        else:
+            self.cache = model.new_cache(max_batch, capacity,
+                                         quantized=quantized_cache,
+                                         cache_dtype=cache_dtype)
         if mesh is not None:
             from ..parallel import shard_cache
             self.cache = shard_cache(self.cache, mesh)
@@ -101,9 +122,19 @@ class ServingEngine:
             """Batched prefill: tokens [G, bucket], per-request lengths
             [G]. One compile per (bucket, G) pair; admission batches all
             same-bucket queued requests to amortize dispatch."""
-            group = tokens.shape[0]
-            cache = model.new_cache(group, capacity,
-                                    quantized=quantized_cache)
+            group, bucket = tokens.shape
+            if self.paged:
+                # Group cache with an identity page table: each prefilled
+                # sequence owns ceil(bucket/page) pool pages, adopted
+                # into the serving pool at insert time.
+                cache = model.new_paged_cache(
+                    group, bucket, self.page_size,
+                    group * (-(-bucket // self.page_size)),
+                    identity_table=True)
+            else:
+                cache = model.new_cache(group, capacity,
+                                        quantized=quantized_cache,
+                                        cache_dtype=self.cache_dtype)
             logits, cache = model.forward(
                 params, tokens, cache,
                 lengths=jnp.zeros(group, jnp.int32))
@@ -195,6 +226,15 @@ class ServingEngine:
             for gi, (req, _) in enumerate(group_pairs):
                 tokens[gi, :len(req.prompt_ids)] = req.prompt_ids
                 lengths[gi] = len(req.prompt_ids)
+            if self.paged:
+                # Map pages covering the whole prefill bucket (insert
+                # copies ceil(bucket/page) pages) plus the first decode
+                # token's page.
+                pages = -(-bucket // self.page_size)
+                for req, slot in group_pairs:
+                    self.cache = self.allocator.ensure_capacity(
+                        self.cache, slot, pages * self.page_size + 1,
+                        length=0)
             last_logits, prefilled = self._prefill(
                 self.params, jnp.asarray(tokens), jnp.asarray(lengths))
             self._key, sub = jax.random.split(self._key)
@@ -210,10 +250,17 @@ class ServingEngine:
                 if self._sched is not None:
                     if self._sched.commit_first(slot, first):
                         req.done = True
-                        self.slot_request[slot] = None
+                        self._free_slot(slot)
                 else:
                     self._finish_if_done(slot, first,
                                          length=int(lengths[gi]))
+
+    def _free_slot(self, slot):
+        """Mark a finished request's slot reusable (and return its KV
+        pages to the pool in paged mode)."""
+        self.slot_request[slot] = None
+        if self.paged:
+            self.cache = self.allocator.release_slot(self.cache, slot)
 
     def _finish_if_done(self, slot, token, length=None):
         req = self.slot_request[slot]
@@ -227,7 +274,7 @@ class ServingEngine:
         if token in req.stop_ids or len(req.tokens) >= req.max_new_tokens \
                 or length + 1 >= self.capacity:
             req.done = True
-            self.slot_request[slot] = None
+            self._free_slot(slot)
 
     def _commit_tokens(self, toks_np, lengths_np, active) -> int:
         """Deliver a [n, B] burst of sampled tokens to the active
@@ -247,7 +294,7 @@ class ServingEngine:
                 self.current_tokens[slot] = req.tokens[-1]
                 if done[slot]:
                     req.done = True
-                    self.slot_request[slot] = None
+                    self._free_slot(slot)
             return emitted
         n = toks_np.shape[0]
         for slot in active:
@@ -272,6 +319,11 @@ class ServingEngine:
                   if self.slot_request[s] is not None]
         if not active:
             return 0
+        if self.paged:
+            pre_lengths = np.asarray(self.cache.lengths)
+            for slot in active:
+                self.cache = self.allocator.ensure_capacity(
+                    self.cache, slot, 2, length=int(pre_lengths[slot]))
         self._key, sub = jax.random.split(self._key)
         next_tokens, logits, self.cache = self._decode(
             self.params, jnp.asarray(self.current_tokens), self.cache, sub)
@@ -293,6 +345,10 @@ class ServingEngine:
         lengths_np = np.asarray(self.cache.lengths)
         headroom = self.capacity - 1 - max(int(lengths_np[s]) for s in active)
         n = min(n, max(1, headroom))
+        if self.paged:
+            for slot in active:
+                self.cache = self.allocator.ensure_capacity(
+                    self.cache, slot, n + 1, length=int(lengths_np[slot]))
         self._key, sub = jax.random.split(self._key)
         toks, self.cache = self._decode_burst(
             self.params, jnp.asarray(self.current_tokens), self.cache, sub,

@@ -156,10 +156,14 @@ class KVCache:
         packed = packed.astype(buf.dtype)
         scales = self.quant_scales
 
-        if position is None and t == 1 and (kvh * d) % _LANE == 0:
+        if position is None and t == 1 and (kvh * d) % _LANE == 0 \
+                and buf.dtype.itemsize >= 2:
             # Decode append at per-sequence depths: the Pallas in-place
             # kernel writes B contiguous row DMAs instead of XLA's
-            # scatter (see module docstring).
+            # scatter (see module docstring). int8 caches use the XLA
+            # fallback: Mosaic pads the plane dim (2 -> 4 sublanes) under
+            # int8 packing and rejects DMA slices of padded dims; the
+            # scatter is on a 4x smaller buffer there anyway.
             from ..kernels.cache import cache_append
             (new_buf,) = cache_append(self.lengths, (buf,), (packed,))
         elif position is None:

@@ -1,4 +1,4 @@
-"""Block-paged KV cache (vLLM-style).
+"""Block-paged KV cache (vLLM-style), token-major.
 
 The slot-contiguous :class:`~rten_tpu.generate.kv_cache.KVCache` wastes
 capacity when sequence lengths vary: every slot reserves ``capacity``
@@ -7,18 +7,22 @@ and maps them per sequence through a page table, so HBM holds only the
 pages actually used and long/short requests share the pool.
 
 Layout (per layer):
-  * ``pool``   — [n_pages, 2, page_size, KVH, D]  (k=0 / v=1 planes)
-  * page table — [B, max_pages] int32 page ids (-1 = unallocated)
+  * ``pool``   — [n_pages, page_size, 2, KVH*D]  (k=0 / v=1 planes,
+    token-major rows like KVCache — one token's K/V is contiguous)
+  * page table — [B, max_pages_per_seq] int32 page ids (-1 = unmapped)
   * lengths    — [B] tokens written per sequence
 
-Appends write into the tail page via ``dynamic_update_slice`` (donated
-under jit — in-place HBM updates). Attention gathers the pages of each
-sequence into a contiguous [cap, KVH, D] view and reuses the masked
-decode attention; a Pallas gather-attention over the page table directly
-is the round-2 upgrade.
+Device ops are Pallas kernels sharing KVCache's machinery:
+  * decode append — :func:`rten_tpu.kernels.cache.paged_append` (one
+    in-place row DMA per sequence, page resolved through the table);
+  * decode attention — :func:`...attention.flash_decode_paged` (the page
+    table is a scalar-prefetch operand; each grid program DMAs exactly
+    its sequence's page — the cache is never materialized contiguously).
 
-Page allocation/free is HOST-side bookkeeping (the scheduler owns it),
-mirroring how the engine owns slots; device code only sees the table.
+Page allocation/free is HOST-side bookkeeping (the engine's scheduler
+owns it, mirroring slot ownership); device code only sees the table.
+Implements the same protocol as KVCache (append/layer_kv/advance/
+insert_sequence/with_lengths) so models are paging-agnostic.
 """
 
 from __future__ import annotations
@@ -29,33 +33,43 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_LANE = 128
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PagedKVCache:
-    pools: list          # per layer [n_pages, 2, page, KVH, D]
-    page_table: object   # [B, max_pages] int32
+    pools: list          # per layer [n_pages, page, 2, KVH*D]
+    page_table: object   # [B, max_pages_per_seq] int32
     lengths: object      # [B] int32
     page_size: int
+    kv_heads: int = 1
+    head_dim: int = 1
+
+    # KVCache-protocol marker: models check this to pick the paged
+    # attention kernel.
+    paged = True
+    quant_scales = None
+    stacked = False
 
     def tree_flatten(self):
         return ((self.pools, self.page_table, self.lengths),
-                (self.page_size,))
+                (self.page_size, self.kv_heads, self.head_dim))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0])
+        return cls(*children, *aux)
 
     # -- construction ------------------------------------------------------
 
     @staticmethod
     def create(n_layers, n_pages, page_size, kv_heads, head_dim, batch,
                max_pages_per_seq, dtype=jnp.float32):
-        pools = [jnp.zeros((n_pages, 2, page_size, kv_heads, head_dim),
+        pools = [jnp.zeros((n_pages, page_size, 2, kv_heads * head_dim),
                            dtype) for _ in range(n_layers)]
         table = jnp.full((batch, max_pages_per_seq), -1, jnp.int32)
-        return PagedKVCache(pools, table,
-                            jnp.zeros(batch, jnp.int32), page_size)
+        return PagedKVCache(pools, table, jnp.zeros(batch, jnp.int32),
+                            page_size, kv_heads, head_dim)
 
     @property
     def n_layers(self):
@@ -69,50 +83,106 @@ class PagedKVCache:
     def max_pages_per_seq(self):
         return self.page_table.shape[1]
 
+    @property
+    def capacity(self):
+        return self.max_pages_per_seq * self.page_size
+
+    def with_lengths(self, lengths):
+        return PagedKVCache(self.pools, self.page_table,
+                            jnp.asarray(lengths, jnp.int32),
+                            self.page_size, self.kv_heads, self.head_dim)
+
     # -- device ops --------------------------------------------------------
 
-    def append_token(self, layer, k, v):
-        """Write one token's K/V ([B, KVH, D]) for every sequence at its
-        current length. The tail page must already be mapped (host
-        allocator guarantees it before the decode step)."""
-        page_idx = self.lengths // self.page_size
-        offset = self.lengths % self.page_size
-        page_ids = jnp.take_along_axis(self.page_table, page_idx[:, None],
-                                       axis=1)[:, 0]
+    def _pack(self, k_new, v_new):
+        """[B, KVH, T, D] k/v → token-major [B, T, 2, KVH*D]."""
+        b, kvh, t, d = k_new.shape
+        return jnp.stack(
+            [k_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d),
+             v_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d)], axis=2)
 
-        def write_one(pool, page_id, off, kv_tok):
-            # kv_tok: [2, KVH, D] → write at [page_id, :, off]
-            return jax.lax.dynamic_update_slice(
-                pool, kv_tok[None, :, None].astype(pool.dtype),
-                (page_id, 0, off, 0, 0))
-
-        kv_tok = jnp.stack([k, v], axis=1)          # [B, 2, KVH, D]
+    def append(self, layer, k_new, v_new, position=None):
+        """KVCache-protocol append. Decode (T == 1, position None) is an
+        in-place page-row DMA; prefill (scalar position) scatters whole
+        pages into the mapped table entries (once per request)."""
+        b, kvh, t, d = k_new.shape
+        packed = self._pack(k_new, v_new)
         pool = self.pools[layer]
+        packed = packed.astype(pool.dtype)
+        page = self.page_size
 
-        def body(i, pool):
-            return write_one(pool, page_ids[i], offset[i], kv_tok[i])
-
-        pool = jax.lax.fori_loop(0, kv_tok.shape[0], body, pool)
+        if position is None and t == 1:
+            page_idx = self.lengths // page
+            offs = self.lengths % page
+            rows = jnp.take_along_axis(self.page_table,
+                                       page_idx[:, None], axis=1)[:, 0]
+            rows = jnp.maximum(rows, 0)   # unmapped -> page 0 (host
+            # allocator guarantees the tail page is mapped before decode;
+            # the clamp only guards dead slots whose length stays 0)
+            if (kvh * d) % _LANE == 0 and pool.dtype.itemsize >= 2:
+                from ..kernels.cache import paged_append
+                (pool,) = paged_append(rows, offs, (pool,), (packed,))
+            else:
+                def body(i, pl_):
+                    return jax.lax.dynamic_update_slice(
+                        pl_, packed[i][None], (rows[i], offs[i], 0, 0))
+                pool = jax.lax.fori_loop(0, b, body, pool)
+        else:
+            # Prefill from ``position`` (normally 0): pad T to whole
+            # pages and scatter them into each sequence's mapped pages.
+            # Garbage in the tail page past T is masked by ``lengths``
+            # and overwritten by subsequent decode appends.
+            assert position == 0, "paged prefill writes from position 0"
+            n_p = -(-t // page)
+            pad = n_p * page - t
+            if pad:
+                packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            pages = packed.reshape(b, n_p, page, 2, kvh * d)
+            rows = jnp.maximum(self.page_table[:, :n_p], 0)  # [B, n_p]
+            pool = pool.at[rows.reshape(-1)].set(
+                pages.reshape(b * n_p, page, 2, kvh * d))
         pools = list(self.pools)
         pools[layer] = pool
         return PagedKVCache(pools, self.page_table, self.lengths,
-                            self.page_size)
+                            self.page_size, self.kv_heads, self.head_dim)
 
-    def gather_sequence_kv(self, layer):
-        """Materialize contiguous K/V [B, KVH, cap, D] from the pages
-        (cap = max_pages_per_seq * page_size). Unmapped pages read page 0
-        but are masked out by ``lengths`` in attention."""
+    def fused_layer(self, layer):
+        return self.pools[layer]
+
+    def layer_kv(self, layer):
+        """Contiguous dequantized K/V views [B, KVH, cap, D] (gathers the
+        pages — reference/test path; the Pallas kernel reads pages
+        directly)."""
         pool = self.pools[layer]
-        safe_table = jnp.maximum(self.page_table, 0)   # [B, P]
-        pages = pool[safe_table]        # [B, P, 2, page, KVH, D]
-        b, p, _, ps, kvh, d = pages.shape
-        k = pages[:, :, 0].reshape(b, p * ps, kvh, d).transpose(0, 2, 1, 3)
-        v = pages[:, :, 1].reshape(b, p * ps, kvh, d).transpose(0, 2, 1, 3)
+        safe = jnp.maximum(self.page_table, 0)          # [B, P]
+        pages = pool[safe]          # [B, P, page, 2, KVH*D]
+        b, p, ps, _, r = pages.shape
+        kvh, d = self.kv_heads, self.head_dim
+        seq = pages.reshape(b, p * ps, 2, kvh, d)
+        k = seq[:, :, 0].transpose(0, 2, 1, 3)
+        v = seq[:, :, 1].transpose(0, 2, 1, 3)
         return k, v
+
+    def insert_sequence(self, other: "PagedKVCache", slot, length,
+                        src_slot=0):
+        """Adopt sequence ``src_slot`` of a freshly prefilled paged group
+        cache: copy its mapped pages' contents into ``slot``'s mapped
+        pages (both tables must cover ceil(len/page) pages)."""
+        n_p = other.max_pages_per_seq
+        src_rows = jnp.maximum(other.page_table[src_slot], 0)   # [n_p]
+        dst_rows = jnp.maximum(
+            jax.lax.dynamic_slice_in_dim(self.page_table, slot, 1, 0)[0,
+                                                                      :n_p],
+            0)
+        pools = [pool.at[dst_rows].set(src.astype(pool.dtype)[src_rows])
+                 for pool, src in zip(self.pools, other.pools)]
+        lengths = self.lengths.at[slot].set(length)
+        return PagedKVCache(pools, self.page_table, lengths,
+                            self.page_size, self.kv_heads, self.head_dim)
 
     def advance(self, n=1):
         return PagedKVCache(self.pools, self.page_table, self.lengths + n,
-                            self.page_size)
+                            self.page_size, self.kv_heads, self.head_dim)
 
     # -- host-side page allocator -----------------------------------------
 
@@ -139,21 +209,25 @@ class _PageAllocator:
                 self.free.append(int(page))
 
     def ensure_capacity(self, cache: PagedKVCache, slot: int,
-                        tokens_ahead: int):
+                        tokens_ahead: int, length: int | None = None):
         """Map enough pages on ``slot``'s table for ``tokens_ahead`` more
         tokens; returns the updated cache (host-side table update)."""
         table = np.asarray(cache.page_table)
-        length = int(np.asarray(cache.lengths)[slot])
+        if length is None:
+            length = int(np.asarray(cache.lengths)[slot])
         needed_pages = (length + tokens_ahead + cache.page_size - 1) \
             // cache.page_size
         mapped = int((table[slot] >= 0).sum())
+        if mapped >= needed_pages:
+            return cache
         new_table = table.copy()
         for i in range(mapped, needed_pages):
             if i >= cache.max_pages_per_seq:
                 raise MemoryError("sequence exceeds max pages")
             new_table[slot, i] = self.alloc()
         return PagedKVCache(cache.pools, jnp.asarray(new_table),
-                            cache.lengths, cache.page_size)
+                            cache.lengths, cache.page_size, cache.kv_heads,
+                            cache.head_dim)
 
     def release_slot(self, cache: PagedKVCache, slot: int) -> PagedKVCache:
         table = np.asarray(cache.page_table)
@@ -163,4 +237,5 @@ class _PageAllocator:
         lengths = np.asarray(cache.lengths).copy()
         lengths[slot] = 0
         return PagedKVCache(cache.pools, jnp.asarray(new_table),
-                            jnp.asarray(lengths), cache.page_size)
+                            jnp.asarray(lengths), cache.page_size,
+                            cache.kv_heads, cache.head_dim)

@@ -180,8 +180,9 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
             o_ref.dtype)
 
 
-def _decode_fused_kernel(len_ref, q_ref, kv_ref, o_ref, m_ref, l_ref,
-                         acc_ref, *, scale, block_k, n_k):
+def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
+                         l_ref, acc_ref, *, scale, block_k, n_k,
+                         scales_ref=None):
     kb = pl.program_id(1)
     b = pl.program_id(0)
 
@@ -204,6 +205,18 @@ def _decode_fused_kernel(len_ref, q_ref, kv_ref, o_ref, m_ref, l_ref,
     s = jax.lax.dot_general(q, kblk.astype(q.dtype),
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    if scales_ref is not None:
+        # int8 cache: per-(token, head) scales [block_k, 2, KVH]. Row h
+        # of the score matrix only touched head g(h)'s columns, so K's
+        # dequant factors OUT of the dot: s[h, t] *= kscale[t, g(h)].
+        # Expand [block_k, KVH] -> [H, block_k] on the MXU via the same
+        # head one-hot (no lane-expansion relayouts).
+        onehot = onehot_ref[:]                      # [H, KVH]
+        ks = jax.lax.dot_general(
+            onehot, scales_ref[0, :, 0, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [H, block_k]
+        s = s * ks
     k_pos = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (h, block_k), 1)
     s = jnp.where(k_pos < length, s, _NEG_INF)
@@ -213,6 +226,14 @@ def _decode_fused_kernel(len_ref, q_ref, kv_ref, o_ref, m_ref, l_ref,
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if scales_ref is not None:
+        # V's dequant folds into P before the PV dot: row h only reads
+        # head g(h)'s V columns, so p'[h, t] = p[h, t] * vscale[t, g(h)].
+        vs = jax.lax.dot_general(
+            onehot_ref[:], scales_ref[0, :, 1, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = p * vs
     # P @ V over full rows: row h's slice at its head's columns is the
     # true output; the caller extracts the block diagonal.
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -227,12 +248,15 @@ def _decode_fused_kernel(len_ref, q_ref, kv_ref, o_ref, m_ref, l_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("kv_heads", "scale", "block_k"))
-def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256):
+def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256,
+                       kv_scales=None):
     """Single-step decode attention over the token-major fused cache.
 
     q: [B, H, D] (one query token per sequence);
     kv: [B, cap, 2, KVH*D] — the KVCache fused layout (plane 0 = K,
-    plane 1 = V);
+    plane 1 = V); int8 storage supported when ``kv_scales``
+    [B, cap, 2, KVH] (per-token-per-head) is given — dequantization
+    happens on the MXU (see kernel), so the cache streams at 1 B/elt;
     lengths: [B] int32 — number of valid cache entries per sequence.
 
     One program per (sequence, cache block) streams the block's
@@ -253,35 +277,52 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256):
     block_k = min(block_k, s_max)
     if s_max % block_k:
         # Ragged capacities: jnp fallback with the same masking semantics.
-        kc = kv[:, :, 0].reshape(b, s_max, kv_heads, d).transpose(0, 2, 1, 3)
-        vc = kv[:, :, 1].reshape(b, s_max, kv_heads, d).transpose(0, 2, 1, 3)
-        kc = jnp.repeat(kc, q_per_kv, axis=1)
-        vc = jnp.repeat(vc, q_per_kv, axis=1)
-        return _attn_reference(q[:, :, None, :], kc, vc, False, scale,
-                               lengths)[:, :, 0, :]
+        def plane(i):
+            x = kv[:, :, i].reshape(b, s_max, kv_heads, d)
+            if kv_scales is not None:
+                x = x.astype(jnp.float32) * kv_scales[:, :, i][..., None]
+            return jnp.repeat(x.transpose(0, 2, 1, 3), q_per_kv, axis=1)
+        return _attn_reference(q[:, :, None, :], plane(0), plane(1), False,
+                               scale, lengths)[:, :, 0, :]
     n_k = s_max // block_k
 
     # Head→kv-head one-hot [H, KVH]; block-diagonal expansion and final
     # extraction are tiny XLA fusions ([B, H, KVH*D] ≈ hundreds of KB).
-    onehot = jnp.eye(kv_heads, dtype=q.dtype).repeat(q_per_kv, axis=0)
-    q_full = (q[:, :, None, :] * onehot[None, :, :, None]).reshape(
-        b, h, hd_tot)
+    onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
+    q_full = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
+              ).reshape(b, h, hd_tot)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # lengths
+        pl.BlockSpec((1, h, hd_tot), lambda bb, kk: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, kv_heads), lambda bb, kk: (0, 0),
+                     memory_space=pltpu.VMEM),   # head one-hot
+        # One block spans BOTH planes (K and V arrive together; Mosaic
+        # requires the last-two block dims be full or 8/128-aligned, so
+        # the plane dim must be whole anyway).
+        pl.BlockSpec((1, block_k, 2, hd_tot),
+                     lambda bb, kk: (bb, kk, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(lengths, jnp.int32), q_full, onehot, kv]
+    kernel = functools.partial(_decode_fused_kernel, scale=scale,
+                               block_k=block_k, n_k=n_k)
+    if kv_scales is not None:
+        in_specs.append(pl.BlockSpec((1, block_k, 2, kv_heads),
+                                     lambda bb, kk: (bb, kk, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(kv_scales.astype(jnp.float32))
+
+        def kernel(len_ref, q_ref, oh_ref, kv_ref, s_ref, *rest):
+            return _decode_fused_kernel(len_ref, q_ref, oh_ref, kv_ref,
+                                        *rest, scale=scale, block_k=block_k,
+                                        n_k=n_k, scales_ref=s_ref)
 
     out_full = pl.pallas_call(
-        functools.partial(_decode_fused_kernel, scale=scale,
-                          block_k=block_k, n_k=n_k),
+        kernel,
         grid=(b, n_k),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # lengths
-            pl.BlockSpec((1, h, hd_tot), lambda bb, kk: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # One block spans BOTH planes (K and V arrive together;
-            # Mosaic requires the last-two block dims be full or 8/128-
-            # aligned, so the plane dim must be whole anyway).
-            pl.BlockSpec((1, block_k, 2, hd_tot),
-                         lambda bb, kk: (bb, kk, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h, hd_tot), lambda bb, kk: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, hd_tot), q.dtype),
@@ -295,8 +336,118 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256):
             bytes_accessed=kv.size * kv.dtype.itemsize + 8 * b * h * hd_tot,
             transcendentals=b * h * s_max),
         interpret=_interpret(),
-    )(jnp.asarray(lengths, jnp.int32), q_full, kv)
+    )(*args)
     # Extract the block diagonal: out[b, h] = out_full[b, h, g(h) block].
+    out4 = out_full.reshape(b, h, kv_heads, d)
+    return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
+
+
+def _decode_paged_kernel(tab_ref, len_ref, q_ref, onehot_ref, page_ref,
+                         o_ref, m_ref, l_ref, acc_ref, *, scale, page_size,
+                         n_pages_per_seq):
+    pp = pl.program_id(1)
+    b = pl.program_id(0)
+
+    @pl.when(pp == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b]
+    mapped = tab_ref[b, pp] >= 0
+    q = q_ref[0]                       # [H, KVH*D] block-diagonal rows
+    kblk = page_ref[0, :, 0, :]        # [page, KVH*D]
+    vblk = page_ref[0, :, 1, :]
+    h = q.shape[0]
+
+    s = jax.lax.dot_general(q, kblk.astype(q.dtype),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_pos = pp * page_size + jax.lax.broadcasted_iota(
+        jnp.int32, (h, page_size), 1)
+    valid = jnp.logical_and(k_pos < length, mapped)
+    s = jnp.where(valid, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(pp == n_pages_per_seq - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kv_heads", "scale"))
+def flash_decode_paged(q, pool, page_table, lengths, kv_heads, scale=None):
+    """Decode attention over a block-paged KV pool (vLLM-style).
+
+    q: [B, H, D]; pool: [n_pages, page_size, 2, KVH*D] token-major
+    shared pool; page_table: [B, P] int32 page ids (-1 = unmapped);
+    lengths: [B] int32.
+
+    The page table is a scalar-prefetch operand: each grid program's
+    BlockSpec index map reads ``table[b, p]`` to DMA exactly that
+    sequence's page from the pool — attention never materializes a
+    contiguous copy of the cache. Head separation uses the same
+    block-diagonal MXU trick as :func:`flash_decode_fused`."""
+    b, h, d = q.shape
+    n_pages, page_size, two, hd_tot = pool.shape
+    assert two == 2 and hd_tot == kv_heads * d and h % kv_heads == 0
+    q_per_kv = h // kv_heads
+    n_pages_per_seq = page_table.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
+    q_full = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
+              ).reshape(b, h, hd_tot)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # page_table, lengths
+        grid=(b, n_pages_per_seq),
+        in_specs=[
+            pl.BlockSpec((1, h, hd_tot),
+                         lambda bb, pp, tab, lens: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, kv_heads),
+                         lambda bb, pp, tab, lens: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, page_size, 2, hd_tot),
+                         lambda bb, pp, tab, lens: (
+                             jnp.maximum(tab[bb, pp], 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, hd_tot),
+                               lambda bb, pp, tab, lens: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, hd_tot), jnp.float32),
+        ],
+    )
+    out_full = pl.pallas_call(
+        functools.partial(_decode_paged_kernel, scale=scale,
+                          page_size=page_size,
+                          n_pages_per_seq=n_pages_per_seq),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, hd_tot), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_pages_per_seq * page_size * hd_tot,
+            bytes_accessed=(b * n_pages_per_seq * page_size * 2 * hd_tot
+                            * pool.dtype.itemsize),
+            transcendentals=b * h * n_pages_per_seq * page_size),
+        interpret=_interpret(),
+    )(jnp.asarray(page_table, jnp.int32), jnp.asarray(lengths, jnp.int32),
+      q_full, onehot, pool)
     out4 = out_full.reshape(b, h, kv_heads, d)
     return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 

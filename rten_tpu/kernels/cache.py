@@ -90,3 +90,57 @@ def cache_append(lengths, caches, news):
         interpret=_interpret(),
     )(jnp.asarray(lengths, jnp.int32), *news, *caches)
     return tuple(out) if isinstance(out, (list, tuple)) else (out,)
+
+
+def paged_append(rows, offsets, caches, news):
+    """Paged variant: write news[b] into caches[i][rows[b], offsets[b]].
+
+    rows/offsets: [B] int32 — per-sequence (page id, in-page offset).
+    caches: tuple of [n_pages, page_size, ...] shared pools.
+    news:   tuple of [B, 1, ...] token rows (same trailing dims/dtypes).
+
+    Same in-place DMA mechanics as :func:`cache_append`; the only
+    difference is indirection through the page table (resolved on host
+    or in XLA before the call)."""
+    caches = tuple(caches)
+    news = tuple(news)
+    n = len(caches)
+    batch = news[0].shape[0]
+
+    def kernel(*refs):
+        rows_ref, offs_ref = refs[0], refs[1]
+        new_refs = refs[2:2 + n]
+        out_refs = refs[2 + 2 * n:2 + 3 * n]
+        sem = refs[-1]
+        copies = []
+        for b in range(batch):
+            row = rows_ref[b]
+            pos = offs_ref[b]
+            for i in range(n):
+                dma = pltpu.make_async_copy(
+                    new_refs[i].at[b],
+                    out_refs[i].at[row, pl.ds(pos, 1)],
+                    sem.at[b * n + i],
+                )
+                dma.start()
+                copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.HBM)] * n
+            + [pl.BlockSpec(memory_space=pltpu.HBM)] * n
+        ),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.HBM)
+                        for _ in range(n)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches),
+        input_output_aliases={2 + n + i: i for i in range(n)},
+        scratch_shapes=[pltpu.SemaphoreType.DMA((batch * n,))],
+        interpret=_interpret(),
+    )(jnp.asarray(rows, jnp.int32), jnp.asarray(offsets, jnp.int32),
+      *news, *caches)
+    return tuple(out) if isinstance(out, (list, tuple)) else (out,)

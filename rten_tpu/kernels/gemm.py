@@ -132,15 +132,18 @@ def _int8wo_kernel(x_ref, w_ref, s_ref, out_ref, acc_ref, *, n_k):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Dequantize the weight tile in VMEM (int8 → f32 × per-column scale)
-    # and run a float MXU matmul: no activation quantization, so small-M
-    # decode pays only the 1-byte weight stream.
-    w = w_ref[:].astype(jnp.float32) * s_ref[0, :][None, :]
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    # int8 → bf16 is EXACT (|w| ≤ 127), so run the MXU in bf16 and apply
+    # the per-column scales to the [M, N] accumulator at the end — K/M
+    # times less VPU work than dequantizing the [K, N] weight tile, and
+    # no f32 weight transient in VMEM. Activations round to bf16 (they
+    # already passed through bf16/int8 layers in quantized models).
+    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16),
+                          w_ref[:].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
-        out_ref[:] = acc_ref[:]
+        out_ref[:] = acc_ref[:] * s_ref[0, :][None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))

@@ -102,7 +102,14 @@ class Bert:
         lengths = None
         if attention_mask is not None:
             lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+        return self.encode_embeddings(params, x, lengths=lengths)
 
+    def encode_embeddings(self, params, x, lengths=None):
+        """Run the encoder stack over pre-computed embeddings [B, S, d]
+        (lets the same bidirectional blocks serve non-token inputs, e.g.
+        acoustic frames in the wav2vec2-CTC example)."""
+        cfg = self.config
+        b, s, _ = x.shape
         for layer in params["layers"]:
             q = linear(x, layer["wq"], layer["bq"])
             k = linear(x, layer["wk"], layer["bk"])

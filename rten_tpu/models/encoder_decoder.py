@@ -216,10 +216,13 @@ class EncoderDecoderLM:
             cache = cache.advance(s if s > 1 else 1)
         return logits, cache
 
-    def new_cache(self, batch, capacity=None):
+    def new_cache(self, batch, capacity=None, quantized=False,
+                  cache_dtype=None):
         cfg = self.config
+        dtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.float32
         return KVCache.create(batch, cfg.n_dec_layers, cfg.n_heads,
-                              capacity or cfg.max_target_len, cfg.head_dim)
+                              capacity or cfg.max_target_len, cfg.head_dim,
+                              dtype=dtype, quantized=quantized)
 
     # -- generation ----------------------------------------------------------
 

@@ -112,6 +112,16 @@ class QuantWeight:
         return cls(kind, children[0], children[1], group, n)
 
 
+# Below this weight size (elements), the decode-size int8 path uses a
+# plain XLA bf16 dot instead of the Pallas weight-only kernel: XLA hoists
+# the (exact) int8→bf16 weight cast out of the decode scan, so weights
+# stream at 2 B/elt with zero per-call kernel overhead — profiling on v5e
+# showed ~4 us of Pallas-call overhead per GEMM, which at GPT-2 layer
+# sizes (≤2.4 MB int8) exceeds the 1 B/elt bandwidth saving. Large
+# weights (LM heads, TinyLlama-class layers) keep the 1 B/elt kernel.
+_WO_PALLAS_MIN_ELEMENTS = 8 * 1024 * 1024
+
+
 def linear(x, w, bias=None):
     """Dense x @ w (+ bias) dispatching on weight storage. 2-D x for
     quantized paths; callers flatten batch dims."""
@@ -119,9 +129,16 @@ def linear(x, w, bias=None):
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         if w.kind == "int8":
-            if x2.shape[0] <= 64:
-                # Decode-size M: weight-only path — weights stream at
-                # 1 B/elt, activations stay float, no quant overhead.
+            if x2.shape[0] <= 64 and w.data.size < _WO_PALLAS_MIN_ELEMENTS:
+                # Small weight, decode-size M: XLA bf16 dot on the
+                # loop-hoisted cast weight (see _WO_PALLAS_MIN_ELEMENTS).
+                acc = jnp.matmul(x2.astype(jnp.bfloat16),
+                                 w.data.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                out = acc * w.scales[None, :]
+            elif x2.shape[0] <= 64:
+                # Decode-size M: weight-only Pallas path — weights stream
+                # at 1 B/elt, activations stay float, no quant overhead.
                 out = gk.matmul_int8_weight_only(x2, w.data, w.scales)
             else:
                 # Batch/prefill: dynamic per-tensor activation
@@ -315,11 +332,24 @@ class TransformerLM:
         if s == 1 and cache is not None:
             # Fused token-major kernel: one program per (sequence, cache
             # block) streams K+V rows for all heads once
-            # (kernels/attention.py::flash_decode_fused).
-            if cfg.use_pallas and cache.quant_scales is None:
+            # (kernels/attention.py::flash_decode_fused). int8 caches
+            # dequantize on the MXU inside the kernel.
+            if cfg.use_pallas and getattr(cache, "paged", False):
+                from ..kernels.attention import flash_decode_paged
+                out = flash_decode_paged(q[:, :, 0, :],
+                                         cache.fused_layer(layer_idx),
+                                         cache.page_table,
+                                         cache.lengths + 1, kvh)
+                out = out[:, :, None, :]
+            elif cfg.use_pallas:
+                # quant_scales is a per-layer list (never stacked, where
+                # layer_idx may be traced — create() forbids the combo).
+                scales = (cache.quant_scales[layer_idx]
+                          if cache.quant_scales is not None else None)
                 out = flash_decode_fused(q[:, :, 0, :],
                                          cache.fused_layer(layer_idx),
-                                         cache.lengths + 1, kvh)
+                                         cache.lengths + 1, kvh,
+                                         kv_scales=scales)
                 out = out[:, :, None, :]
             else:
                 from ..kernels.attention import _attn_reference
@@ -427,10 +457,35 @@ class TransformerLM:
         logits, cache = self.forward(params, tokens[:, None], cache)
         return logits[:, 0], cache
 
-    def new_cache(self, batch, capacity=None, quantized=False):
+    def new_cache(self, batch, capacity=None, quantized=False,
+                  cache_dtype=None):
+        """``cache_dtype``: override KV storage dtype (e.g. "bfloat16"
+        under f32 compute — halves decode cache bandwidth; attention
+        reads it through the Pallas kernel which upconverts in VMEM)."""
         cfg = self.config
-        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        dtype = jnp.dtype(cache_dtype) if cache_dtype else (
+            jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
         return KVCache.create(batch, cfg.n_layers, cfg.n_kv_heads,
                               capacity or cfg.max_seq_len, cfg.head_dim,
                               dtype=dtype, quantized=quantized,
                               stacked=cfg.scan_layers)
+
+    def new_paged_cache(self, batch, capacity, page_size, n_pages,
+                        identity_table=False):
+        """Block-paged cache (generate/paged_cache.py). With
+        ``identity_table`` the table is pre-mapped 0..B*P-1 — used for
+        prefill group caches, where every sequence owns its pages."""
+        from ..generate.paged_cache import PagedKVCache
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        max_pages = -(-capacity // page_size)
+        cache = PagedKVCache.create(cfg.n_layers, n_pages, page_size,
+                                    cfg.n_kv_heads, cfg.head_dim, batch,
+                                    max_pages, dtype=dtype)
+        if identity_table:
+            assert n_pages >= batch * max_pages
+            table = jnp.arange(batch * max_pages,
+                               dtype=jnp.int32).reshape(batch, max_pages)
+            cache = PagedKVCache(cache.pools, table, cache.lengths,
+                                 page_size, cfg.n_kv_heads, cfg.head_dim)
+        return cache

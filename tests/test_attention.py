@@ -72,3 +72,32 @@ def test_flash_decode_result_independent_of_padding():
                         jnp.asarray([length]), block_k=256)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-6)
+
+
+def test_flash_decode_fused_quantized_cache():
+    """int8 token-major cache + per-(token, head) scales must match
+    attention over the dequantized cache (the kernel dequantizes on the
+    MXU: K's scale factors out of the score dot, V's folds into P)."""
+    import numpy as np
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_fused)
+    B, H, KVH, D, cap = 2, 8, 4, 32, 64
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    kv_q = jnp.asarray(rng.randint(-127, 128, (B, cap, 2, KVH * D)),
+                       jnp.int8)
+    scales = jnp.asarray(0.01 + 0.05 * rng.rand(B, cap, 2, KVH)
+                         .astype(np.float32))
+    lengths = jnp.asarray([5, 63], jnp.int32)
+
+    out = flash_decode_fused(q, kv_q, lengths, KVH, kv_scales=scales)
+
+    def plane(i):
+        x = kv_q[:, :, i].reshape(B, cap, KVH, D).astype(jnp.float32)
+        x = x * scales[:, :, i][..., None]
+        return jnp.repeat(x.transpose(0, 2, 1, 3), H // KVH, axis=1)
+
+    ref = _attn_reference(q[:, :, None, :], plane(0), plane(1), False,
+                          1.0 / np.sqrt(D), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -1,19 +1,18 @@
-"""Paged KV cache tests: page allocation, appends across page
-boundaries, gather parity with the contiguous cache, slot recycling."""
+"""Block-paged KV cache tests: pool/page-table mechanics, the Pallas
+paged append + paged flash-decode kernels, the host allocator, and
+end-to-end paged serving parity vs the contiguous engine."""
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from rten_tpu.generate.paged_cache import PagedKVCache
-from rten_tpu.kernels.attention import _attn_reference
 
-PAGE = 4
-KVH, D = 2, 8
+KVH, D, PAGE = 2, 64, 8          # KVH*D = 128 → Pallas append path
 
 
-def make_cache(batch=2, n_pages=16, max_pages=4, layers=1):
+def make_cache(layers=1, n_pages=16, batch=2, max_pages=4):
     return PagedKVCache.create(layers, n_pages, PAGE, KVH, D, batch,
                                max_pages)
 
@@ -28,101 +27,119 @@ def test_allocator_alloc_release():
     assert alloc.alloc() == 2
 
 
-def test_append_across_page_boundary_and_gather():
-    rng = np.random.RandomState(0)
+def test_ensure_capacity_maps_pages():
     cache = make_cache()
     alloc = PagedKVCache.make_allocator(cache.n_pages)
-    n_tokens = PAGE * 2 + 1   # crosses two page boundaries
-    ks = rng.randn(n_tokens, 2, KVH, D).astype(np.float32)
-    vs = rng.randn(n_tokens, 2, KVH, D).astype(np.float32)
-    for slot in range(2):
-        cache = alloc.ensure_capacity(cache, slot, n_tokens)
-    for t in range(n_tokens):
-        cache = cache.append_token(0, jnp.asarray(ks[t]),
-                                   jnp.asarray(vs[t])).advance(1)
-    k, v = cache.gather_sequence_kv(0)
-    assert k.shape == (2, KVH, PAGE * 4, D)
-    # Valid region matches what was appended, in order.
-    np.testing.assert_allclose(
-        np.asarray(k[:, :, :n_tokens]),
-        ks.transpose(1, 2, 0, 3), rtol=1e-6)
-    np.testing.assert_allclose(
-        np.asarray(v[:, :, :n_tokens]),
-        vs.transpose(1, 2, 0, 3), rtol=1e-6)
+    cache = alloc.ensure_capacity(cache, slot=0, tokens_ahead=PAGE + 1)
+    table = np.asarray(cache.page_table)
+    assert (table[0] >= 0).sum() == 2 and (table[1] >= 0).sum() == 0
+    # Idempotent when capacity is already mapped.
+    cache2 = alloc.ensure_capacity(cache, 0, PAGE + 1)
+    np.testing.assert_array_equal(np.asarray(cache2.page_table), table)
+    with pytest.raises(MemoryError):
+        alloc.ensure_capacity(cache, 0, cache.capacity + PAGE)
+
+
+def test_decode_append_lands_in_mapped_page():
+    cache = make_cache()
+    alloc = PagedKVCache.make_allocator(cache.n_pages)
+    for slot in (0, 1):
+        cache = alloc.ensure_capacity(cache, slot, 2 * PAGE)
+    # Slot 0 at depth 3 (page 0), slot 1 at depth PAGE+1 (page 1).
+    cache = cache.with_lengths(jnp.asarray([3, PAGE + 1], jnp.int32))
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(2, KVH, 1, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, KVH, 1, D).astype(np.float32))
+    out = cache.append(0, k, v)
+    kk, vv = out.layer_kv(0)       # [B, KVH, cap, D]
+    np.testing.assert_allclose(np.asarray(kk)[0, :, 3], np.asarray(k)[0, :, 0])
+    np.testing.assert_allclose(np.asarray(vv)[1, :, PAGE + 1],
+                               np.asarray(v)[1, :, 0])
+
+
+def test_prefill_append_scatters_pages():
+    cache = make_cache(batch=1)
+    alloc = PagedKVCache.make_allocator(cache.n_pages)
+    S = PAGE + 3                   # crosses a page boundary
+    cache = alloc.ensure_capacity(cache, 0, S + 1)
+    rng = np.random.RandomState(1)
+    k = jnp.asarray(rng.randn(1, KVH, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, KVH, S, D).astype(np.float32))
+    out = cache.append(0, k, v, position=0).with_lengths(
+        jnp.asarray([S], jnp.int32))
+    kk, _ = out.layer_kv(0)
+    np.testing.assert_allclose(np.asarray(kk)[0, :, :S], np.asarray(k)[0])
 
 
 def test_paged_attention_matches_contiguous():
-    """Decode attention over gathered pages == attention over a plain
-    contiguous cache with the same contents."""
-    rng = np.random.RandomState(1)
-    cache = make_cache(batch=2)
+    """flash_decode_paged over scattered pages == dense attention."""
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_paged)
+    B, H, P = 2, 4, 4
+    cache = make_cache(batch=B, n_pages=32, max_pages=P)
     alloc = PagedKVCache.make_allocator(cache.n_pages)
-    lengths = [5, 9]
-    max_len = max(lengths)
-    contiguous_k = np.zeros((2, KVH, PAGE * 4, D), np.float32)
-    contiguous_v = np.zeros_like(contiguous_k)
-    for slot in range(2):
-        cache = alloc.ensure_capacity(cache, slot, max_len)
-    for t in range(max_len):
-        k_t = rng.randn(2, KVH, D).astype(np.float32)
-        v_t = rng.randn(2, KVH, D).astype(np.float32)
-        for slot in range(2):
-            if t < lengths[slot]:
-                contiguous_k[slot, :, t] = k_t[slot]
-                contiguous_v[slot, :, t] = v_t[slot]
-        # paged append writes for every slot; extra tokens past a slot's
-        # length are masked by `lengths` in attention
-        cache = cache.append_token(0, jnp.asarray(k_t),
-                                   jnp.asarray(v_t)).advance(1)
-    k, v = cache.gather_sequence_kv(0)
-    q = jnp.asarray(rng.randn(2, KVH, D).astype(np.float32))
-    lengths_arr = jnp.asarray(lengths, jnp.int32)
-    out_paged = _attn_reference(q[:, :, None], k, v, False, D ** -0.5,
-                                lengths_arr)[:, :, 0]
-    out_contig = _attn_reference(q[:, :, None], jnp.asarray(contiguous_k),
-                                 jnp.asarray(contiguous_v), False,
-                                 D ** -0.5, lengths_arr)[:, :, 0]
-    np.testing.assert_allclose(np.asarray(out_paged),
-                               np.asarray(out_contig), rtol=1e-5,
-                               atol=1e-6)
+    # Scramble allocation order so pages are non-contiguous in the pool.
+    for _ in range(5):
+        alloc.alloc()
+    lengths = [PAGE + 2, 3 * PAGE - 1]
+    rng = np.random.RandomState(2)
+    for slot in (0, 1):
+        cache = alloc.ensure_capacity(cache, slot, lengths[slot])
+    S = 3 * PAGE
+    k = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32))
+    cache = cache.append(0, k, v, position=0).with_lengths(
+        jnp.asarray(lengths, jnp.int32))
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+
+    out = flash_decode_paged(q, cache.fused_layer(0), cache.page_table,
+                             cache.lengths, KVH)
+    kc, vc = cache.layer_kv(0)
+    kc = jnp.repeat(kc, H // KVH, axis=1)
+    vc = jnp.repeat(vc, H // KVH, axis=1)
+    ref = _attn_reference(q[:, :, None, :], kc, vc, False,
+                          1.0 / np.sqrt(D), cache.lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
-def test_release_slot_recycles_pages():
-    cache = make_cache(batch=2, n_pages=4, max_pages=2)
-    alloc = PagedKVCache.make_allocator(cache.n_pages)
-    cache = alloc.ensure_capacity(cache, 0, PAGE * 2)  # uses 2 pages
-    cache = alloc.ensure_capacity(cache, 1, PAGE * 2)  # uses 2 more
-    assert not alloc.free
-    cache = alloc.release_slot(cache, 0)
-    assert len(alloc.free) == 2
-    assert int(np.asarray(cache.lengths)[0]) == 0
-    assert (np.asarray(cache.page_table)[0] == -1).all()
-    # Slot 1 untouched.
-    assert (np.asarray(cache.page_table)[1] >= 0).all()
+def test_paged_engine_matches_contiguous_engine():
+    """End to end: the paged engine emits the same tokens as the
+    contiguous engine, while using only the pages it needs."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+
+    cfg = TransformerConfig.tiny_test(n_heads=2, d_model=128)  # KVH*D=128
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [[5, 17, 3, 9, 2, 11], [40, 41]]
+
+    ref_eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                            prefill_buckets=(8,))
+    ref = ref_eng.generate(prompts, max_new_tokens=6, burst=3)
+
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(8,), paged=True, page_size=8)
+    got = eng.generate(prompts, max_new_tokens=6, burst=3)
+    assert got == ref
+    # All pages returned to the pool after completion.
+    assert len(eng.allocator.free) == eng.cache.n_pages
+    assert (np.asarray(eng.cache.page_table) == -1).all()
 
 
-def test_pool_exhaustion_raises():
-    cache = make_cache(batch=1, n_pages=1, max_pages=4)
-    alloc = PagedKVCache.make_allocator(cache.n_pages)
-    cache = alloc.ensure_capacity(cache, 0, PAGE)
-    with pytest.raises(MemoryError):
-        alloc.ensure_capacity(cache, 0, PAGE * 2)
+def test_paged_pool_oversubscription():
+    """A pool smaller than batch×capacity serves short requests fine and
+    raises MemoryError only when truly exhausted."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
 
-
-def test_append_is_jittable_with_donation():
-    cache = make_cache(batch=2)
-    alloc = PagedKVCache.make_allocator(cache.n_pages)
-    for slot in range(2):
-        cache = alloc.ensure_capacity(cache, slot, 4)
-    k = jnp.ones((2, KVH, D))
-    v = jnp.full((2, KVH, D), 2.0)
-
-    @jax.jit
-    def step(cache, k, v):
-        return cache.append_token(0, k, v).advance(1)
-
-    cache = step(cache, k, v)
-    cache = step(cache, k, v)
-    assert int(cache.lengths[0]) == 2
-    kk, vv = cache.gather_sequence_kv(0)
-    np.testing.assert_allclose(np.asarray(kk[0, 0, :2]), 1.0)
+    cfg = TransformerConfig.tiny_test(n_heads=2, d_model=128)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # capacity 64 → 8 pages/slot max, pool of only 6 pages total.
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(8,), paged=True, page_size=8,
+                        pool_pages=6)
+    outs = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=4, burst=2)
+    assert all(len(t) == 4 for t in outs)
+    assert len(eng.allocator.free) == 6

@@ -184,7 +184,18 @@ def test_matmul_int8_weight_only_matches_dequant():
     out = np.asarray(gk.matmul_int8_weight_only(
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(ws)))
     want = x @ (w.astype(np.float32) * ws[None, :])
-    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+    # The kernel runs the MXU in bf16: int8 weights cast exactly, but
+    # activations round to bf16 (≤2^-8 relative per element) — immaterial
+    # next to the int8 weight quantization error itself. Error bound:
+    # |Δout| ≤ Σ_k |Δx|·|w·s| with |Δx| ≤ |x|·2^-8 (×2 slack).
+    bound = np.abs(x) @ np.abs(w.astype(np.float32) * ws[None, :])
+    assert (np.abs(out - want) <= bound * 2 ** -8 * 2 + 1e-6).all()
+    # And bitwise-exact when activations are bf16-representable:
+    x16 = x.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)
+    out2 = np.asarray(gk.matmul_int8_weight_only(
+        jnp.asarray(x16), jnp.asarray(w), jnp.asarray(ws)))
+    want2 = x16 @ w.astype(np.float32) * ws[None, :]
+    np.testing.assert_allclose(out2, want2, rtol=1e-5, atol=1e-5)
 
 
 def test_conv_integer_op():

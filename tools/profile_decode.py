@@ -67,12 +67,14 @@ def build(cfg_kw, ablate=()):
     return Ablated(cfg), cfg
 
 
-def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=()):
+def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
+               qcache=False, cache_dtype=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    cache = model.new_cache(batch, capacity)
+    cache = model.new_cache(batch, capacity, quantized=qcache,
+                            cache_dtype=cache_dtype)
     # Fake a prefill depth so attention reads a realistic cache span.
     cache = cache.advance(64)
     tokens = jnp.zeros(batch, jnp.int32)
@@ -191,7 +193,8 @@ def main():
 
     results = {}
 
-    def run(name, cfg_kw, ablate=(), quant=None):
+    def run(name, cfg_kw, ablate=(), quant=None, qcache=False,
+            cache_dtype=None):
         if args.only and not any(tok in name
                                  for tok in args.only.split(",")):
             return
@@ -206,7 +209,9 @@ def main():
         if quant:
             params = quantize_weights(params, quant)
         per_step, kernels = time_burst(model, params, batch, capacity,
-                                       args.steps, ablate=ablate)
+                                       args.steps, ablate=ablate,
+                                       qcache=qcache,
+                                       cache_dtype=cache_dtype)
         results[name] = (per_step, kernels)
         kinfo = ""
         if kernels:
@@ -223,7 +228,16 @@ def main():
     run("f32 no-lmhead", {**base_kw, "n_layers": L0}, ablate=("lmhead",))
     run("f32 no-sample", {**base_kw, "n_layers": L0}, ablate=("sample",))
     run("int8 full", {**base_kw, "n_layers": L0}, quant="int8")
+    run("int8 qcache", {**base_kw, "n_layers": L0}, quant="int8",
+        qcache=True)
+    run("int8 bf16cache", {**base_kw, "n_layers": L0}, quant="int8",
+        cache_dtype="bfloat16")
+    run("f32 bf16cache", {**base_kw, "n_layers": L0},
+        cache_dtype="bfloat16")
+    run("f32 qcache", {**base_kw, "n_layers": L0}, qcache=True)
     run("bf16 full", {**base_kw, "n_layers": L0, "dtype": "bfloat16"})
+    run("bf16 qcache", {**base_kw, "n_layers": L0, "dtype": "bfloat16"},
+        qcache=True)
 
     # Derived decomposition
     if args.only:
