@@ -21,13 +21,18 @@ def main():
     import numpy as np
 
     # Persistent compilation cache: driver reruns skip the multi-minute
-    # remote compiles.
+    # remote compiles. TPU only — the remote-compile helper populates the
+    # same directory with XLA:CPU AOT artifacts whose machine features
+    # may not match this host (SIGILL risk if loaded by the CPU backend).
     try:
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                   "/tmp/rten_tpu_jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if jax.default_backend() == "tpu":
+            cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                       "/tmp/rten_tpu_jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
     except Exception:
         pass
 
@@ -70,9 +75,11 @@ def main():
         eng._admit()
         eng.step_burst(burst)  # compile decode burst
         t0 = time.perf_counter()
-        emitted = 0
-        while any(r is not None for r in eng.slot_request):
-            emitted += eng.step_burst(burst)
+        before = sum(len(r.tokens) for r in reqs)
+        # Sequential burst loop (pipeline=False): the dev tunnel
+        # serializes dispatches on non-ready inputs — see engine.run.
+        eng.run(burst=burst)
+        emitted = sum(len(r.tokens) for r in reqs) - before
         elapsed = time.perf_counter() - t0
         ttfts = sorted(r.metrics.ttft_s for r in reqs
                        if r.metrics.ttft_s is not None)

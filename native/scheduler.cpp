@@ -107,18 +107,23 @@ int32_t sched_commit_first(void* sp, int32_t slot, int32_t token) {
 }
 
 // Scan a burst of decode outputs. tokens: [steps x max_batch] row-major;
-// lengths: per-slot sequence depth BEFORE the burst. Writes per-slot
-// accepted-token counts (0 for idle slots) and done flags; a request
-// stops accepting at its first stop condition. Returns total accepted.
+// lengths: per-slot sequence depth BEFORE the burst; expected: per-slot
+// request handle AT DISPATCH TIME (-1 = slot was idle) — under pipelined
+// serving a slot may have been freed and re-admitted between dispatch
+// and landing, and the stale burst column must not leak into the new
+// request. Writes per-slot accepted-token counts (0 for idle/stale
+// slots) and done flags; a request stops accepting at its first stop
+// condition. Returns total accepted.
 int32_t sched_commit_burst(void* sp, const int32_t* tokens, int32_t steps,
-                           const int32_t* lengths, int32_t* out_accepted,
-                           uint8_t* out_done) {
+                           const int32_t* lengths, const int64_t* expected,
+                           int32_t* out_accepted, uint8_t* out_done) {
   auto* s = static_cast<Scheduler*>(sp);
   int32_t total = 0;
   for (int32_t slot = 0; slot < s->max_batch; slot++) {
     out_accepted[slot] = 0;
     out_done[slot] = 0;
     int64_t h = s->slot_request[slot];
+    if (expected != nullptr && h != expected[slot]) continue;
     Request* r = s->by_handle(h);
     if (!r) continue;
     for (int32_t i = 0; i < steps; i++) {

@@ -116,6 +116,14 @@ class ServingEngine:
         self.queue: list[Request] = []
         self._next_id = 0
         self.current_tokens = np.zeros(max_batch, np.int32)
+        # Host mirror of cache.lengths: every device read of lengths is a
+        # full round trip through the dispatch link (~31 ms on the tunnel
+        # chip), but the engine knows the lengths exactly — inserts set
+        # them, each decode step advances every slot by one.
+        self._host_lengths = np.zeros(max_batch, np.int64)
+        # Device-resident last tokens: pipelined bursts chain directly on
+        # the previous burst's output without a host round trip.
+        self._device_tokens = None
 
         # --- compiled programs ---
         def prefill_fn(params, tokens, lengths):
@@ -192,6 +200,7 @@ class ServingEngine:
             handle = self._sched.submit(len(req.prompt_ids),
                                         req.max_new_tokens, req.stop_ids)
             self._handle_req[handle] = req
+            req._native_handle = handle
         else:
             self.queue.append(req)
         return req
@@ -246,6 +255,10 @@ class ServingEngine:
                 req.tokens.append(first)
                 req.metrics.step()
                 self.current_tokens[slot] = first
+                self._host_lengths[slot] = int(lengths[gi])
+                if self._device_tokens is not None:
+                    self._device_tokens = \
+                        self._device_tokens.at[slot].set(first)
                 self.slot_request[slot] = req
                 if self._sched is not None:
                     if self._sched.commit_first(slot, first):
@@ -276,17 +289,24 @@ class ServingEngine:
             req.done = True
             self._free_slot(slot)
 
-    def _commit_tokens(self, toks_np, lengths_np, active) -> int:
-        """Deliver a [n, B] burst of sampled tokens to the active
-        requests, honoring stop conditions. The native scheduler scans
-        the matrix in C++; the Python fallback loops per token."""
+    def _commit_tokens(self, toks_np, lengths_np, snapshot) -> int:
+        """Deliver a [n, B] burst of sampled tokens to the requests that
+        were active AT DISPATCH TIME (``snapshot``: (slot, Request)
+        pairs), honoring stop conditions. Under pipelined serving a slot
+        may have been freed and re-admitted between dispatch and landing;
+        such stale columns are dropped (identity check / C++ handle
+        check). The native scheduler scans the matrix in C++; the Python
+        fallback loops per token."""
         emitted = 0
         if self._sched is not None:
-            accepted, done, _ = self._sched.commit_burst(toks_np, lengths_np)
-            for slot in active:
-                req = self.slot_request[slot]
+            expected = np.full(self.max_batch, -1, np.int64)
+            for slot, req in snapshot:
+                expected[slot] = req._native_handle
+            accepted, done, _ = self._sched.commit_burst(
+                toks_np, lengths_np, expected)
+            for slot, req in snapshot:
                 n_acc = int(accepted[slot])
-                if req is None or n_acc == 0:
+                if self.slot_request[slot] is not req or n_acc == 0:
                     continue
                 req.tokens.extend(int(t) for t in toks_np[:n_acc, slot])
                 req.metrics.step_n(n_acc)
@@ -297,8 +317,9 @@ class ServingEngine:
                     self._free_slot(slot)
             return emitted
         n = toks_np.shape[0]
-        for slot in active:
-            req = self.slot_request[slot]
+        for slot, req in snapshot:
+            if self.slot_request[slot] is not req:
+                continue
             for i in range(n):
                 token = int(toks_np[i, slot])
                 req.tokens.append(token)
@@ -319,18 +340,53 @@ class ServingEngine:
                   if self.slot_request[s] is not None]
         if not active:
             return 0
+        lengths_np = self._host_lengths.copy()
         if self.paged:
-            pre_lengths = np.asarray(self.cache.lengths)
             for slot in active:
                 self.cache = self.allocator.ensure_capacity(
-                    self.cache, slot, 2, length=int(pre_lengths[slot]))
+                    self.cache, slot, 2, length=int(lengths_np[slot]))
         self._key, sub = jax.random.split(self._key)
         next_tokens, logits, self.cache = self._decode(
             self.params, jnp.asarray(self.current_tokens), self.cache, sub)
+        self._host_lengths += 1
+        self._device_tokens = None
         next_np = np.asarray(next_tokens)
-        lengths_np = np.asarray(self.cache.lengths) - 1  # pre-step depths
-        self._commit_tokens(next_np[None, :], lengths_np, active)
+        self._commit_tokens(next_np[None, :], lengths_np,
+                            [(s, self.slot_request[s]) for s in active])
         return len(active)
+
+    def _dispatch_burst(self, n):
+        """Dispatch ``n`` decode steps WITHOUT waiting for the result
+        (jax dispatch is async; tokens chain on device). Returns the
+        in-flight handle (tokens future, the slot→request snapshot, the
+        pre-burst lengths, n) or None if no slot is active."""
+        active = [s for s in range(self.max_batch)
+                  if self.slot_request[s] is not None]
+        if not active:
+            return None
+        lengths_np = self._host_lengths.copy()
+        headroom = self.capacity - 1 - max(int(lengths_np[s]) for s in active)
+        n = min(n, max(1, headroom))
+        if self.paged:
+            for slot in active:
+                self.cache = self.allocator.ensure_capacity(
+                    self.cache, slot, n + 1, length=int(lengths_np[slot]))
+        if self._device_tokens is None:
+            self._device_tokens = jnp.asarray(self.current_tokens)
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._decode_burst(
+            self.params, self._device_tokens, self.cache, sub, n)
+        self._device_tokens = toks[-1]
+        self._host_lengths += n     # the device advances every slot
+        snapshot = [(s, self.slot_request[s]) for s in active]
+        return (toks, snapshot, lengths_np, n)
+
+    def _land_burst(self, inflight) -> int:
+        """Wait for an in-flight burst's tokens (the only host sync) and
+        run the bookkeeping against the dispatch-time snapshot."""
+        toks, snapshot, lengths_np, n = inflight
+        toks_np = np.asarray(toks)          # [n, B]
+        return self._commit_tokens(toks_np, lengths_np, snapshot)
 
     def step_burst(self, n: int) -> int:
         """Run ``n`` decode steps on-device for the current batch, then do
@@ -338,23 +394,10 @@ class ServingEngine:
         request keeps its tokens up to the stop). Returns tokens emitted
         to live requests."""
         self._admit()
-        active = [s for s in range(self.max_batch)
-                  if self.slot_request[s] is not None]
-        if not active:
+        inflight = self._dispatch_burst(n)
+        if inflight is None:
             return 0
-        lengths_np = np.asarray(self.cache.lengths)
-        headroom = self.capacity - 1 - max(int(lengths_np[s]) for s in active)
-        n = min(n, max(1, headroom))
-        if self.paged:
-            for slot in active:
-                self.cache = self.allocator.ensure_capacity(
-                    self.cache, slot, n + 1, length=int(lengths_np[slot]))
-        self._key, sub = jax.random.split(self._key)
-        toks, self.cache = self._decode_burst(
-            self.params, jnp.asarray(self.current_tokens), self.cache, sub,
-            n)
-        toks_np = np.asarray(toks)          # [n, B]
-        return self._commit_tokens(toks_np, lengths_np, active)
+        return self._land_burst(inflight)
 
     def _pending(self) -> bool:
         if self._sched is not None:
@@ -362,19 +405,54 @@ class ServingEngine:
         return bool(self.queue
                     or any(r is not None for r in self.slot_request))
 
-    def run(self, requests=None, max_steps=100000, burst=1):
+    def run(self, requests=None, max_steps=100000, burst=1,
+            pipeline=False):
         """Drive the engine until every request completes. ``burst`` > 1
-        decodes that many tokens per device dispatch."""
+        decodes that many tokens per device dispatch.
+
+        ``pipeline=True`` dispatches burst k+1 (tokens chained on
+        device) before burst k's results are fetched, so host
+        bookkeeping and the dispatch-link round trip overlap device
+        compute; admission lags one burst and a request finishing
+        mid-burst wastes at most one burst of device steps — the
+        standard async-serving trade. Off by default: it presumes true
+        async dispatch (standard jax runtimes); the remote-execution
+        tunnel used in development serializes dispatches whose inputs
+        are not yet ready and measured 12× SLOWER pipelined (it appears
+        to materialize the in-flight cache). Paged mode is always
+        un-pipelined (an in-flight burst could append into pages the
+        landing just released)."""
         if requests and self._sched is None:
             for req in requests:
                 if req not in self.queue and not req.done:
                     self.queue.append(req)
         steps = 0
+        if burst <= 1 or self.paged or not pipeline:
+            while self._pending() and steps < max_steps:
+                if burst > 1:
+                    self.step_burst(burst)
+                else:
+                    self.step()
+                steps += 1
+            return steps
+
+        inflight = None
+        while steps < max_steps:
+            self._admit()
+            nxt = self._dispatch_burst(burst)
+            if nxt is not None:
+                steps += 1
+            if inflight is not None:
+                self._land_burst(inflight)
+            inflight = nxt
+            if nxt is None and inflight is None and not self._pending():
+                break
+        if inflight is not None:
+            self._land_burst(inflight)
+        # A request admitted by the very last landing may still be
+        # pending; drain synchronously.
         while self._pending() and steps < max_steps:
-            if burst > 1:
-                self.step_burst(burst)
-            else:
-                self.step()
+            self.step_burst(burst)
             steps += 1
         return steps
 

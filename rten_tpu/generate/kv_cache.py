@@ -164,8 +164,14 @@ class KVCache:
             # fallback: Mosaic pads the plane dim (2 -> 4 sublanes) under
             # int8 packing and rejects DMA slices of padded dims; the
             # scatter is on a 4x smaller buffer there anyway.
+            # Positions clamp to the last row: the decode program runs
+            # for EVERY batch slot, including finished ones whose lengths
+            # keep advancing until the slot is reused — their writes must
+            # stay in bounds (DMA does not clamp the way
+            # dynamic_update_slice does).
             from ..kernels.cache import cache_append
-            (new_buf,) = cache_append(self.lengths, (buf,), (packed,))
+            pos = jnp.minimum(self.lengths, buf.shape[1] - 1)
+            (new_buf,) = cache_append(pos, (buf,), (packed,))
         elif position is None:
             def upd(b_buf, new, pos):
                 return jax.lax.dynamic_update_slice(b_buf, new, (pos, 0, 0))

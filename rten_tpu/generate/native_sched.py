@@ -43,7 +43,8 @@ def _load():
     lib.sched_commit_burst.restype = ctypes.c_int32
     lib.sched_commit_burst.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int32, ctypes.c_void_p,
-                                       ctypes.c_void_p, ctypes.c_void_p]
+                                       ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p]
     lib.sched_active.restype = ctypes.c_int32
     lib.sched_active.argtypes = [ctypes.c_void_p]
     lib.sched_queued.restype = ctypes.c_int32
@@ -96,15 +97,21 @@ class NativeScheduler:
         """Record a prefill's first sampled token; True if request done."""
         return bool(self._lib.sched_commit_first(self._handle, slot, token))
 
-    def commit_burst(self, tokens: np.ndarray, lengths: np.ndarray):
+    def commit_burst(self, tokens: np.ndarray, lengths: np.ndarray,
+                     expected=None):
         """tokens: [steps, max_batch] int32; lengths: [max_batch] int32
-        depths before the burst. Returns (accepted [max_batch],
-        done [max_batch] bool, total)."""
+        depths before the burst; expected: per-slot request handles at
+        dispatch time (stale-slot guard for pipelined serving). Returns
+        (accepted [max_batch], done [max_batch] bool, total)."""
         tokens = np.ascontiguousarray(tokens, np.int32)
         lengths = np.ascontiguousarray(lengths, np.int32)
+        exp_ptr = None
+        if expected is not None:
+            expected = np.ascontiguousarray(expected, np.int64)
+            exp_ptr = expected.ctypes.data
         total = self._lib.sched_commit_burst(
             self._handle, tokens.ctypes.data, tokens.shape[0],
-            lengths.ctypes.data, self._accepted.ctypes.data,
+            lengths.ctypes.data, exp_ptr, self._accepted.ctypes.data,
             self._done.ctypes.data)
         return self._accepted.copy(), self._done.astype(bool), int(total)
 

@@ -112,13 +112,16 @@ class PagedKVCache:
         page = self.page_size
 
         if position is None and t == 1:
-            page_idx = self.lengths // page
+            page_idx = jnp.minimum(self.lengths // page,
+                                   self.max_pages_per_seq - 1)
             offs = self.lengths % page
             rows = jnp.take_along_axis(self.page_table,
                                        page_idx[:, None], axis=1)[:, 0]
-            rows = jnp.maximum(rows, 0)   # unmapped -> page 0 (host
-            # allocator guarantees the tail page is mapped before decode;
-            # the clamp only guards dead slots whose length stays 0)
+            # Unmapped (-1) -> page 0, the allocator's reserved GARBAGE
+            # page: the decode program runs for every batch slot, and a
+            # finished slot keeps appending until reused — those writes
+            # must land somewhere no live sequence owns.
+            rows = jnp.maximum(rows, 0)
             if (kvh * d) % _LANE == 0 and pool.dtype.itemsize >= 2:
                 from ..kernels.cache import paged_append
                 (pool,) = paged_append(rows, offs, (pool,), (packed,))
@@ -193,10 +196,15 @@ class PagedKVCache:
 
 class _PageAllocator:
     """Host bookkeeping: free-list of pool pages; the engine maps pages
-    into sequences' tables before steps that will need them."""
+    into sequences' tables before steps that will need them.
+
+    Page 0 is RESERVED as the garbage page: finished slots' in-flight
+    decode appends clamp to it (see PagedKVCache.append), so it may
+    never hold live data."""
 
     def __init__(self, n_pages):
-        self.free = list(range(n_pages - 1, -1, -1))
+        assert n_pages >= 2, "pool needs the reserved garbage page + data"
+        self.free = list(range(n_pages - 1, 0, -1))
 
     def alloc(self) -> int:
         if not self.free:

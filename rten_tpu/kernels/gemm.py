@@ -219,19 +219,16 @@ def _int4_kernel(x_ref, wp_ref, s_ref, out_ref, acc_ref, *, n_k, group, bk):
     lo = jnp.bitwise_and(p, 0xF) - 8
     hi = jnp.right_shift(p, 4) - 8
     wq = jnp.concatenate([lo, hi], axis=-1)          # [bk, 256] int32
-    # Static loop over K-groups: dequant each group's rows with its scale
-    # row, accumulate MXU partial products. The scales ref holds ALL
-    # K-groups (tiny), indexed by absolute group id (Mosaic requires
-    # sublane-aligned or full-dim blocks).
+    # Expand the per-(K-group, col) scales to per-row with a sublane
+    # repeat, dequantize the WHOLE tile in bf16 (int4 values are exact in
+    # bf16) and run ONE MXU dot per K-block — the old per-group loop of
+    # [m, group] dots serialized at decode sizes (12.6 TFLOPS at M=16).
     groups_per_block = bk // group
-    acc = acc_ref[:]
-    for g in range(groups_per_block):
-        rows = slice(g * group, (g + 1) * group)
-        scale_row = s_ref[k * groups_per_block + g, :][None, :]
-        w_g = wq[rows].astype(jnp.float32) * scale_row
-        acc += jnp.dot(x_ref[:, rows], w_g,
-                       preferred_element_type=jnp.float32)
-    acc_ref[:] = acc
+    s_rows = s_ref[pl.ds(k * groups_per_block, groups_per_block), :]
+    scale = jnp.repeat(s_rows, group, axis=0)        # [bk, bn]
+    w = wq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), w,
+                          preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():

@@ -154,7 +154,16 @@ def linear(x, w, bias=None):
                 # Quantization pads K up to the group size; padded weight
                 # rows are zero, so zero-padding x is exact.
                 x2 = jnp.pad(x2, ((0, 0), (0, k_packed - x2.shape[1])))
-            out = gk.matmul_int4(x2, w.data, w.scales, group=w.group)
+            if x2.shape[0] <= 64 and \
+                    w.data.size * 2 < _WO_PALLAS_MIN_ELEMENTS:
+                # Small weight at decode M: XLA dot on the loop-hoisted
+                # dequantized bf16 copy (same rationale as int8).
+                wf = qt.dequantize_int4_groupwise(
+                    w.data, w.scales, group=w.group).astype(jnp.bfloat16)
+                out = jnp.matmul(x2.astype(jnp.bfloat16), wf,
+                                 preferred_element_type=jnp.float32)
+            else:
+                out = gk.matmul_int4(x2, w.data, w.scales, group=w.group)
             out = out[:, :w.n]
         else:
             raise ValueError(w.kind)

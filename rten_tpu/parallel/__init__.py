@@ -11,6 +11,9 @@ the degenerate 1×1 mesh.
 from .mesh import make_mesh, mesh_shape
 from .sharding import (cache_shardings, param_shardings, shard_cache,
                        shard_params, replicated)
+from .distributed import (batch_sharding, batch_spec, initialize_multihost,
+                          make_hybrid_mesh)
 
 __all__ = ["make_mesh", "mesh_shape", "param_shardings", "cache_shardings",
-           "shard_params", "shard_cache", "replicated"]
+           "shard_params", "shard_cache", "replicated", "make_hybrid_mesh",
+           "initialize_multihost", "batch_spec", "batch_sharding"]

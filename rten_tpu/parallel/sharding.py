@@ -77,10 +77,14 @@ def shard_params(params, mesh: Mesh):
 
 def cache_shardings(cache, mesh: Mesh):
     # Token-major fused layout [B, cap, 2, KVH*D]: batch over the data
-    # axis, the head-fused last dim over the model axis (aligned with the
-    # column-sharded QKV projections that produce it).
-    kv = NamedSharding(mesh, P("data", None, None, "model"))
-    lengths = NamedSharding(mesh, P("data"))
+    # axis (and the cross-host dcn axis on hybrid meshes — batch is the
+    # ONLY thing that crosses DCN), the head-fused last dim over the
+    # model axis (aligned with the column-sharded QKV projections that
+    # produce it).
+    batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
+                  else ("data",))
+    kv = NamedSharding(mesh, P(batch_axes, None, None, "model"))
+    lengths = NamedSharding(mesh, P(batch_axes))
     from ..generate.kv_cache import KVCache
     scales = None
     if cache.quant_scales is not None:

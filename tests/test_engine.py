@@ -168,3 +168,47 @@ def test_engine_with_scan_layers():
     outs = eng.generate([[1, 2, 3], [9, 4]], max_new_tokens=5)
     for prompt, out in zip([[1, 2, 3], [9, 4]], outs):
         assert out == ref_greedy(ref_model, params, prompt, 5)
+
+
+def test_pipelined_bursts_match_stepwise():
+    """run(burst=N) pipelines dispatch ahead of bookkeeping (admission
+    lags one burst). With a greedy sampler the emitted tokens must be
+    identical to step-by-step decoding, including continuous-batching
+    slot reuse (more requests than slots)."""
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [[5, 17, 3], [9, 2], [40, 41, 42], [7], [30, 31]]
+
+    def gen(burst, pipeline=True):
+        eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                            prefill_buckets=(8,))
+        reqs = [eng.submit(pr, max_new_tokens=7) for pr in prompts]
+        eng.run(burst=burst, pipeline=pipeline)
+        return [r.tokens for r in reqs]
+
+    ref = gen(1, pipeline=False)
+    assert gen(4, pipeline=False) == ref
+    assert gen(4, pipeline=True) == ref
+    assert gen(3, pipeline=True) == ref
+
+
+def test_decode_cache_donation_aliases_buffers():
+    """The decode step's donated cache must update HBM in place — the
+    reference's in-place append (rten-generate generator.rs:507-521)
+    re-imagined as buffer donation. Asserted via buffer pointers: every
+    cache leaf of the output aliases the input."""
+    cfg = TransformerConfig.tiny_test(n_heads=2, d_model=128)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=2, capacity=32,
+                        prefill_buckets=(8,))
+    eng.submit([1, 2, 3], max_new_tokens=8)
+    eng._admit()
+    in_ptrs = {id(leaf): leaf.unsafe_buffer_pointer()
+               for leaf in jax.tree_util.tree_leaves(eng.cache.kv)}
+    in_set = set(in_ptrs.values())
+    eng.step()
+    out_set = {leaf.unsafe_buffer_pointer()
+               for leaf in jax.tree_util.tree_leaves(eng.cache.kv)}
+    assert out_set == in_set, "decode copied the KV cache"

@@ -18,9 +18,11 @@ def make_cache(layers=1, n_pages=16, batch=2, max_pages=4):
 
 
 def test_allocator_alloc_release():
+    # Page 0 is reserved as the garbage page (dead slots' in-flight
+    # appends clamp to it) — never allocated.
     alloc = PagedKVCache.make_allocator(4)
-    pages = [alloc.alloc() for _ in range(4)]
-    assert sorted(pages) == [0, 1, 2, 3]
+    pages = [alloc.alloc() for _ in range(3)]
+    assert sorted(pages) == [1, 2, 3]
     with pytest.raises(MemoryError):
         alloc.alloc()
     alloc.release([2])
@@ -122,8 +124,8 @@ def test_paged_engine_matches_contiguous_engine():
                         prefill_buckets=(8,), paged=True, page_size=8)
     got = eng.generate(prompts, max_new_tokens=6, burst=3)
     assert got == ref
-    # All pages returned to the pool after completion.
-    assert len(eng.allocator.free) == eng.cache.n_pages
+    # All pages returned to the pool after completion (page 0 reserved).
+    assert len(eng.allocator.free) == eng.cache.n_pages - 1
     assert (np.asarray(eng.cache.page_table) == -1).all()
 
 
@@ -142,4 +144,30 @@ def test_paged_pool_oversubscription():
                         pool_pages=6)
     outs = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=4, burst=2)
     assert all(len(t) == 4 for t in outs)
-    assert len(eng.allocator.free) == 6
+    assert len(eng.allocator.free) == 5  # page 0 reserved
+
+
+def test_dead_slot_appends_go_to_garbage_page():
+    """A finished slot keeps decoding until reuse (the jitted decode runs
+    the whole batch); its appends must land in reserved page 0, never in
+    a live sequence's pages."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+
+    cfg = TransformerConfig.tiny_test(n_heads=2, d_model=128)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(8,), paged=True, page_size=8)
+    # Request 0 finishes after 2 tokens; request 1 keeps going for 20 —
+    # slot 0 sits dead while slot 1 decodes.
+    r0 = eng.submit([1, 2, 3], max_new_tokens=2)
+    r1 = eng.submit([4, 5, 6], max_new_tokens=20)
+    # Snapshot r1's greedy continuation from a solo engine (no dead
+    # neighbor): outputs must be identical.
+    solo = ServingEngine(model, params, max_batch=2, capacity=64,
+                         prefill_buckets=(8,), paged=True, page_size=8)
+    sr = solo.submit([4, 5, 6], max_new_tokens=20)
+    solo.run(burst=4)
+    eng.run(burst=4)
+    assert r1.tokens == sr.tokens

@@ -121,3 +121,39 @@ def test_sharded_serving_engine_matches_unsharded(mesh):
         P(None, "model")
     got = sharded.generate(prompts, max_new_tokens=5)
     assert got == want
+
+
+def test_hybrid_mesh_serving_parity():
+    """3-axis (dcn, data, model) hybrid mesh: generation must match the
+    single-device engine. The dcn axis carries only batch parallelism
+    (single-process fallback splits local devices — same program as the
+    multi-host path)."""
+    import numpy as np
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.parallel import make_hybrid_mesh, batch_spec
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_hybrid_mesh(dcn_data=2, data=2, model=2)
+    assert mesh.devices.shape == (2, 2, 2)
+    assert batch_spec(mesh) == P(("dcn", "data"))
+
+    cfg = TransformerConfig.tiny_test(use_pallas=False)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [[5, 17, 3], [9, 2], [40, 41], [7]]
+
+    ref_eng = ServingEngine(model, params, max_batch=4, capacity=32,
+                            prefill_buckets=(8,))
+    ref = ref_eng.generate(prompts, max_new_tokens=5)
+
+    eng = ServingEngine(model, params, max_batch=4, capacity=32,
+                        prefill_buckets=(8,), mesh=mesh)
+    with mesh:
+        got = eng.generate(prompts, max_new_tokens=5)
+    assert got == ref
+
+
+def test_initialize_multihost_single_process():
+    from rten_tpu.parallel import initialize_multihost
+    n, idx = initialize_multihost(num_processes=1, process_id=0)
+    assert n == 1 and idx == 0
