@@ -58,7 +58,7 @@ class ServingEngine:
                  sampler: Optional[Sampler] = None, quantized_cache=False,
                  prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
                  mesh=None, paged=False, page_size=64, pool_pages=None,
-                 cache_dtype=None):
+                 cache_dtype=None, fused_head=None):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -155,10 +155,25 @@ class ServingEngine:
 
         self._prefill = jax.jit(prefill_fn)
 
-        def decode_fn(params, tokens, cache, key):
+        # Greedy sampling + an int8 head takes the fused LM-head+argmax
+        # kernel (model.decode_step_argmax): no [B, vocab] logits, one
+        # fewer kernel on the step's critical path. Sharded engines keep
+        # the generic path (the Pallas head kernel is single-device).
+        greedy = (isinstance(self.sampler, ArgMaxSampler)
+                  or getattr(self.sampler, "temperature", None) == 0.0)
+        self._fused_head = (fused_head if fused_head is not None else
+                            (greedy and mesh is None
+                             and hasattr(model, "decode_step_argmax")))
+
+        def decode_one(params, tokens, cache, key):
+            if self._fused_head:
+                return model.decode_step_argmax(params, tokens, cache)
             logits, cache = model.decode_step(params, tokens, cache)
-            next_tokens = self.sampler.sample(key, logits)
-            return next_tokens, logits, cache
+            return self.sampler.sample(key, logits), cache
+
+        def decode_fn(params, tokens, cache, key):
+            next_tokens, cache = decode_one(params, tokens, cache, key)
+            return next_tokens, cache
 
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
 
@@ -168,8 +183,7 @@ class ServingEngine:
             def body(carry, _):
                 tokens, cache, key = carry
                 key, sub = jax.random.split(key)
-                logits, cache = model.decode_step(params, tokens, cache)
-                nxt = self.sampler.sample(sub, logits)
+                nxt, cache = decode_one(params, tokens, cache, sub)
                 return (nxt, cache, key), nxt
 
             (tokens, cache, _), toks = jax.lax.scan(
@@ -346,7 +360,7 @@ class ServingEngine:
                 self.cache = self.allocator.ensure_capacity(
                     self.cache, slot, 2, length=int(lengths_np[slot]))
         self._key, sub = jax.random.split(self._key)
-        next_tokens, logits, self.cache = self._decode(
+        next_tokens, self.cache = self._decode(
             self.params, jnp.asarray(self.current_tokens), self.cache, sub)
         self._host_lengths += 1
         self._device_tokens = None

@@ -201,6 +201,94 @@ def matmul_int8_weight_only(x, w, w_scales, block_m=256, block_n=None,
     return out[:m, :n]
 
 
+# ---------------------------------------------------------------------------
+# Fused LM-head + argmax (greedy decode)
+# ---------------------------------------------------------------------------
+
+def _head_argmax_kernel(x_ref, w_ref, s_ref, out_ref, bv_ref, bi_ref, *,
+                        n_j, bn, v_real):
+    """One vocab tile per program: logits tile = x @ w_tile (bf16 MXU,
+    f32 accumulate, per-column scales), then fold the tile into a running
+    (max, argmax) in VMEM scratch. The [B, V] logits never exist — the
+    decode step's largest intermediate and its extra kernel round
+    (matmul → argmax) collapse into one weight-stream pass."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        bv_ref[:] = jnp.full_like(bv_ref, -jnp.inf)
+        bi_ref[:] = jnp.zeros_like(bi_ref)
+
+    vals = jnp.dot(x_ref[:].astype(jnp.bfloat16),
+                   w_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    vals = vals * s_ref[0, :][None, :]
+    iota = j * bn + jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    vals = jnp.where(iota < v_real, vals, -jnp.inf)   # mask vocab padding
+    lmax = jnp.max(vals, axis=1, keepdims=True)
+    # First-occurrence argmax within the tile (matches jnp.argmax).
+    big = jnp.int32(2 ** 31 - 1)
+    lidx = jnp.min(jnp.where(vals == lmax, iota, big), axis=1,
+                   keepdims=True)
+    lmax_b = jnp.broadcast_to(lmax, bv_ref.shape)
+    lidx_b = jnp.broadcast_to(lidx, bi_ref.shape)
+    better = lmax_b > bv_ref[:]        # strict: earlier tile wins ties
+    bi_ref[:] = jnp.where(better, lidx_b, bi_ref[:])
+    bv_ref[:] = jnp.where(better, lmax_b, bv_ref[:])
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = bi_ref[:]
+
+
+@jax.jit
+def matmul_argmax_int8(x, w, w_scales):
+    """Greedy-head fast path: ``argmax(x @ (w * scales), axis=-1)`` for an
+    int8 weight [D, V] with per-column f32 ``w_scales`` — one Pallas pass,
+    no [M, V] logits materialization. Returns int32 [M].
+
+    Numerics match ``matmul_int8_weight_only`` (bf16 MXU products, f32
+    accumulation); ties resolve to the lowest index like ``jnp.argmax``."""
+    m, d = x.shape
+    d2, v = w.shape
+    assert d == d2, f"contraction mismatch {d} vs {d2}"
+    bm = _round_up(m, 8)
+    dp = _round_up(d, 128)
+    # Whole-D weight tiles: size bn so the int8 tile + bf16 copy stay
+    # well under VMEM (~4.5 MB at the cap below).
+    bn = max(128, min(2048, (1536 * 1024) // dp // 128 * 128))
+    vp = _round_up(v, bn)
+    x = _pad_to(x.astype(jnp.float32), bm, dp)
+    w = _pad_to(w, dp, vp)
+    ws = jnp.pad(jnp.asarray(w_scales, jnp.float32).reshape(1, -1),
+                 ((0, 0), (0, vp - v)))
+    n_j = vp // bn
+
+    out = pl.pallas_call(
+        functools.partial(_head_argmax_kernel, n_j=n_j, bn=bn, v_real=v),
+        grid=(n_j,),
+        in_specs=[
+            pl.BlockSpec((bm, dp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bm, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, 128), jnp.float32),
+                        pltpu.VMEM((bm, 128), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * vp * dp,
+            bytes_accessed=4 * bm * dp + dp * vp + 4 * bm,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, w, ws)
+    return out[:m, 0]
+
+
 _INT4_BN = 256  # matches the tile-planar pack tile (quant.INT4_PACK_TILE)
 
 

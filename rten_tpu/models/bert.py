@@ -140,9 +140,12 @@ class Bert:
         return jnp.tanh(linear(hidden[:, 0], params["pooler_w"],
                                params["pooler_b"]))
 
-    def qa_spans(self, params, input_ids, attention_mask=None):
-        """(start_logits, end_logits) for extractive QA (bert_qa.rs)."""
-        hidden = self.forward(params, input_ids, attention_mask)
+    def qa_spans(self, params, input_ids, attention_mask=None,
+                 token_type_ids=None):
+        """(start_logits, end_logits) for extractive QA (bert_qa.rs);
+        ``token_type_ids`` separates question (0) from context (1)."""
+        hidden = self.forward(params, input_ids, attention_mask,
+                              token_type_ids=token_type_ids)
         logits = linear(hidden, params["qa_w"], params["qa_b"])
         return logits[..., 0], logits[..., 1]
 

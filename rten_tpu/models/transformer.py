@@ -394,6 +394,19 @@ class TransformerLM:
     def forward(self, params, tokens, cache=None, positions=None,
                 lengths=None):
         """tokens: [B, S] int32. Returns (logits [B, S, V], cache)."""
+        x, cache = self._hidden_states(params, tokens, cache, positions,
+                                       lengths)
+        if self.config.tie_embeddings and "lm_head" not in params:
+            logits = jnp.matmul(x, params["embed"].T.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = linear(x, params["lm_head"])
+        return logits.astype(jnp.float32), cache
+
+    def _hidden_states(self, params, tokens, cache=None, positions=None,
+                       lengths=None):
+        """The transformer stack through the final norm (everything but
+        the LM head). Returns (hidden [B, S, D], advanced cache)."""
         cfg = self.config
         b, s = tokens.shape
         if positions is None:
@@ -443,16 +456,9 @@ class TransformerLM:
                 x = x + self._mlp(layer, mlp_in)
 
         x = _norm(cfg, x, params["ln_f_scale"], params.get("ln_f_bias"))
-        if cfg.tie_embeddings and "lm_head" not in params:
-            logits = jnp.matmul(x, params["embed"].T.astype(x.dtype),
-                                preferred_element_type=jnp.float32)
-        else:
-            logits = linear(x, params["lm_head"])
-        if cache is not None and s == 1:
-            cache = cache.advance(1)
-        elif cache is not None:
-            cache = cache.advance(s)
-        return logits.astype(jnp.float32), cache
+        if cache is not None:
+            cache = cache.advance(1 if s == 1 else s)
+        return x, cache
 
     # -- serving entry points ---------------------------------------------
 
@@ -465,6 +471,23 @@ class TransformerLM:
         """tokens: [B] int32 — one token per sequence."""
         logits, cache = self.forward(params, tokens[:, None], cache)
         return logits[:, 0], cache
+
+    def decode_step_argmax(self, params, tokens, cache):
+        """Greedy decode step via the fused LM-head+argmax kernel: the
+        [B, vocab] logits — the step's largest intermediate — are never
+        materialized, and the lm-head→argmax kernel pair collapses to one
+        weight-stream pass (kernels/gemm.py::matmul_argmax_int8). Only
+        int8-quantized heads take the fused path; float heads fall back
+        to exact f32 logits + argmax so unquantized outputs are
+        bit-identical to ``decode_step``. Returns (tokens [B], cache)."""
+        head = params.get("lm_head")
+        if not (isinstance(head, QuantWeight) and head.kind == "int8"):
+            logits, cache = self.decode_step(params, tokens, cache)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+        x, cache = self._hidden_states(params, tokens[:, None], cache)
+        nxt = gk.matmul_argmax_int8(x[:, 0].astype(jnp.float32),
+                                    head.data, head.scales)
+        return nxt, cache
 
     def new_cache(self, batch, capacity=None, quantized=False,
                   cache_dtype=None):

@@ -126,9 +126,12 @@ def slice_(ctx, attrs, x, starts, ends, axes=None, steps=None):
             index[axis] = slice(start, end, step)
         else:
             start = min(max(start + size if start < 0 else start, 0), size - 1)
-            end = end + size if end < -size else end
-            end = None if end < 0 else min(end, size)
-            index[axis] = slice(start, end, step)
+            # ONNX: negative end counts from the back FIRST (end += size),
+            # THEN clamps to [-1, size-1]; a post-adjust -1 (end < -size,
+            # or INT_MIN) means "through index 0 inclusive" — Python None.
+            end = end + size if end < 0 else end
+            end = min(max(end, -1), size)
+            index[axis] = slice(start, None if end < 0 else end, step)
     return x[tuple(index)]
 
 

@@ -212,3 +212,48 @@ def test_decode_cache_donation_aliases_buffers():
     out_set = {leaf.unsafe_buffer_pointer()
                for leaf in jax.tree_util.tree_leaves(eng.cache.kv)}
     assert out_set == in_set, "decode copied the KV cache"
+
+
+def test_fused_head_argmax_matches_generic_path():
+    """Greedy decoding on an int8-quantized model: the fused LM-head+
+    argmax kernel (engine default for greedy samplers) must produce the
+    same tokens as the generic logits→sampler path, across bursts and
+    continuous-batching slot reuse."""
+    from rten_tpu.models.transformer import quantize_weights
+
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    qparams = quantize_weights(params, kind="int8")
+    prompts = [[5, 17, 3], [9, 2], [40, 41, 42], [7]]
+
+    def gen(fused, burst):
+        eng = ServingEngine(model, qparams, max_batch=2, capacity=64,
+                            prefill_buckets=(8,), fused_head=fused)
+        assert eng._fused_head is fused
+        return eng.generate(prompts, max_new_tokens=6, burst=burst)
+
+    want = gen(False, 1)
+    assert gen(True, 1) == want
+    assert gen(True, 4) == want
+
+
+def test_fused_head_defaults():
+    """Fused head auto-enables for greedy samplers only."""
+    from rten_tpu.generate.sampler import TopKSampler
+
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=2, capacity=32,
+                        prefill_buckets=(8,))
+    assert eng._fused_head
+    eng = ServingEngine(model, params, max_batch=2, capacity=32,
+                        prefill_buckets=(8,),
+                        sampler=TopKSampler(k=5, temperature=0.7))
+    assert not eng._fused_head
+    # temperature=0 TopK is argmax — fused.
+    eng = ServingEngine(model, params, max_batch=2, capacity=32,
+                        prefill_buckets=(8,),
+                        sampler=TopKSampler(k=5, temperature=0.0))
+    assert eng._fused_head

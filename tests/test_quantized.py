@@ -215,3 +215,48 @@ def test_conv_integer_op():
                     torch.tensor(w.astype(np.float32)), padding=1).numpy()
     np.testing.assert_array_equal(out, want.astype(np.int32))
     assert out.dtype == np.int32
+
+
+def test_matmul_argmax_int8_matches_reference():
+    """Fused head+argmax kernel vs argmax over the dequantized matmul,
+    incl. a vocab size that is not a tile multiple (padding mask)."""
+    for m, d, v in [(8, 64, 384), (3, 96, 301), (1, 128, 1000)]:
+        x = rng.randn(m, d).astype(np.float32)
+        w = rng.randint(-127, 128, size=(d, v)).astype(np.int8)
+        scales = (rng.rand(v).astype(np.float32) + 0.1) / 100
+        got = np.asarray(gk.matmul_argmax_int8(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(scales)))
+        assert got.dtype == np.int32 and got.shape == (m,)
+        # Exact reference for the kernel's arithmetic: bf16 products,
+        # f32 accumulation over the full D (tiles split V, not D), then
+        # per-column scales — identical op order in interpret mode.
+        ref_logits = np.asarray(
+            jnp.dot(jnp.asarray(x, jnp.bfloat16),
+                    jnp.asarray(w, jnp.bfloat16),
+                    preferred_element_type=jnp.float32)) * scales[None, :]
+        np.testing.assert_array_equal(got, ref_logits.argmax(axis=1))
+        # And vs full-precision logits: agreement wherever the top-2 gap
+        # exceeds the bf16 rounding bound Σ|x||w|·2^-8·2.
+        logits = (x.astype(np.float32) @ (w.astype(np.float32)
+                                          * scales[None, :]))
+        want = logits.argmax(axis=1)
+        bound = (np.abs(x) @ (np.abs(w) * scales[None, :])) * 2 ** -8 * 2
+        top2 = np.sort(logits, axis=1)[:, -2:]
+        clear = (top2[:, 1] - top2[:, 0]) > bound.max(axis=1)
+        assert (got[clear] == want[clear]).all()
+
+
+def test_matmul_argmax_int8_tie_breaks_to_first():
+    """Exact ties (duplicated columns, exactly-representable values)
+    resolve to the lowest index, matching jnp.argmax — including ties
+    that span tile boundaries."""
+    d, v = 8, 512
+    x = np.ones((2, d), np.float32)
+    w = np.zeros((d, v), np.int8)
+    w[:, 7] = 5
+    w[:, 300] = 5   # same column, different vocab tile at bn<=256
+    scales = np.ones(v, np.float32)
+    got = np.asarray(gk.matmul_argmax_int8(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(scales),
+    ))
+    assert (got == 7).all()
