@@ -43,14 +43,15 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # Batch 8 completes (incl. compiles + per-request prefills) well
-        # inside the driver's budget through the remote tunnel; larger
-        # batches raise tokens/s further but risk timing out the harness.
-        # f32 compute keeps total compile count inside the harness budget
-        # through the remote tunnel; bf16 measures ~1.4× faster decode in
-        # isolation (see BASELINE.md) but its extra compiles overflow it.
+        # Saturated continuous batch: decode streams every weight once
+        # per step regardless of batch, so tokens/s/chip rises with
+        # occupancy until KV bandwidth binds (tools/profile_batch_sweep:
+        # 9.4k tok/s at batch 8 → 20.1k at 64 → 22.2k at 128; 64 is the
+        # knee). Batched admission prefills all 64 same-bucket requests
+        # in ONE compiled program, so the compile count stays inside the
+        # driver's budget (4 programs total, seconds each warm).
         cfg = TransformerConfig.gpt2()
-        batch, prompt_len, decode_steps, capacity = 8, 64, 384, 512
+        batch, prompt_len, decode_steps, capacity = 64, 64, 384, 512
     else:
         # CPU smoke configuration (fast local check only).
         cfg = TransformerConfig.tiny_test()

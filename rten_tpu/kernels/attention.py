@@ -156,23 +156,28 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
 
     b = pl.program_id(0)
     length = len_ref[b]
-    q = q_ref[0, 0]                                # [q_heads, d]
-    k = k_ref[0, 0]                                # [block_k, d]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    k_pos = kb * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, 1)
-    s = jnp.where(k_pos < length, s, _NEG_INF)
 
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
+    # Ragged skip (see _decode_fused_kernel): DMA for blocks past the
+    # live length was elided by the clamped index map; skip compute.
+    @pl.when(kb * block_k < length)
+    def _():
+        q = q_ref[0, 0]                            # [q_heads, d]
+        k = k_ref[0, 0]                            # [block_k, d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < length, s, _NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
 
     @pl.when(kb == n_k - 1)
     def _():
@@ -193,53 +198,63 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     length = len_ref[b]
-    q = q_ref[0]                       # [H, KVH*D] block-diagonal rows
-    kblk = kv_ref[0, :, 0, :]          # [block_k, KVH*D]
-    vblk = kv_ref[0, :, 1, :]
-    h = q.shape[0]
 
-    # Row h of q is zero outside its kv head's column block, so ONE dot
-    # against the full token-major rows yields exactly the per-head
-    # scores — the MXU does the head selection (no in-kernel slicing,
-    # which costs cross-lane relayouts).
-    s = jax.lax.dot_general(q, kblk.astype(q.dtype),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    if scales_ref is not None:
-        # int8 cache: per-(token, head) scales [block_k, 2, KVH]. Row h
-        # of the score matrix only touched head g(h)'s columns, so K's
-        # dequant factors OUT of the dot: s[h, t] *= kscale[t, g(h)].
-        # Expand [block_k, KVH] -> [H, block_k] on the MXU via the same
-        # head one-hot (no lane-expansion relayouts).
-        onehot = onehot_ref[:]                      # [H, KVH]
-        ks = jax.lax.dot_general(
-            onehot, scales_ref[0, :, 0, :],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)     # [H, block_k]
-        s = s * ks
-    k_pos = kb * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (h, block_k), 1)
-    s = jnp.where(k_pos < length, s, _NEG_INF)
+    # Ragged skip: blocks past the sequence's length contribute nothing
+    # (fully masked), their DMA was elided by the clamped index map
+    # (same block index as the previous grid step → Mosaic skips the
+    # fetch), and the compute is skipped here — cache reads scale with
+    # the LIVE sequence length, not the allocated capacity.
+    @pl.when(kb * block_k < length)
+    def _():
+        q = q_ref[0]                       # [H, KVH*D] block-diag rows
+        kblk = kv_ref[0, :, 0, :]          # [block_k, KVH*D]
+        vblk = kv_ref[0, :, 1, :]
+        h = q.shape[0]
 
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    if scales_ref is not None:
-        # V's dequant folds into P before the PV dot: row h only reads
-        # head g(h)'s V columns, so p'[h, t] = p[h, t] * vscale[t, g(h)].
-        vs = jax.lax.dot_general(
-            onehot_ref[:], scales_ref[0, :, 1, :],
-            (((1,), (1,)), ((), ())),
+        # Row h of q is zero outside its kv head's column block, so ONE
+        # dot against the full token-major rows yields exactly the
+        # per-head scores — the MXU does the head selection (no
+        # in-kernel slicing, which costs cross-lane relayouts).
+        s = jax.lax.dot_general(q, kblk.astype(q.dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if scales_ref is not None:
+            # int8 cache: per-(token, head) scales [block_k, 2, KVH].
+            # Row h of the score matrix only touched head g(h)'s
+            # columns, so K's dequant factors OUT of the dot:
+            # s[h, t] *= kscale[t, g(h)]. Expand [block_k, KVH] ->
+            # [H, block_k] on the MXU via the same head one-hot (no
+            # lane-expansion relayouts).
+            onehot = onehot_ref[:]                      # [H, KVH]
+            ks = jax.lax.dot_general(
+                onehot, scales_ref[0, :, 0, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [H, block_k]
+            s = s * ks
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (h, block_k), 1)
+        s = jnp.where(k_pos < length, s, _NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if scales_ref is not None:
+            # V's dequant folds into P before the PV dot: row h only
+            # reads head g(h)'s V columns, so
+            # p'[h, t] = p[h, t] * vscale[t, g(h)].
+            vs = jax.lax.dot_general(
+                onehot_ref[:], scales_ref[0, :, 1, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = p * vs
+        # P @ V over full rows: row h's slice at its head's columns is
+        # the true output; the caller extracts the block diagonal.
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        p = p * vs
-    # P @ V over full rows: row h's slice at its head's columns is the
-    # true output; the caller extracts the block diagonal.
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
+        m_ref[:] = m_new
 
     @pl.when(kb == n_k - 1)
     def _():
@@ -292,26 +307,34 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256,
     q_full = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
               ).reshape(b, h, hd_tot)
 
+    def kv_index(bb, kk, lens):
+        # Ragged clamp: blocks past the sequence's live length map to
+        # its LAST valid block — Mosaic skips the DMA when the index is
+        # unchanged from the previous grid step, so cache bandwidth
+        # scales with the live length, not the allocated capacity (the
+        # kernel body also skips their compute).
+        last = jnp.maximum(pl.cdiv(lens[bb], block_k) - 1, 0)
+        return (bb, jnp.minimum(kk, last), 0, 0)
+
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # lengths
-        pl.BlockSpec((1, h, hd_tot), lambda bb, kk: (bb, 0, 0),
+        pl.BlockSpec((1, h, hd_tot), lambda bb, kk, lens: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, kv_heads), lambda bb, kk: (0, 0),
+        pl.BlockSpec((h, kv_heads), lambda bb, kk, lens: (0, 0),
                      memory_space=pltpu.VMEM),   # head one-hot
         # One block spans BOTH planes (K and V arrive together; Mosaic
         # requires the last-two block dims be full or 8/128-aligned, so
         # the plane dim must be whole anyway).
-        pl.BlockSpec((1, block_k, 2, hd_tot),
-                     lambda bb, kk: (bb, kk, 0, 0),
+        pl.BlockSpec((1, block_k, 2, hd_tot), kv_index,
                      memory_space=pltpu.VMEM),
     ]
     args = [jnp.asarray(lengths, jnp.int32), q_full, onehot, kv]
     kernel = functools.partial(_decode_fused_kernel, scale=scale,
                                block_k=block_k, n_k=n_k)
     if kv_scales is not None:
-        in_specs.append(pl.BlockSpec((1, block_k, 2, kv_heads),
-                                     lambda bb, kk: (bb, kk, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, block_k, 2, kv_heads),
+            lambda bb, kk, lens: kv_index(bb, kk, lens),
+            memory_space=pltpu.VMEM))
         args.append(kv_scales.astype(jnp.float32))
 
         def kernel(len_ref, q_ref, oh_ref, kv_ref, s_ref, *rest):
@@ -321,16 +344,20 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256,
 
     out_full = pl.pallas_call(
         kernel,
-        grid=(b, n_k),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, hd_tot), lambda bb, kk: (bb, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # lengths
+            grid=(b, n_k),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, h, hd_tot),
+                                   lambda bb, kk, lens: (bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, hd_tot), jnp.float32),
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, hd_tot), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, hd_tot), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_max * hd_tot,
             bytes_accessed=kv.size * kv.dtype.itemsize + 8 * b * h * hd_tot,
@@ -355,29 +382,35 @@ def _decode_paged_kernel(tab_ref, len_ref, q_ref, onehot_ref, page_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     length = len_ref[b]
-    mapped = tab_ref[b, pp] >= 0
-    q = q_ref[0]                       # [H, KVH*D] block-diagonal rows
-    kblk = page_ref[0, :, 0, :]        # [page, KVH*D]
-    vblk = page_ref[0, :, 1, :]
-    h = q.shape[0]
 
-    s = jax.lax.dot_general(q, kblk.astype(q.dtype),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    k_pos = pp * page_size + jax.lax.broadcasted_iota(
-        jnp.int32, (h, page_size), 1)
-    valid = jnp.logical_and(k_pos < length, mapped)
-    s = jnp.where(valid, s, _NEG_INF)
+    # Ragged skip (see _decode_fused_kernel): pages past the live
+    # length were index-clamped to the last valid page (DMA elided);
+    # skip their compute too.
+    @pl.when(pp * page_size < length)
+    def _():
+        mapped = tab_ref[b, pp] >= 0
+        q = q_ref[0]                   # [H, KVH*D] block-diagonal rows
+        kblk = page_ref[0, :, 0, :]    # [page, KVH*D]
+        vblk = page_ref[0, :, 1, :]
+        h = q.shape[0]
 
-    m_prev = m_ref[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
+        s = jax.lax.dot_general(q, kblk.astype(q.dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        k_pos = pp * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (h, page_size), 1)
+        valid = jnp.logical_and(k_pos < length, mapped)
+        s = jnp.where(valid, s, _NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
 
     @pl.when(pp == n_pages_per_seq - 1)
     def _():
@@ -420,9 +453,16 @@ def flash_decode_paged(q, pool, page_table, lengths, kv_heads, scale=None):
             pl.BlockSpec((h, kv_heads),
                          lambda bb, pp, tab, lens: (0, 0),
                          memory_space=pltpu.VMEM),
+            # Ragged clamp: pages past the live length re-use the last
+            # valid page's index (DMA elided on unchanged index; kernel
+            # skips the compute). Unmapped in-range pages (-1) fall back
+            # to page 0 and are masked in-kernel.
             pl.BlockSpec((1, page_size, 2, hd_tot),
                          lambda bb, pp, tab, lens: (
-                             jnp.maximum(tab[bb, pp], 0), 0, 0, 0),
+                             jnp.maximum(tab[bb, jnp.minimum(
+                                 pp, jnp.maximum(
+                                     pl.cdiv(lens[bb], page_size) - 1,
+                                     0))], 0), 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, hd_tot),
@@ -489,11 +529,20 @@ def flash_decode(q, k_cache, v_cache, lengths, scale=None, block_k=256):
                 pl.BlockSpec((1, 1, q_per_kv, d),
                              lambda bb, hh, kk, lens: (bb, hh, 0, 0),
                              memory_space=pltpu.VMEM),
+                # Ragged clamp: blocks past the live length re-use the
+                # last valid block's index (DMA elided; compute skipped
+                # in-kernel).
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bb, hh, kk, lens: (bb, hh, kk, 0),
+                             lambda bb, hh, kk, lens: (
+                                 bb, hh, jnp.minimum(kk, jnp.maximum(
+                                     pl.cdiv(lens[bb], block_k) - 1, 0)),
+                                 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_k, d),
-                             lambda bb, hh, kk, lens: (bb, hh, kk, 0),
+                             lambda bb, hh, kk, lens: (
+                                 bb, hh, jnp.minimum(kk, jnp.maximum(
+                                     pl.cdiv(lens[bb], block_k) - 1, 0)),
+                                 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 1, q_per_kv, d),

@@ -116,6 +116,15 @@ class ResNet:
                 + p[f"{name}.bias"].reshape(shape))
 
     def forward(self, params, x):
+        out = self.features(params, x)
+        out = jnp.mean(out, axis=(2, 3))
+        return out @ params["fc.w"] + params["fc.b"]
+
+    def features(self, params, x):
+        """Backbone feature map [B, C, H/32, W/32] (pre-pool) — the
+        shared trunk for classification, detection (models/detr.py) and
+        dense prediction (models/segmentation.py; reference deeplab.rs
+        consumes the analogous ONNX backbone)."""
         cfg = self.config
         p = params
         out = self._conv(x, p["conv1.w"], stride=2, pad=3)
@@ -147,8 +156,7 @@ class ResNet:
                         out, p[f"{prefix}.down.w"], stride=stride),
                         p, f"{prefix}.down_bn")
                 out = jnp.maximum(h + identity, 0)
-        out = jnp.mean(out, axis=(2, 3))
-        return out @ p["fc.w"] + p["fc.b"]
+        return out
 
     # -- .rten graph emission ----------------------------------------------
 

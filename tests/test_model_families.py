@@ -249,3 +249,88 @@ def test_quantized_tied_lm_head():
     assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 0.05
     assert (np.argmax(np.asarray(got)[:, -1], -1)
             == np.argmax(np.asarray(ref)[:, -1], -1)).all()
+
+
+def test_segmenter_forward_shapes_and_argmax():
+    """DeepLab-class head: per-pixel logits at input resolution; the
+    backbone trunk is shared with classification (features() refactor
+    must leave ResNet.forward unchanged)."""
+    from rten_tpu.models.resnet import ResNet, ResNetConfig
+    from rten_tpu.models.segmentation import SegmentationConfig, Segmenter
+
+    cfg = SegmentationConfig.tiny_test()
+    model = Segmenter(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(2, 3, 64, 64).astype(np.float32)
+    logits = np.asarray(model.forward(params, jnp.asarray(x)))
+    assert logits.shape == (2, cfg.n_classes, 64, 64)
+    mask = np.asarray(model.predict(params, jnp.asarray(x)))
+    np.testing.assert_array_equal(mask, logits.argmax(axis=1))
+
+    # forward == mean-pooled features @ fc (the classification head is
+    # untouched by the features() split).
+    rn = ResNet(cfg.backbone)
+    rp = rn.init_params(jax.random.PRNGKey(0))
+    feats = np.asarray(rn.features(rp, jnp.asarray(x)))
+    want = feats.mean(axis=(2, 3)) @ np.asarray(rp["fc.w"]) \
+        + np.asarray(rp["fc.b"])
+    got = np.asarray(rn.forward(rp, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_caption_patch_pipeline():
+    """distilvit-class captioning: ViT patches through the enc-dec;
+    generation is deterministic and bounded."""
+    sys_path = __import__("sys").path
+    if "." not in sys_path:
+        sys_path.insert(0, ".")
+    from examples.caption import patchify
+
+    img = np.random.RandomState(0).randn(3, 32, 32).astype(np.float32)
+    patches = patchify(img, patch=8)
+    assert patches.shape == (16, 192)
+    # Raster order: patch 0 is the top-left 8x8 block.
+    np.testing.assert_array_equal(
+        patches[0].reshape(8, 8, 3).transpose(2, 0, 1), img[:, :8, :8])
+
+    cfg = EncoderDecoderConfig.tiny_test(n_mels=192, max_source_len=16)
+    model = EncoderDecoderLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    toks = model.generate(params, patches[None], start_token=1,
+                          max_tokens=5, eos_token=2)
+    toks2 = model.generate(params, patches[None], start_token=1,
+                           max_tokens=5, eos_token=2)
+    assert toks[0].tolist() == toks2[0].tolist()
+    assert len(toks[0]) <= 5
+
+
+def test_tts_length_regulate_and_synthesis():
+    """VITS-class TTS: static-shape length regulation must equal the
+    dynamic repeat semantics; synthesis is jittable with fixed shapes."""
+    from rten_tpu.models.tts import TTSConfig, TextToSpeech
+
+    cfg = TTSConfig.tiny_test()
+    model = TextToSpeech(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    hidden = jnp.asarray(
+        np.random.RandomState(0).randn(1, 4, cfg.d_model), jnp.float32)
+    durations = jnp.asarray([[2, 3, 1, 5]], jnp.int32)
+    lengths = jnp.asarray([3], jnp.int32)   # last phoneme is padding
+    frames, fmask, n_frames = model.length_regulate(
+        jnp.pad(hidden, ((0, 0), (0, cfg.max_phonemes - 4), (0, 0))),
+        jnp.pad(durations, ((0, 0), (0, cfg.max_phonemes - 4))), lengths)
+    assert int(n_frames[0]) == 6          # 2 + 3 + 1 (padding excluded)
+    ref = np.repeat(np.asarray(hidden)[0, :3], [2, 3, 1], axis=0)
+    np.testing.assert_allclose(np.asarray(frames)[0, :6], ref, rtol=1e-6)
+    assert not np.asarray(fmask)[0, 6:].any()
+    np.testing.assert_array_equal(np.asarray(frames)[0, 6:], 0)
+
+    phonemes = np.zeros((2, cfg.max_phonemes), np.int32)
+    phonemes[0, :5] = [3, 1, 4, 1, 5]
+    phonemes[1, :2] = [9, 2]
+    wave_out, n_samples = jax.jit(model.synthesize)(
+        params, jnp.asarray(phonemes), jnp.asarray([5, 2], jnp.int32))
+    assert wave_out.shape == (2, cfg.max_frames * cfg.hop)
+    assert (np.asarray(n_samples) % cfg.hop == 0).all()
+    assert np.abs(np.asarray(wave_out)).max() <= 1.0

@@ -160,6 +160,7 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config for CPU smoke")
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--only", default=None,
                     help="comma-separated substring filter of variant names "
                          "(saves remote compiles)")
@@ -190,6 +191,8 @@ def main():
         base_kw = {}
         layer_counts = (12, 6, 3)
         batch, capacity = 8, 512
+    if args.batch:
+        batch = args.batch
 
     results = {}
 
