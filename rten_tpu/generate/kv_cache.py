@@ -23,8 +23,18 @@ row. Chosen over the textbook ``[B, KVH, cap, D]`` pair because on TPU:
 
 ``lengths`` [batch] tracks per-sequence fill (continuous batching puts
 sequences of one batch at different depths). Optional int8 quantized
-storage (per-token-per-head scales, ``[B, cap, 2, KVH]``) halves or
-quarters cache bandwidth.
+storage (per-token-per-head scales) halves cache bandwidth vs bf16.
+
+Quantized layout (byte-planar int32 packing): Mosaic rejects row DMAs of
+int8 buffers (sub-word sublane packing), so the int8 cache is stored as
+int32 ``[B, cap, 1, KVH*D/2]`` where lane ``j`` packs four int8 values —
+``K[j] | K[j+F/2]<<8 | V[j]<<16 | V[j+F/2]<<24`` (F = KVH*D). Unpacking
+is shift+sign-extend plus a lane-contiguous concat that restores
+canonical order (the same planar trick as the int4 GEMM's nibble tiles,
+kernels/gemm.py). Scales live in f32 ``[B, cap, 1, 128]`` rows (K scales
+at lanes [0, KVH), V at [64, 64+KVH)) so the decode append is ONE
+two-buffer DMA — the earlier int8 fallback to XLA's scatter cost more
+than the bandwidth the quantization saved (~2.3 ms/step at batch 64).
 """
 
 from __future__ import annotations
@@ -37,6 +47,35 @@ import numpy as np
 
 # Mosaic DMA slices must be 128-lane aligned on the last dim.
 _LANE = 128
+# Quantized-cache scale rows: f32 [1, 128] per token; V scales offset.
+SCALE_LANES = 128
+VSCALE_OFF = 64
+
+
+def pack_int8_planar(kq, vq):
+    """Byte-planar pack: ``kq``/``vq`` [..., F] int8-range ints →
+    [..., 1, F//2] int32 (lane j = K[j] | K[j+F/2]<<8 | V[j]<<16 |
+    V[j+F/2]<<24). Unpacks to canonical order with two lane-contiguous
+    concats (no shuffles)."""
+    f = kq.shape[-1]
+    h2 = f // 2
+
+    def byte(x):
+        return jnp.bitwise_and(x.astype(jnp.int32), 0xFF)
+
+    lane = (byte(kq[..., :h2]) | (byte(kq[..., h2:]) << 8)
+            | (byte(vq[..., :h2]) << 16)
+            | (vq[..., h2:].astype(jnp.int32) << 24))
+    return lane[..., None, :]
+
+
+def unpack_int8_planar(packed):
+    """Inverse of :func:`pack_int8_planar`: [..., 1, F//2] int32 →
+    (k [..., F], v [..., F]) int32, sign-extended."""
+    x = packed[..., 0, :]
+    k = jnp.concatenate([(x << 24) >> 24, (x << 16) >> 24], axis=-1)
+    v = jnp.concatenate([(x << 8) >> 24, x >> 24], axis=-1)
+    return k, v
 
 
 def _quantize_tokens(x):
@@ -75,18 +114,23 @@ class KVCache:
         """``stacked=True`` holds all layers in one [L, B, cap, 2, KVH*D]
         array (required for `lax.scan` over layers, where the layer index
         is traced); the default is one array per layer."""
-        shape = (batch, capacity, 2, kv_heads * head_dim)
-        store_dtype = jnp.int8 if quantized else dtype
-        if stacked:
-            assert not quantized, "quantized+stacked not supported yet"
-            kv = jnp.zeros((n_layers, *shape), store_dtype)
-        else:
-            kv = [jnp.zeros(shape, store_dtype) for _ in range(n_layers)]
-        scales = None
         if quantized:
-            sshape = (batch, capacity, 2, kv_heads)
-            scales = [jnp.ones(sshape, jnp.float32) for _ in range(n_layers)]
-        return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
+            assert not stacked, "quantized+stacked not supported yet"
+            f = kv_heads * head_dim
+            assert f % 2 == 0 and kv_heads <= VSCALE_OFF
+            shape = (batch, capacity, 1, f // 2)          # byte-planar
+            kv = [jnp.zeros(shape, jnp.int32) for _ in range(n_layers)]
+            sshape = (batch, capacity, 1, SCALE_LANES)
+            scales = [jnp.ones(sshape, jnp.float32)
+                      for _ in range(n_layers)]
+            return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
+                           kv_heads, head_dim)
+        shape = (batch, capacity, 2, kv_heads * head_dim)
+        if stacked:
+            kv = jnp.zeros((n_layers, *shape), dtype)
+        else:
+            kv = [jnp.zeros(shape, dtype) for _ in range(n_layers)]
+        return KVCache(kv, jnp.zeros(batch, jnp.int32), None,
                        kv_heads, head_dim)
 
     @property
@@ -108,18 +152,26 @@ class KVCache:
     # -- updates -----------------------------------------------------------
 
     def _pack(self, k_new, v_new):
-        """[B, KVH, T, D] k/v → token-major [B, T, 2, KVH*D] (+ scales)."""
+        """[B, KVH, T, D] k/v → token-major rows: float caches
+        [B, T, 2, KVH*D]; quantized caches byte-planar int32
+        [B, T, 1, KVH*D/2] + scale rows [B, T, 1, 128]."""
         b, kvh, t, d = k_new.shape
         k_t = k_new.transpose(0, 2, 1, 3)           # [B, T, KVH, D]
         v_t = v_new.transpose(0, 2, 1, 3)
-        scales = None
         if self.quant_scales is not None:
-            k_t, k_s = _quantize_tokens(k_t)
-            v_t, v_s = _quantize_tokens(v_t)
-            scales = jnp.stack([k_s, v_s], axis=2)  # [B, T, 2, KVH]
+            k_q, k_s = _quantize_tokens(k_t)
+            v_q, v_s = _quantize_tokens(v_t)
+            packed = pack_int8_planar(
+                k_q.astype(jnp.int32).reshape(b, t, kvh * d),
+                v_q.astype(jnp.int32).reshape(b, t, kvh * d))
+            scales = jnp.ones((b, t, 1, SCALE_LANES), jnp.float32)
+            scales = scales.at[..., 0, 0:kvh].set(k_s)
+            scales = scales.at[..., 0,
+                               VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
+            return packed, scales
         packed = jnp.stack([k_t.reshape(b, t, kvh * d),
                             v_t.reshape(b, t, kvh * d)], axis=2)
-        return packed, scales
+        return packed, None
 
     def append(self, layer, k_new, v_new, position=None):
         """Write k/v [B, KVH, T, D] into the cache.
@@ -155,15 +207,19 @@ class KVCache:
         buf = self.kv[layer]
         packed = packed.astype(buf.dtype)
         scales = self.quant_scales
+        quant = scales is not None
+        # The quantized row is [1, KVH*D/2] int32 (byte-planar); the
+        # float row is [1, 2, KVH*D]. Either way the Pallas DMA needs a
+        # 128-lane-aligned last dim.
+        lanes_ok = (packed.shape[-1] % _LANE == 0
+                    and (quant or buf.dtype.itemsize >= 2))
+        scales_done = False
 
-        if position is None and t == 1 and (kvh * d) % _LANE == 0 \
-                and buf.dtype.itemsize >= 2:
+        if position is None and t == 1 and lanes_ok:
             # Decode append at per-sequence depths: the Pallas in-place
             # kernel writes B contiguous row DMAs instead of XLA's
-            # scatter (see module docstring). int8 caches use the XLA
-            # fallback: Mosaic pads the plane dim (2 -> 4 sublanes) under
-            # int8 packing and rejects DMA slices of padded dims; the
-            # scatter is on a 4x smaller buffer there anyway.
+            # scatter (see module docstring). Quantized caches append
+            # the kv row AND the scale row in the same kernel call.
             # Positions clamp to the last row: the decode program runs
             # for EVERY batch slot, including finished ones whose lengths
             # keep advancing until the slot is reused — their writes must
@@ -171,18 +227,26 @@ class KVCache:
             # dynamic_update_slice does).
             from ..kernels.cache import cache_append
             pos = jnp.minimum(self.lengths, buf.shape[1] - 1)
-            (new_buf,) = cache_append(pos, (buf,), (packed,))
+            if quant:
+                new_buf, s_new = cache_append(
+                    pos, (buf, scales[layer]), (packed, new_scales))
+                scales = list(scales)
+                scales[layer] = s_new
+                scales_done = True
+            else:
+                (new_buf,) = cache_append(pos, (buf,), (packed,))
         elif position is None:
             def upd(b_buf, new, pos):
-                return jax.lax.dynamic_update_slice(b_buf, new, (pos, 0, 0))
+                return jax.lax.dynamic_update_slice(
+                    b_buf, new, (pos,) + (0,) * (b_buf.ndim - 1))
             new_buf = jax.vmap(upd)(buf, packed, self.lengths)
         else:
             new_buf = jax.lax.dynamic_update_slice(
-                buf, packed, (0, position, 0, 0))
+                buf, packed, (0, position) + (0,) * (buf.ndim - 2))
 
         kv = list(self.kv)
         kv[layer] = new_buf
-        if scales is not None:
+        if quant and not scales_done:
             sbuf = scales[layer]
             if position is None:
                 if t == 1:
@@ -250,13 +314,19 @@ class KVCache:
         b, cap = buf.shape[0], buf.shape[1]
         kvh, d = self.kv_heads, self.head_dim
 
+        if self.quant_scales is not None:
+            kq, vq = unpack_int8_planar(buf)           # [B, cap, KVH*D]
+            s = self.quant_scales[layer][:, :, 0]      # [B, cap, 128]
+
+            def deq(x, s_rows):
+                x = x.reshape(b, cap, kvh, d).astype(jnp.float32)
+                return (x * s_rows[..., None]).transpose(0, 2, 1, 3)
+
+            return (deq(kq, s[:, :, :kvh]),
+                    deq(vq, s[:, :, VSCALE_OFF:VSCALE_OFF + kvh]))
+
         def split(plane):
             x = buf[:, :, plane].reshape(b, cap, kvh, d)
             return x.transpose(0, 2, 1, 3)
 
-        k, v = split(0), split(1)
-        if self.quant_scales is not None:
-            s = self.quant_scales[layer]               # [B, cap, 2, KVH]
-            k = k.astype(jnp.float32) * s[:, :, 0].transpose(0, 2, 1)[..., None]
-            v = v.astype(jnp.float32) * s[:, :, 1].transpose(0, 2, 1)[..., None]
-        return k, v
+        return split(0), split(1)

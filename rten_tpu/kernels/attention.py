@@ -207,9 +207,19 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
     @pl.when(kb * block_k < length)
     def _():
         q = q_ref[0]                       # [H, KVH*D] block-diag rows
-        kblk = kv_ref[0, :, 0, :]          # [block_k, KVH*D]
-        vblk = kv_ref[0, :, 1, :]
         h = q.shape[0]
+        if scales_ref is not None:
+            # Byte-planar int8 cache: one int32 row packs K|K|V|V bytes
+            # (generate/kv_cache.py::pack_int8_planar). Shift +
+            # sign-extend + lane-contiguous concat restores canonical
+            # column order — no cross-lane shuffles.
+            x = kv_ref[0, :, 0, :]                      # [block_k, L]
+            kblk = jnp.concatenate([(x << 24) >> 24, (x << 16) >> 24],
+                                   axis=-1)             # [block_k, 2L]
+            vblk = jnp.concatenate([(x << 8) >> 24, x >> 24], axis=-1)
+        else:
+            kblk = kv_ref[0, :, 0, :]                   # [block_k, KVH*D]
+            vblk = kv_ref[0, :, 1, :]
 
         # Row h of q is zero outside its kv head's column block, so ONE
         # dot against the full token-major rows yields exactly the
@@ -219,16 +229,16 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if scales_ref is not None:
-            # int8 cache: per-(token, head) scales [block_k, 2, KVH].
-            # Row h of the score matrix only touched head g(h)'s
-            # columns, so K's dequant factors OUT of the dot:
-            # s[h, t] *= kscale[t, g(h)]. Expand [block_k, KVH] ->
-            # [H, block_k] on the MXU via the same head one-hot (no
-            # lane-expansion relayouts).
-            onehot = onehot_ref[:]                      # [H, KVH]
+            # Per-(token, head) scales live in f32 rows [block_k, 128]
+            # (K at lanes [0, KVH), V at [VSCALE_OFF, +KVH)). Row h of
+            # the score matrix only touched head g(h)'s columns, so K's
+            # dequant factors OUT of the dot: s[h, t] *= kscale[t, g(h)].
+            # The padded one-hot ([H, 256]: K map in [:128], V map in
+            # [128:]) expands [block_k, 128] -> [H, block_k] on the MXU.
+            srow = scales_ref[0, :, 0, :]               # [block_k, 128]
+            oh = onehot_ref[:]                          # [H, 256]
             ks = jax.lax.dot_general(
-                onehot, scales_ref[0, :, 0, :],
-                (((1,), (1,)), ((), ())),
+                oh[:, :128], srow, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)     # [H, block_k]
             s = s * ks
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
@@ -245,7 +255,7 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
             # reads head g(h)'s V columns, so
             # p'[h, t] = p[h, t] * vscale[t, g(h)].
             vs = jax.lax.dot_general(
-                onehot_ref[:], scales_ref[0, :, 1, :],
+                onehot_ref[:][:, 128:], scales_ref[0, :, 0, :],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             p = p * vs
@@ -269,9 +279,11 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256,
 
     q: [B, H, D] (one query token per sequence);
     kv: [B, cap, 2, KVH*D] — the KVCache fused layout (plane 0 = K,
-    plane 1 = V); int8 storage supported when ``kv_scales``
-    [B, cap, 2, KVH] (per-token-per-head) is given — dequantization
-    happens on the MXU (see kernel), so the cache streams at 1 B/elt;
+    plane 1 = V). int8 storage: pass the byte-planar packed cache
+    (int32 [B, cap, 1, KVH*D/2], generate/kv_cache.py) with
+    ``kv_scales`` f32 [B, cap, 1, 128] per-token scale rows —
+    dequantization happens on the MXU (see kernel), so the cache
+    streams at 1 B/elt;
     lengths: [B] int32 — number of valid cache entries per sequence.
 
     One program per (sequence, cache block) streams the block's
@@ -284,18 +296,37 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256,
     kernel has zero in-kernel slicing and folds the old per-(batch,
     kv-head) grid (B·KVH·n_k programs) down to B·n_k."""
     b, h, d = q.shape
-    _, s_max, two, hd_tot = kv.shape
-    assert two == 2 and hd_tot == kv_heads * d and h % kv_heads == 0
+    hd_tot = kv_heads * d
+    quant = kv_scales is not None
+    _, s_max, planes, lanes = kv.shape
+    if quant:
+        # Byte-planar int8 cache (generate/kv_cache.py): int32
+        # [B, cap, 1, hd_tot/2] + f32 scale rows [B, cap, 1, 128]
+        # (K scales at lanes [0, KVH), V at [VSCALE_OFF, +KVH)).
+        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+    else:
+        assert planes == 2 and lanes == hd_tot
+    assert h % kv_heads == 0
     q_per_kv = h // kv_heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_k = min(block_k, s_max)
     if s_max % block_k:
         # Ragged capacities: jnp fallback with the same masking semantics.
+        from ..generate.kv_cache import VSCALE_OFF, unpack_int8_planar
+        if quant:
+            kq, vq = unpack_int8_planar(kv)
+            s_rows = kv_scales[:, :, 0]
+            raw = {0: (kq, s_rows[:, :, :kv_heads]),
+                   1: (vq, s_rows[:, :, VSCALE_OFF:VSCALE_OFF + kv_heads])}
+
         def plane(i):
-            x = kv[:, :, i].reshape(b, s_max, kv_heads, d)
-            if kv_scales is not None:
-                x = x.astype(jnp.float32) * kv_scales[:, :, i][..., None]
+            if quant:
+                x, s = raw[i]
+                x = (x.reshape(b, s_max, kv_heads, d).astype(jnp.float32)
+                     * s[..., None])
+            else:
+                x = kv[:, :, i].reshape(b, s_max, kv_heads, d)
             return jnp.repeat(x.transpose(0, 2, 1, 3), q_per_kv, axis=1)
         return _attn_reference(q[:, :, None, :], plane(0), plane(1), False,
                                scale, lengths)[:, :, 0, :]
@@ -316,26 +347,43 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256,
         last = jnp.maximum(pl.cdiv(lens[bb], block_k) - 1, 0)
         return (bb, jnp.minimum(kk, last), 0, 0)
 
+    if quant:
+        # Padded one-hot for the in-kernel scale dots: [H, 256] — K's
+        # head map in lanes [0, 128), V's (offset by VSCALE_OFF) in
+        # [128, 256). Padding lanes are zero, so the dots select exactly
+        # the real heads' scales.
+        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
+        oh_s = jnp.concatenate([
+            jnp.pad(onehot, ((0, 0), (0, SCALE_LANES - kv_heads))),
+            jnp.pad(onehot, ((0, 0),
+                             (VSCALE_OFF,
+                              SCALE_LANES - VSCALE_OFF - kv_heads))),
+        ], axis=1)
+        oh_arg, oh_block = oh_s, (h, 2 * SCALE_LANES)
+        kv_block = (1, block_k, 1, lanes)
+    else:
+        oh_arg, oh_block = onehot, (h, kv_heads)
+        kv_block = (1, block_k, 2, hd_tot)
+
     in_specs = [
         pl.BlockSpec((1, h, hd_tot), lambda bb, kk, lens: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((h, kv_heads), lambda bb, kk, lens: (0, 0),
+        pl.BlockSpec(oh_block, lambda bb, kk, lens: (0, 0),
                      memory_space=pltpu.VMEM),   # head one-hot
         # One block spans BOTH planes (K and V arrive together; Mosaic
         # requires the last-two block dims be full or 8/128-aligned, so
         # the plane dim must be whole anyway).
-        pl.BlockSpec((1, block_k, 2, hd_tot), kv_index,
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_block, kv_index, memory_space=pltpu.VMEM),
     ]
-    args = [jnp.asarray(lengths, jnp.int32), q_full, onehot, kv]
+    args = [jnp.asarray(lengths, jnp.int32), q_full, oh_arg, kv]
     kernel = functools.partial(_decode_fused_kernel, scale=scale,
                                block_k=block_k, n_k=n_k)
-    if kv_scales is not None:
+    if quant:
         in_specs.append(pl.BlockSpec(
-            (1, block_k, 2, kv_heads),
+            (1, block_k, 1, SCALE_LANES),
             lambda bb, kk, lens: kv_index(bb, kk, lens),
             memory_space=pltpu.VMEM))
-        args.append(kv_scales.astype(jnp.float32))
+        args.append(kv_scales)
 
         def kernel(len_ref, q_ref, oh_ref, kv_ref, s_ref, *rest):
             return _decode_fused_kernel(len_ref, q_ref, oh_ref, kv_ref,

@@ -181,10 +181,13 @@ class EncoderDecoderLM:
             if cache is not None:
                 cache = cache.append(i, k, v, position=0 if s > 1 else None)
             if s == 1 and cache is not None:
-                if cfg.use_pallas and cache.quant_scales is None:
+                if cfg.use_pallas:
+                    scales = (cache.quant_scales[i]
+                              if cache.quant_scales is not None else None)
                     out = flash_decode_fused(
                         q[:, :, 0, :], cache.fused_layer(i),
-                        cache.lengths + 1, cfg.n_heads)[:, :, None, :]
+                        cache.lengths + 1, cfg.n_heads,
+                        kv_scales=scales)[:, :, None, :]
                 else:
                     kc, vc = cache.layer_kv(i)
                     out = _attn_reference(q, kc, vc, False,
@@ -227,13 +230,14 @@ class EncoderDecoderLM:
     # -- generation ----------------------------------------------------------
 
     def generate(self, params, features, start_token, max_tokens=32,
-                 eos_token=None):
+                 eos_token=None, quantized_cache=False):
         """Greedy transcription loop: encode once, decode token-by-token
-        with jitted steps."""
+        with jitted steps. ``quantized_cache``: int8 self-attention KV
+        (BASELINE.json config 4 — Whisper with quantized KV cache)."""
         memory = self.encode(params, features)
         cross = self.cross_kv(params, memory)
         b = features.shape[0]
-        cache = self.new_cache(b)
+        cache = self.new_cache(b, quantized=quantized_cache)
 
         decode_step = jax.jit(
             lambda p, t, cr, c: self.decode(p, t, cr, c),

@@ -34,6 +34,7 @@ class SAMConfig:
     n_heads: int = 8
     max_points: int = 8
     upscale: int = 4             # mask resolution = patch grid × upscale
+    norm: str = "layernorm"      # consumed by transformer._norm
     layer_norm_eps: float = 1e-6
 
     @property

@@ -88,7 +88,12 @@ def cache_shardings(cache, mesh: Mesh):
     from ..generate.kv_cache import KVCache
     scales = None
     if cache.quant_scales is not None:
-        scales = [NamedSharding(mesh, P("data", None, None, "model"))
+        # Byte-planar packed int8 cache: one int32 lane interleaves two
+        # heads' bytes, so the lane dim cannot shard over `model` —
+        # quantized caches shard over batch only (per-head-local packing
+        # would restore head sharding; deferred).
+        kv = NamedSharding(mesh, P(batch_axes, None, None, None))
+        scales = [NamedSharding(mesh, P(batch_axes, None, None, None))
                   for _ in cache.quant_scales]
     return KVCache([kv] * cache.n_layers, lengths, scales,
                    cache.kv_heads, cache.head_dim)

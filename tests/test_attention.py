@@ -81,20 +81,29 @@ def test_flash_decode_fused_quantized_cache():
     import numpy as np
     from rten_tpu.kernels.attention import (_attn_reference,
                                             flash_decode_fused)
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_planar)
+
     B, H, KVH, D, cap = 2, 8, 4, 32, 64
     rng = np.random.RandomState(3)
     q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
-    kv_q = jnp.asarray(rng.randint(-127, 128, (B, cap, 2, KVH * D)),
-                       jnp.int8)
-    scales = jnp.asarray(0.01 + 0.05 * rng.rand(B, cap, 2, KVH)
-                         .astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
     lengths = jnp.asarray([5, 63], jnp.int32)
 
-    out = flash_decode_fused(q, kv_q, lengths, KVH, kv_scales=scales)
+    out = flash_decode_fused(q, kv_q, lengths, KVH,
+                             kv_scales=jnp.asarray(scales))
+
+    raw = {0: k_q, 1: v_q}
 
     def plane(i):
-        x = kv_q[:, :, i].reshape(B, cap, KVH, D).astype(jnp.float32)
-        x = x * scales[:, :, i][..., None]
+        x = jnp.asarray(raw[i]).reshape(B, cap, KVH, D).astype(jnp.float32)
+        x = x * s_np[:, :, i][..., None]
         return jnp.repeat(x.transpose(0, 2, 1, 3), H // KVH, axis=1)
 
     ref = _attn_reference(q[:, :, None, :], plane(0), plane(1), False,

@@ -334,3 +334,49 @@ def test_tts_length_regulate_and_synthesis():
     assert wave_out.shape == (2, cfg.max_frames * cfg.hop)
     assert (np.asarray(n_samples) % cfg.hop == 0).all()
     assert np.abs(np.asarray(wave_out)).max() <= 1.0
+
+
+def test_sam_prompted_masks_differ_by_point():
+    """SAM-class: mask decoder output has full image resolution, responds
+    to the prompt point, and masks out padding prompts (a padded point
+    must not change the result)."""
+    from rten_tpu.models.sam import SAM, SAMConfig
+
+    cfg = SAMConfig.tiny_test()
+    model = SAM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    size = cfg.vit.image_size
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(1, 3, size, size), jnp.float32)
+
+    def run(xy, extra_garbage=0.0):
+        pts = np.zeros((1, cfg.max_points, 2), np.float32)
+        labels = np.zeros((1, cfg.max_points), np.int32)
+        pts[0, 0] = xy
+        labels[0, 0] = 1
+        pts[0, 1:] = extra_garbage   # padding slots: must be ignored
+        mask, iou = model.predict(params, img, jnp.asarray(pts),
+                                  jnp.asarray(labels),
+                                  jnp.asarray([1], jnp.int32))
+        return np.asarray(mask)[0], float(iou[0])
+
+    m1, iou1 = run([0.2, 0.2])
+    m2, _ = run([0.8, 0.8])
+    assert m1.shape == (size, size)
+    assert 0.0 <= iou1 <= 1.0
+    assert np.abs(m1 - m2).max() > 1e-6       # prompt changes the mask
+    m1b, _ = run([0.2, 0.2], extra_garbage=0.77)
+    np.testing.assert_allclose(m1, m1b, rtol=1e-5, atol=1e-5)
+
+
+def test_encdec_quantized_cache_matches_float(encdec):
+    """Whisper-class decode with an int8 self-attention KV cache
+    (BASELINE.json config 4): greedy tokens must match the float-cache
+    decode on tiny shapes (int8 KV error ≪ logit margins here)."""
+    model, params = encdec
+    rng = np.random.RandomState(1)
+    feats = rng.randn(2, 16, model.config.n_mels).astype(np.float32)
+    ref = model.generate(params, feats, start_token=1, max_tokens=6)
+    got = model.generate(params, feats, start_token=1, max_tokens=6,
+                         quantized_cache=True)
+    assert got.tolist() == ref.tolist()
