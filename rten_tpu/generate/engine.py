@@ -58,7 +58,7 @@ class ServingEngine:
                  sampler: Optional[Sampler] = None, quantized_cache=False,
                  prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
                  mesh=None, paged=False, page_size=64, pool_pages=None,
-                 cache_dtype=None, fused_head=None):
+                 cache_dtype=None, fused_head=None, log_stats_every=None):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -124,6 +124,14 @@ class ServingEngine:
         # Device-resident last tokens: pipelined bursts chain directly on
         # the previous burst's output without a host round trip.
         self._device_tokens = None
+        # Serving observability (SURVEY §5: queue depth, batch occupancy,
+        # tokens/s per chip): cheap host counters + stats() snapshots;
+        # ``log_stats_every=N`` emits one JSON line to stderr every N
+        # bursts/steps.
+        self.counters = {"submitted": 0, "completed": 0, "tokens": 0,
+                         "bursts": 0, "decode_steps": 0}
+        self._t_start = time.perf_counter()
+        self._log_every = log_stats_every
 
         # --- compiled programs ---
         def prefill_fn(params, tokens, lengths):
@@ -209,6 +217,7 @@ class ServingEngine:
                              f"cache capacity")
         req.request_id = self._next_id
         self._next_id += 1
+        self.counters["submitted"] += 1
         req.metrics.start()
         if self._sched is not None:
             handle = self._sched.submit(len(req.prompt_ids),
@@ -285,6 +294,7 @@ class ServingEngine:
     def _free_slot(self, slot):
         """Mark a finished request's slot reusable (and return its KV
         pages to the pool in paged mode)."""
+        self.counters["completed"] += 1
         self.slot_request[slot] = None
         if self.paged:
             self.cache = self.allocator.release_slot(self.cache, slot)
@@ -365,8 +375,10 @@ class ServingEngine:
         self._host_lengths += 1
         self._device_tokens = None
         next_np = np.asarray(next_tokens)
-        self._commit_tokens(next_np[None, :], lengths_np,
-                            [(s, self.slot_request[s]) for s in active])
+        emitted = self._commit_tokens(
+            next_np[None, :], lengths_np,
+            [(s, self.slot_request[s]) for s in active])
+        self._count(emitted, 1)
         return len(active)
 
     def _dispatch_burst(self, n):
@@ -400,7 +412,33 @@ class ServingEngine:
         run the bookkeeping against the dispatch-time snapshot."""
         toks, snapshot, lengths_np, n = inflight
         toks_np = np.asarray(toks)          # [n, B]
-        return self._commit_tokens(toks_np, lengths_np, snapshot)
+        emitted = self._commit_tokens(toks_np, lengths_np, snapshot)
+        self._count(emitted, n)
+        return emitted
+
+    def _count(self, emitted, steps):
+        c = self.counters
+        c["tokens"] += emitted
+        c["decode_steps"] += steps
+        c["bursts"] += 1
+        if self._log_every and c["bursts"] % self._log_every == 0:
+            import json
+            import sys
+            print(json.dumps({"engine_stats": self.stats()}),
+                  file=sys.stderr, flush=True)
+
+    def stats(self) -> dict:
+        """Serving counters snapshot: queue depth, batch occupancy,
+        cumulative tokens/s (SURVEY §5 observability)."""
+        active = sum(r is not None for r in self.slot_request)
+        queued = (self._sched.queued() if self._sched is not None
+                  else len(self.queue))
+        uptime = time.perf_counter() - self._t_start
+        return {**self.counters, "active": active, "queued": queued,
+                "occupancy": active / self.max_batch,
+                "uptime_s": round(uptime, 3),
+                "tokens_per_s": round(self.counters["tokens"]
+                                      / max(uptime, 1e-9), 1)}
 
     def step_burst(self, n: int) -> int:
         """Run ``n`` decode steps on-device for the current batch, then do

@@ -71,12 +71,14 @@ def _int8_kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k):
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
 def matmul_int8(x, w, x_scale, w_scales, block_m=512, block_n=1024,
-                block_k=512):
+                block_k=1024):
     """``x`` int8 [M, K] × ``w`` int8 [K, N] → f32 [M, N], scaled by
     ``x_scale`` (scalar) and ``w_scales`` [N] (per-output-channel).
 
-    Default tiles from the v5e sweep (tools history): 512×1024 output
-    tiles with K=512 panels measured ~27% faster than 256² at 4096³."""
+    Default tiles from the v5e sweeps (tools/sweep_int8_gemm.py):
+    512×1024 output tiles with K=1024 panels — 69.8% of int8 peak at
+    4096³ and the best 1024³ config (bm=1024 edges 4096³ to 70.7% but
+    costs 2.6% at 1024³)."""
     m, k = x.shape
     k2, n = w.shape
     assert k == k2, f"contraction mismatch {k} vs {k2}"

@@ -229,31 +229,84 @@ class EncoderDecoderLM:
 
     # -- generation ----------------------------------------------------------
 
+    def _jitted_generate_fns(self):
+        """Jitted encode/decode programs, built ONCE per model instance.
+        Re-jitting per generate() call retraces the whole stack each time
+        (seconds of host work) and — worse — an un-jitted encode runs
+        eagerly: one dispatch per op, which through a remote-execution
+        link is a round trip per op (measured ~10 s for a 12-layer
+        encoder on the dev tunnel)."""
+        fns = getattr(self, "_gen_fns", None)
+        if fns is not None:
+            return fns
+
+        def encode_cross(p, features):
+            return self.cross_kv(p, self.encode(p, features))
+
+        def burst_fn(p, cur, cr, c, n):
+            def body(carry, _):
+                cur, c = carry
+                logits, c = self.decode(p, cur[:, None], cr, c)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                return (nxt, c), nxt
+
+            (cur, c), toks = jax.lax.scan(body, (cur, c), None, length=n)
+            return toks, cur, c
+
+        fns = {
+            "encode_cross": jax.jit(encode_cross),
+            "step": jax.jit(lambda p, t, cr, c: self.decode(p, t, cr, c),
+                            donate_argnums=(3,)),
+            "burst": jax.jit(burst_fn, donate_argnums=(3,),
+                             static_argnums=(4,)),
+        }
+        self._gen_fns = fns
+        return fns
+
     def generate(self, params, features, start_token, max_tokens=32,
-                 eos_token=None, quantized_cache=False):
-        """Greedy transcription loop: encode once, decode token-by-token
-        with jitted steps. ``quantized_cache``: int8 self-attention KV
-        (BASELINE.json config 4 — Whisper with quantized KV cache)."""
-        memory = self.encode(params, features)
-        cross = self.cross_kv(params, memory)
+                 eos_token=None, quantized_cache=False, burst=1):
+        """Greedy transcription loop: encode once, decode with jitted
+        cached steps. ``quantized_cache``: int8 self-attention KV
+        (BASELINE.json config 4 — Whisper with quantized KV cache).
+
+        ``burst`` > 1 chains that many decode steps on device per host
+        sync (`lax.scan`) — through a high-latency link the per-token
+        host fetch dominates otherwise (measured 138 ms/token on the
+        dev tunnel vs ~2 ms on-device). A stop mid-burst wastes at most
+        burst-1 device steps; emitted tokens are identical."""
+        fns = self._jitted_generate_fns()
+        cross = fns["encode_cross"](params, features)
         b = features.shape[0]
         cache = self.new_cache(b, quantized=quantized_cache)
-
-        decode_step = jax.jit(
-            lambda p, t, cr, c: self.decode(p, t, cr, c),
-            donate_argnums=(3,))
+        decode_step = fns["step"]
+        decode_burst = fns["burst"]
 
         tokens = jnp.full((b, 1), start_token, jnp.int32)
         logits, cache = decode_step(params, tokens, cross, cache)
-        out = []
         cur = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-        for _ in range(max_tokens):
-            out.append(np.asarray(cur).copy())
-            if eos_token is not None and bool((cur == eos_token).all()):
-                break
-            logits, cache = decode_step(params, cur[:, None], cross, cache)
-            cur = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-        return np.stack(out, axis=1)
+        out = [np.asarray(cur).copy()]
+        stopped = (eos_token is not None
+                   and (out[-1] == eos_token).all())
+        while len(out) < max_tokens and not stopped:
+            if burst <= 1:
+                logits, cache = decode_step(params, cur[:, None], cross,
+                                            cache)
+                cur = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                rows = np.asarray(cur)[None]
+            else:
+                # Always a full burst (one compiled program); overshoot
+                # past max_tokens/eos is truncated host-side.
+                toks, cur, cache = decode_burst(params, cur, cross, cache,
+                                                burst)
+                rows = np.asarray(toks)
+            for row in rows:
+                out.append(row.copy())
+                if eos_token is not None and (row == eos_token).all():
+                    stopped = True
+                    break
+                if len(out) >= max_tokens:
+                    break
+        return np.stack(out[:max_tokens], axis=1)
 
 
 def log_mel_spectrogram(audio, sample_rate=16000, n_mels=80, n_fft=400,

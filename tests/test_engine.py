@@ -257,3 +257,27 @@ def test_fused_head_defaults():
                         prefill_buckets=(8,),
                         sampler=TopKSampler(k=5, temperature=0.0))
     assert eng._fused_head
+
+
+def test_engine_stats_counters():
+    """Serving observability: stats() reflects queue depth, occupancy,
+    and emitted tokens."""
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=2, capacity=32,
+                        prefill_buckets=(8,))
+    reqs = [eng.submit([1, 2, 3], max_new_tokens=4) for _ in range(3)]
+    s = eng.stats()
+    assert s["submitted"] == 3 and s["active"] == 0 and s["queued"] == 3
+    eng._admit()
+    s = eng.stats()
+    assert s["active"] == 2 and s["queued"] == 1 and s["occupancy"] == 1.0
+    eng.run(burst=2)
+    s = eng.stats()
+    assert s["completed"] == 3 and s["active"] == 0 and s["queued"] == 0
+    total = sum(len(r.tokens) for r in reqs)
+    # prefill's first token is counted per request by metrics, decode
+    # tokens by the burst counter.
+    assert s["tokens"] == total - len(reqs)
+    assert s["tokens_per_s"] > 0 and s["decode_steps"] >= 4

@@ -380,3 +380,15 @@ def test_encdec_quantized_cache_matches_float(encdec):
     got = model.generate(params, feats, start_token=1, max_tokens=6,
                          quantized_cache=True)
     assert got.tolist() == ref.tolist()
+
+
+def test_encdec_burst_generate_matches_stepwise(encdec):
+    """Burst decoding (on-device lax.scan) must emit the same tokens as
+    the step-by-step loop, including max_tokens truncation."""
+    model, params = encdec
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2, 16, model.config.n_mels).astype(np.float32)
+    ref = model.generate(params, feats, start_token=1, max_tokens=7)
+    got = model.generate(params, feats, start_token=1, max_tokens=7,
+                         burst=3)
+    assert got.tolist() == ref.tolist()

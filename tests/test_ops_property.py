@@ -1,208 +1,176 @@
-"""Property-based operator tests (hypothesis): shape/attr sweeps that
-table-driven cases can't cover. Each case still runs through ``run_op``,
-which executes BOTH eager and jit modes and asserts they agree — so every
-generated example is also an eager/jit consistency check.
+"""Property-style operator tests: randomized shape/dtype sweeps asserting
+algebraic invariants, instead of hand-written goldens (round-2 quality
+item; hypothesis-style without the dependency — seeds are fixed so runs
+are reproducible).
 
-The reference's analog is its table-driven ``Case`` structs with
-deterministic RNG (rten-tensor/src/rng.rs); hypothesis generalizes the
-tables to generated shapes with shrinking.
+Invariants covered:
+  * broadcasting: op(a, b) == op(a, broadcast_to(b)) for every rank/1-dim
+    combination;
+  * layout round-trips: Transpose∘Transpose⁻¹, Reshape there-and-back,
+    Split+Concat, Pad+Slice, Expand==broadcast_to;
+  * reductions match numpy over random axes/keepdims;
+  * commutativity / associativity where ONNX mandates it;
+  * dtype discipline: comparison/logical ops return the i32 convention.
 """
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+import pytest
 
 from tests.test_ops import run_op
 
-# The 2-vCPU host compiles one XLA program per generated shape; keep the
-# example counts modest and the deadline off.
-SETTINGS = dict(max_examples=15, deadline=None, derandomize=True)
-
-dims = st.integers(min_value=1, max_value=5)
-shapes = st.lists(dims, min_size=1, max_size=4)
+N_SWEEPS = 8
 
 
-def arr(shape, seed, ints=False):
-    rng = np.random.RandomState(seed % (2 ** 31))
-    if ints:
-        return rng.randint(-4, 5, size=shape).astype(np.int32)
-    return rng.randn(*shape).astype(np.float32)
+def shapes(rng, max_rank=4, max_dim=6):
+    rank = rng.randint(1, max_rank + 1)
+    return tuple(int(d) for d in rng.randint(1, max_dim + 1, rank))
 
 
-@st.composite
-def broadcast_pair(draw):
-    """Two numpy-broadcastable shapes (dims equal or 1, plus rank cut)."""
-    out = draw(shapes)
-    def variant():
-        cut = draw(st.integers(0, len(out)))
-        return tuple(d if draw(st.booleans()) else 1 for d in out[cut:])
-    return tuple(out), variant(), variant()
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+@pytest.mark.parametrize("op,nfn", [
+    ("Add", np.add), ("Mul", np.multiply), ("Sub", np.subtract),
+    ("Max", np.maximum), ("Min", np.minimum),
+])
+def test_binary_broadcast_sweep(seed, op, nfn):
+    rng = np.random.RandomState(seed)
+    a_shape = shapes(rng)
+    # b: same shape with random dims collapsed to 1 and leading dims
+    # randomly dropped — every NumPy broadcast case.
+    b_shape = tuple(1 if rng.rand() < 0.5 else d for d in a_shape)
+    b_shape = b_shape[rng.randint(0, len(b_shape)):] or (1,)
+    a = rng.randn(*a_shape).astype(np.float32)
+    b = rng.randn(*b_shape).astype(np.float32)
+    got = run_op(op, [a, b])[0]
+    np.testing.assert_allclose(got, nfn(a, b), rtol=1e-6, atol=1e-6)
+    if op in ("Add", "Mul", "Max", "Min"):   # ONNX-commutative
+        np.testing.assert_allclose(run_op(op, [b, a])[0], nfn(b, a),
+                                   rtol=1e-6, atol=1e-6)
 
 
-@settings(**SETTINGS)
-@given(broadcast_pair(), st.sampled_from(["Add", "Sub", "Mul", "Max",
-                                          "Min", "Greater", "Less"]),
-       st.integers())
-def test_binary_broadcast(shapes3, op, seed):
-    _, sa, sb = shapes3
-    a, b = arr(sa or (1,), seed), arr(sb or (1,), seed + 1)
-    (got,) = run_op(op, [a, b])
-    ref = {"Add": np.add, "Sub": np.subtract, "Mul": np.multiply,
-           "Max": np.maximum, "Min": np.minimum,
-           "Greater": np.greater, "Less": np.less}[op](a, b)
-    if ref.dtype == bool:
-        ref = ref.astype(np.int32)   # i32 bool convention
-    np.testing.assert_allclose(got, ref, rtol=1e-6)
-
-
-@settings(**SETTINGS)
-@given(shapes, st.integers(), st.integers())
-def test_transpose_perm(shape, permseed, seed):
-    perm = list(np.random.RandomState(permseed % 2**31)
-                .permutation(len(shape)))
-    x = arr(shape, seed)
-    (got,) = run_op("Transpose", [x], {"perm": perm})
-    np.testing.assert_array_equal(got, np.transpose(x, perm))
-
-
-@settings(**SETTINGS)
-@given(shapes, st.integers())
-def test_reshape_flatten_roundtrip(shape, seed):
-    x = arr(shape, seed)
-    (flat,) = run_op("Reshape", [x, np.asarray([-1], np.int32)],
-                     const_mask=[False, True])
-    (back,) = run_op("Reshape", [flat, np.asarray(shape, np.int32)],
-                     const_mask=[False, True])
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+def test_transpose_roundtrip(seed):
+    rng = np.random.RandomState(100 + seed)
+    x = rng.randn(*shapes(rng, max_rank=5)).astype(np.float32)
+    perm = list(rng.permutation(x.ndim))
+    inv = list(np.argsort(perm))
+    once = run_op("Transpose", [x], {"perm": perm})[0]
+    np.testing.assert_array_equal(once, np.transpose(x, perm))
+    back = run_op("Transpose", [once], {"perm": inv})[0]
     np.testing.assert_array_equal(back, x)
 
 
-@st.composite
-def slice_case(draw):
-    shape = draw(shapes)
-    axis = draw(st.integers(0, len(shape) - 1))
-    n = shape[axis]
-    start = draw(st.integers(-n - 1, n + 1))
-    end = draw(st.integers(-n - 1, n + 1))
-    step = draw(st.sampled_from([-2, -1, 1, 2, 3]))
-    return shape, axis, start, end, step
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+def test_reshape_roundtrip(seed):
+    rng = np.random.RandomState(200 + seed)
+    x = rng.randn(*shapes(rng)).astype(np.float32)
+    flat = run_op("Reshape", [x, np.asarray([-1], np.int64)],
+                  const_mask=[False, True])[0]
+    assert flat.shape == (x.size,)
+    back = run_op("Reshape", [flat, np.asarray(x.shape, np.int64)],
+                  const_mask=[False, True])[0]
+    np.testing.assert_array_equal(back, x)
 
 
-@settings(**SETTINGS)
-@given(slice_case(), st.integers())
-def test_slice_matches_numpy(case, seed):
-    shape, axis, start, end, step = case
-    x = arr(shape, seed)
-    sl = [slice(None)] * len(shape)
-    sl[axis] = slice(start, end, step)
-    ref = x[tuple(sl)]
-    got = run_op("Slice", [x, np.asarray([start], np.int32),
-                           np.asarray([end], np.int32),
-                           np.asarray([axis], np.int32),
-                           np.asarray([step], np.int32)],
-                 const_mask=[False, True, True, True, True])[0]
-    if ref.size == 0:
-        assert got.size == 0 and got.shape == ref.shape
-    else:
-        np.testing.assert_array_equal(got, ref)
-
-
-@settings(**SETTINGS)
-@given(shapes, st.integers(), st.integers())
-def test_pad_constant_matches_numpy(shape, padseed, seed):
-    rng = np.random.RandomState(padseed % 2**31)
-    pads = rng.randint(0, 3, size=2 * len(shape))
-    x = arr(shape, seed)
-    got = run_op("Pad", [x, pads.astype(np.int32),
-                         np.float32(1.5)],
-                 const_mask=[False, True, True])[0]
-    width = list(zip(pads[:len(shape)], pads[len(shape):]))
-    np.testing.assert_array_equal(
-        got, np.pad(x, width, constant_values=1.5))
-
-
-@settings(**SETTINGS)
-@given(shapes, st.integers(), st.integers())
-def test_split_concat_roundtrip(shape, axisseed, seed):
-    axis = axisseed % len(shape)
-    n = shape[axis]
-    rng = np.random.RandomState(seed % 2**31)
-    k = rng.randint(1, n + 1)
-    sizes = np.diff(np.concatenate([[0], np.sort(
-        rng.choice(np.arange(1, n), size=k - 1, replace=False)
-        if k > 1 else np.empty(0, np.int64)), [n]])).astype(np.int32)
-    x = arr(shape, seed)
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+def test_split_concat_roundtrip(seed):
+    rng = np.random.RandomState(300 + seed)
+    x = rng.randn(*shapes(rng, max_rank=3, max_dim=8)).astype(np.float32)
+    axis = int(rng.randint(0, x.ndim))
+    n = x.shape[axis]
+    cuts = sorted(rng.choice(np.arange(1, n + 1), size=min(3, n),
+                             replace=False))
+    sizes = np.diff([0] + list(cuts)).astype(np.int64)
+    if sizes.sum() < n:
+        sizes = np.append(sizes, n - sizes.sum())
     parts = run_op("Split", [x, sizes], {"axis": axis},
                    n_outputs=len(sizes), const_mask=[False, True])
-    (back,) = run_op("Concat", list(parts), {"axis": axis})
+    back = run_op("Concat", list(parts), {"axis": axis})[0]
     np.testing.assert_array_equal(back, x)
 
 
-@settings(**SETTINGS)
-@given(shapes, st.integers(), st.integers())
-def test_gather_matches_take(shape, axisseed, seed):
-    axis = axisseed % len(shape)
-    rng = np.random.RandomState(seed % 2**31)
-    idx = rng.randint(0, shape[axis], size=(3,)).astype(np.int32)
-    x = arr(shape, seed)
-    (got,) = run_op("Gather", [x, idx], {"axis": axis})
-    np.testing.assert_array_equal(got, np.take(x, idx, axis=axis))
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+def test_pad_slice_roundtrip(seed):
+    rng = np.random.RandomState(400 + seed)
+    x = rng.randn(*shapes(rng, max_rank=3)).astype(np.float32)
+    before = rng.randint(0, 3, x.ndim)
+    after = rng.randint(0, 3, x.ndim)
+    pads = np.concatenate([before, after]).astype(np.int64)
+    padded = run_op("Pad", [x, pads], const_mask=[False, True])[0]
+    assert padded.shape == tuple(np.asarray(x.shape) + before + after)
+    starts = before.astype(np.int64)
+    ends = (before + np.asarray(x.shape)).astype(np.int64)
+    axes = np.arange(x.ndim, dtype=np.int64)
+    back = run_op("Slice", [padded, starts, ends, axes],
+                  const_mask=[False, True, True, True])[0]
+    np.testing.assert_array_equal(back, x)
 
 
-@settings(**SETTINGS)
-@given(shapes, st.integers(), st.booleans(), st.integers(),
-       st.sampled_from(["ReduceSum", "ReduceMax", "ReduceMean",
-                        "ReduceMin"]))
-def test_reduce_axes(shape, axisseed, keepdims, seed, op):
-    rng = np.random.RandomState(axisseed % 2**31)
-    n_ax = rng.randint(1, len(shape) + 1)
-    axes = np.sort(rng.choice(len(shape), size=n_ax,
-                              replace=False)).astype(np.int32)
-    x = arr(shape, seed)
-    (got,) = run_op(op, [x, axes], {"keep_dims": int(keepdims)},
-                    const_mask=[False, True])
-    fn = {"ReduceSum": np.sum, "ReduceMax": np.max,
-          "ReduceMean": np.mean, "ReduceMin": np.min}[op]
-    ref = fn(x, axis=tuple(int(a) for a in axes), keepdims=keepdims)
-    np.testing.assert_allclose(got, np.asarray(ref, np.float32),
-                               rtol=1e-5, atol=1e-6)
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+@pytest.mark.parametrize("op,nfn", [
+    ("ReduceSum", np.sum), ("ReduceMax", np.max), ("ReduceMin", np.min),
+    ("ReduceMean", np.mean), ("ReduceProd", np.prod),
+])
+def test_reduce_sweep(seed, op, nfn):
+    rng = np.random.RandomState(500 + seed)
+    x = (rng.randn(*shapes(rng, max_rank=4, max_dim=5)) / 2).astype(
+        np.float32)
+    n_axes = rng.randint(1, x.ndim + 1)
+    axes = np.asarray(sorted(rng.choice(x.ndim, n_axes, replace=False)),
+                      np.int64)
+    keep = bool(rng.randint(0, 2))
+    # NB the schema attr is ``keep_dims`` (converter.py maps ONNX's
+    # ``keepdims`` to it); unknown attrs are ignored by lowerings.
+    got = run_op(op, [x, axes], {"keep_dims": keep},
+                 const_mask=[False, True])[0]
+    want = nfn(x, axis=tuple(int(a) for a in axes), keepdims=keep)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-@st.composite
-def matmul_shapes(draw):
-    m, k, n = draw(dims), draw(dims), draw(dims)
-    batch = draw(st.lists(st.integers(1, 3), min_size=0, max_size=2))
-    # Either side may drop or broadcast the batch dims.
-    ba = batch if draw(st.booleans()) else []
-    bb = batch if draw(st.booleans()) else []
-    return tuple(ba) + (m, k), tuple(bb) + (k, n)
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+def test_expand_matches_broadcast(seed):
+    rng = np.random.RandomState(600 + seed)
+    base = shapes(rng, max_rank=3)
+    x_shape = tuple(1 if rng.rand() < 0.5 else d for d in base)
+    x = rng.randn(*x_shape).astype(np.float32)
+    got = run_op("Expand", [x, np.asarray(base, np.int64)],
+                 const_mask=[False, True])[0]
+    np.testing.assert_array_equal(got, np.broadcast_to(x, base))
 
 
-@settings(**SETTINGS)
-@given(matmul_shapes(), st.integers())
-def test_matmul_batch_broadcast(shapes2, seed):
-    sa, sb = shapes2
-    a, b = arr(sa, seed), arr(sb, seed + 1)
-    (got,) = run_op("MatMul", [a, b])
-    np.testing.assert_allclose(got, np.matmul(a, b), rtol=1e-4, atol=1e-5)
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+def test_comparison_i32_convention(seed):
+    """The converter coerces bool→i32 (converter.py:434-495); comparison
+    lowerings must emit i32 0/1, and logical ops must consume it."""
+    rng = np.random.RandomState(700 + seed)
+    shape = shapes(rng)
+    a = rng.randint(-3, 4, shape).astype(np.int32)
+    b = rng.randint(-3, 4, shape).astype(np.int32)
+    for op, nfn in [("Less", np.less), ("Greater", np.greater),
+                    ("Equal", np.equal)]:
+        got = run_op(op, [a, b])[0]
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, nfn(a, b).astype(np.int32))
+    lt = np.less(a, b).astype(np.int32)
+    gt = np.greater(a, b).astype(np.int32)
+    both = run_op("Or", [lt, gt])[0]
+    assert both.dtype == np.int32
+    np.testing.assert_array_equal(both, (lt | gt))
+    neither = run_op("Not", [both])[0]
+    np.testing.assert_array_equal(neither, 1 - both)
 
 
-@settings(**SETTINGS)
-@given(shapes, st.integers())
-def test_softmax_properties(shape, seed):
-    x = arr(shape, seed)
-    (got,) = run_op("Softmax", [x], {"axis": -1})
-    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-5)
-    # Shift invariance.
-    (shifted,) = run_op("Softmax", [x + 10.0], {"axis": -1})
-    np.testing.assert_allclose(got, shifted, rtol=1e-4, atol=1e-6)
-
-
-@settings(**SETTINGS)
-@given(st.integers(2, 64), st.integers(), st.integers(1, 8))
-def test_topk_matches_sort(n, seed, k):
-    k = min(k, n)
-    x = arr((n,), seed)
-    vals, idx = run_op("TopK", [x, np.asarray([k], np.int32)],
-                       {"largest": 1, "sorted": 1}, n_outputs=2,
-                       const_mask=[False, True])
-    np.testing.assert_allclose(vals, np.sort(x)[::-1][:k], rtol=1e-6)
-    np.testing.assert_allclose(x[idx], vals, rtol=1e-6)
+@pytest.mark.parametrize("seed", range(N_SWEEPS))
+def test_gather_scatter_roundtrip(seed):
+    """ScatterElements(Gather(x)) at the same indices restores x rows."""
+    rng = np.random.RandomState(800 + seed)
+    n, m = rng.randint(2, 8), rng.randint(1, 6)
+    x = rng.randn(n, m).astype(np.float32)
+    idx = rng.permutation(n).astype(np.int64)
+    rows = run_op("Gather", [x, idx], {"axis": 0},
+                  const_mask=[False, True])[0]
+    np.testing.assert_array_equal(rows, x[idx])
+    scattered = run_op(
+        "ScatterElements",
+        [np.zeros_like(x), np.broadcast_to(idx[:, None], (n, m)).copy(),
+         rows], {"axis": 0}, const_mask=[False, True, False])[0]
+    np.testing.assert_array_equal(scattered, x)
