@@ -273,7 +273,7 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("kv_heads", "scale", "block_k"))
-def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=256,
+def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
                        kv_scales=None):
     """Single-step decode attention over the token-major fused cache.
 

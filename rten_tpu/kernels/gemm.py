@@ -314,10 +314,20 @@ def _int4_kernel(x_ref, wp_ref, s_ref, out_ref, acc_ref, *, n_k, group, bk):
     # bf16) and run ONE MXU dot per K-block — the old per-group loop of
     # [m, group] dots serialized at decode sizes (12.6 TFLOPS at M=16).
     groups_per_block = bk // group
-    s_rows = s_ref[pl.ds(k * groups_per_block, groups_per_block), :]
-    scale = jnp.repeat(s_rows, group, axis=0)        # [bk, bn]
-    w = wq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), w,
+    if n_k == 1:
+        s_rows = s_ref[:]          # whole-K block: static load
+    else:
+        # The wrapper sizes bk so groups_per_block is a multiple of 8 —
+        # Mosaic only allows sublane-dim dynamic slices at 8-row
+        # granularity (a 4-row pl.ds crashed the Mosaic lowering).
+        s_rows = s_ref[pl.ds(k * groups_per_block, groups_per_block), :]
+    # Per-group scaling as a rank-3 broadcast multiply (sublane-dim
+    # reshape is free; a jnp.repeat of the scale rows materializes a
+    # [bk, bn] copy through the VPU).
+    w = (wq.astype(jnp.bfloat16).reshape(groups_per_block, group, -1)
+         * s_rows.astype(jnp.bfloat16)[:, None, :])
+    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16),
+                          w.reshape(bk, -1),
                           preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
@@ -343,8 +353,14 @@ def matmul_int4(x, w_packed, scales, group=INT4_GROUP, block_m=256,
     assert n % _INT4_BN == 0, f"packed N={n} must be a multiple of {_INT4_BN}"
     bn = _INT4_BN
     bm = min(block_m, _round_up(m, 8))
-    bk = min(block_k, k)
-    bk = max(group, bk - bk % group)
+    # K blocking must keep the in-kernel scale slice sublane-aligned:
+    # either ONE whole-K block (static load) or blocks spanning a
+    # multiple of 8 groups (8-row dynamic slices).
+    step = 8 * group
+    if k <= max(block_k, step):
+        bk = k
+    else:
+        bk = max(step, block_k - block_k % step)
     mp, kp = _round_up(m, bm), _round_up(k, bk)
     x = _pad_to(x.astype(jnp.float32), mp, kp)
     w_packed = _pad_to(w_packed, kp, n_half)
