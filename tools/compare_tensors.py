@@ -1,8 +1,9 @@
 """Compare two saved tensors and print abs-diff statistics
 (reference: tools/compare-tensors.py — the debugging trio in
-docs/debugging.md). Accepts .npy/.npz files.
+docs/debugging.md). Accepts .npy/.npz files and the binary ``.bin``
+dump format written by tools/debug_utils.py / tools/rten_infer.py.
 
-    python tools/compare_tensors.py a.npy b.npy [--rtol 1e-4]
+    python tools/compare_tensors.py a.npy b.bin [--rtol 1e-4]
 """
 
 import argparse
@@ -12,6 +13,13 @@ import numpy as np
 
 
 def load(path):
+    if path.endswith(".bin"):
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tools.debug_utils import read_tensor
+        return read_tensor(path)
     arr = np.load(path, allow_pickle=False)
     if hasattr(arr, "files"):  # npz: first array
         arr = arr[arr.files[0]]
