@@ -1,0 +1,341 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+The user-facing serving surface of the framework — the role the
+reference's JS/wasm bindings play for browser inference
+(``src/wasm_api.rs``, ``js-examples/``), re-imagined for a TPU serving
+deployment: an OpenAI-style completions API with server-sent-event
+streaming, backed by one ``ServingEngine`` whose continuous batch is
+shared by all connections.
+
+Design: HTTP handler threads never touch the engine (it is not
+thread-safe and jit dispatch must stay on one thread). A single driver
+thread owns the engine — handlers marshal submissions through a queue
+and receive token deltas through per-request queues. The driver runs
+``step_burst`` while work is pending, so concurrent requests ride the
+same decode program via slot recycling.
+
+    python -m rten_tpu.serve --demo --port 8000
+    curl -d '{"prompt": [1,2,3], "max_tokens": 8}' localhost:8000/v1/completions
+
+Endpoints: POST /v1/completions (stream=true → SSE), GET /v1/models,
+GET /health, GET /stats.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .generate.text_decoder import TextDecoder
+
+
+class StreamHandle:
+    """Per-request channel from the driver thread to an HTTP handler."""
+
+    def __init__(self):
+        self.q: queue.Queue = queue.Queue()
+        self.request = None          # engine Request, set on admission
+
+    def events(self):
+        """Yield ("tokens", [ids]) deltas until ("done", reason) or
+        ("error", message)."""
+        while True:
+            kind, payload = self.q.get()
+            yield kind, payload
+            if kind in ("done", "error"):
+                return
+
+
+class EngineDriver:
+    """Single thread that owns a ServingEngine; thread-safe submit()."""
+
+    def __init__(self, engine, burst: int = 8, idle_poll_s: float = 0.02):
+        self.engine = engine
+        self.burst = burst
+        self._submit_q: queue.Queue = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        # (handle, request, n_delivered) for requests still streaming.
+        self._live: list[list] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="engine-driver")
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 10.0):
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout)
+
+    def submit(self, prompt_ids, max_new_tokens=128, stop_ids=()) \
+            -> StreamHandle:
+        handle = StreamHandle()
+        self._submit_q.put((handle, list(prompt_ids), int(max_new_tokens),
+                            tuple(stop_ids)))
+        self._wake.set()
+        return handle
+
+    # -- driver thread --------------------------------------------------
+
+    def _drain_submits(self):
+        while True:
+            try:
+                handle, ids, max_new, stop_ids = self._submit_q.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                req = self.engine.submit(ids, max_new_tokens=max_new,
+                                         stop_ids=stop_ids)
+            except Exception as exc:
+                handle.q.put(("error", str(exc)))
+                continue
+            handle.request = req
+            self._live.append([handle, req, 0])
+
+    def _deliver(self):
+        still = []
+        for entry in self._live:
+            handle, req, delivered = entry
+            fresh = req.tokens[delivered:]
+            if fresh:
+                handle.q.put(("tokens", fresh))
+                entry[2] = len(req.tokens)
+            if req.done:
+                reason = ("stop" if req.tokens and
+                          req.tokens[-1] in req.stop_ids else "length")
+                handle.q.put(("done", reason))
+            else:
+                still.append(entry)
+        self._live = still
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._drain_submits()
+            if self.engine._pending():
+                if self.burst > 1:
+                    self.engine.step_burst(self.burst)
+                else:
+                    self.engine.step()
+                self._deliver()
+            else:
+                self._wake.wait(timeout=0.25)
+                self._wake.clear()
+        # Unblock any handler still waiting.
+        for handle, _req, _n in self._live:
+            handle.q.put(("error", "server shutting down"))
+
+
+def _sse(wfile, payload):
+    data = payload if isinstance(payload, str) else json.dumps(payload)
+    wfile.write(f"data: {data}\n\n".encode())
+    wfile.flush()
+
+
+def make_handler(driver: EngineDriver, tokenizer=None,
+                 model_id: str = "rten-tpu", quiet: bool = True):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # noqa: N802
+            if not quiet:
+                super().log_message(fmt, *args)
+
+        def _json(self, status, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._json(200, driver.engine.stats())
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list",
+                                 "data": [{"id": model_id,
+                                           "object": "model"}]})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path not in ("/v1/completions", "/completions"):
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as exc:
+                self._json(400, {"error": f"bad request body: {exc}"})
+                return
+
+            prompt = body.get("prompt")
+            if isinstance(prompt, str):
+                if tokenizer is None:
+                    self._json(400, {"error": "string prompt needs a "
+                                              "tokenizer; pass token ids"})
+                    return
+                prompt_ids = tokenizer.encode(prompt)
+            elif isinstance(prompt, list) and all(
+                    isinstance(t, int) for t in prompt):
+                prompt_ids = prompt
+            else:
+                self._json(400, {"error": "prompt must be a string or a "
+                                          "list of token ids"})
+                return
+
+            max_tokens = int(body.get("max_tokens", 128))
+            stop_ids = tuple(body.get("stop_ids", ()))
+            stream = bool(body.get("stream", False))
+            handle = driver.submit(prompt_ids, max_tokens, stop_ids)
+            decoder = TextDecoder(tokenizer) if tokenizer else None
+
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                for kind, payload in handle.events():
+                    if kind == "tokens":
+                        text = ("".join(decoder.push(t) for t in payload)
+                                if decoder else "")
+                        _sse(self.wfile, {"object": "completion.chunk",
+                                          "choices": [{
+                                              "token_ids": payload,
+                                              "text": text}]})
+                    elif kind == "done":
+                        if decoder:
+                            tail = decoder.flush()
+                            if tail:
+                                _sse(self.wfile, {
+                                    "object": "completion.chunk",
+                                    "choices": [{"token_ids": [],
+                                                 "text": tail}]})
+                        _sse(self.wfile, {"object": "completion.chunk",
+                                          "choices": [{
+                                              "token_ids": [],
+                                              "text": "",
+                                              "finish_reason": payload}]})
+                        _sse(self.wfile, "[DONE]")
+                    else:  # error
+                        _sse(self.wfile, {"error": payload})
+                return
+
+            tokens, reason = [], "length"
+            for kind, payload in handle.events():
+                if kind == "tokens":
+                    tokens.extend(payload)
+                elif kind == "done":
+                    reason = payload
+                else:
+                    self._json(400, {"error": payload})
+                    return
+            req = handle.request
+            resp = {
+                "object": "text_completion",
+                "model": model_id,
+                "choices": [{
+                    "index": 0,
+                    "token_ids": tokens,
+                    "text": tokenizer.decode(tokens) if tokenizer else "",
+                    "finish_reason": reason,
+                }],
+                "usage": {
+                    "prompt_tokens": len(prompt_ids),
+                    "completion_tokens": len(tokens),
+                    "total_tokens": len(prompt_ids) + len(tokens),
+                },
+            }
+            if req is not None and req.metrics.ttft_s is not None:
+                resp["metrics"] = {
+                    "ttft_s": round(req.metrics.ttft_s, 4),
+                    "tokens_per_s": round(
+                        req.metrics.tokens_per_second(), 2),
+                }
+            self._json(200, resp)
+
+    return Handler
+
+
+def serve(engine, tokenizer=None, host="127.0.0.1", port=8000,
+          burst: int = 8, model_id: str = "rten-tpu", quiet: bool = True):
+    """Start the driver thread + a ThreadingHTTPServer (not yet serving;
+    call ``serve_forever`` or use it from a test). Returns (server,
+    driver)."""
+    driver = EngineDriver(engine, burst=burst).start()
+    handler = make_handler(driver, tokenizer, model_id, quiet=quiet)
+    server = ThreadingHTTPServer((host, port), handler)
+    server.daemon_threads = True
+    return server, driver
+
+
+def main(argv=None):  # pragma: no cover - exercised via --demo smoke
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Serve a model over HTTP (OpenAI-style completions).")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--demo", action="store_true",
+                        help="random-weight GPT-2-small (no files needed)")
+    parser.add_argument("--weights", help="HF GPT-2 weights file")
+    parser.add_argument("--tokenizer", help="HF tokenizer.json")
+    parser.add_argument("--quantize", choices=["int8", "int4"])
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--capacity", type=int, default=1024)
+    parser.add_argument("--burst", type=int, default=8)
+    parser.add_argument("--top-k", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.8)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from .generate.engine import ServingEngine
+    from .generate.sampler import ArgMaxSampler, TopKSampler
+    from .models.transformer import (TransformerConfig, TransformerLM,
+                                     quantize_weights)
+
+    cfg = TransformerConfig.gpt2()
+    model = TransformerLM(cfg)
+    if args.weights:
+        from .models import hf_loader
+        params = hf_loader.load_gpt2(args.weights, cfg)
+    elif args.demo:
+        params = model.init_params(jax.random.PRNGKey(0))
+    else:
+        parser.error("pass --weights or --demo")
+    if args.quantize:
+        params = quantize_weights(params, args.quantize)
+
+    tok = None
+    if args.tokenizer:
+        from .text import from_json_file
+        tok = from_json_file(args.tokenizer)
+
+    sampler = (TopKSampler(args.top_k, args.temperature) if args.top_k
+               else ArgMaxSampler())
+    engine = ServingEngine(model, params, max_batch=args.max_batch,
+                           capacity=args.capacity, sampler=sampler,
+                           cache_dtype="bfloat16" if args.quantize else None)
+    server, driver = serve(engine, tok, args.host, args.port,
+                           burst=args.burst, quiet=False)
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(batch {args.max_batch}, burst {args.burst})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        driver.stop()
+        server.server_close()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

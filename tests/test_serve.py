@@ -1,0 +1,144 @@
+"""HTTP serving front-end tests (rten_tpu/serve.py): in-process server
+over a tiny random-weight model, exercised with urllib."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    from rten_tpu.serve import serve
+
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    engine = ServingEngine(model, params, max_batch=2, capacity=64,
+                           prefill_buckets=(16,))
+    srv, driver = serve(engine, port=0, burst=1)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base
+    srv.shutdown()
+    driver.stop()
+    srv.server_close()
+
+
+def _post(base, path, payload, timeout=300):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_health_and_models(server):
+    with urllib.request.urlopen(server + "/health", timeout=60) as resp:
+        assert json.load(resp)["status"] == "ok"
+    with urllib.request.urlopen(server + "/v1/models", timeout=60) as resp:
+        data = json.load(resp)
+    assert data["data"][0]["id"] == "rten-tpu"
+
+
+def test_completion_basic(server):
+    with _post(server, "/v1/completions",
+               {"prompt": [1, 2, 3], "max_tokens": 5}) as resp:
+        data = json.load(resp)
+    choice = data["choices"][0]
+    assert len(choice["token_ids"]) == 5
+    assert choice["finish_reason"] == "length"
+    assert data["usage"] == {"prompt_tokens": 3, "completion_tokens": 5,
+                             "total_tokens": 8}
+    assert data["metrics"]["tokens_per_s"] > 0
+
+
+def test_completion_deterministic_across_requests(server):
+    results = []
+    for _ in range(2):
+        with _post(server, "/v1/completions",
+                   {"prompt": [7, 8, 9, 10], "max_tokens": 6}) as resp:
+            results.append(json.load(resp)["choices"][0]["token_ids"])
+    # Greedy sampling: same prompt -> same tokens regardless of slot.
+    assert results[0] == results[1]
+
+
+def test_streaming_matches_non_streaming(server):
+    payload = {"prompt": [4, 5, 6], "max_tokens": 4}
+    with _post(server, "/v1/completions", payload) as resp:
+        full = json.load(resp)["choices"][0]["token_ids"]
+
+    streamed, finish = [], None
+    with _post(server, "/v1/completions",
+               {**payload, "stream": True}) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            data = line[len("data: "):]
+            if data == "[DONE]":
+                break
+            chunk = json.loads(data)["choices"][0]
+            streamed.extend(chunk["token_ids"])
+            if chunk.get("finish_reason"):
+                finish = chunk["finish_reason"]
+    assert streamed == full
+    assert finish == "length"
+
+
+def test_stop_ids(server):
+    # Learn the greedy continuation, then stop on its second token.
+    with _post(server, "/v1/completions",
+               {"prompt": [1, 2, 3], "max_tokens": 5}) as resp:
+        tokens = json.load(resp)["choices"][0]["token_ids"]
+    stop = tokens[1]
+    expected = tokens[:tokens.index(stop) + 1]  # first occurrence wins
+    with _post(server, "/v1/completions",
+               {"prompt": [1, 2, 3], "max_tokens": 5,
+                "stop_ids": [stop]}) as resp:
+        data = json.load(resp)["choices"][0]
+    assert data["token_ids"] == expected
+    assert data["finish_reason"] == "stop"
+
+
+def test_concurrent_requests_share_batch(server):
+    results = {}
+
+    def fetch(name, prompt):
+        with _post(server, "/v1/completions",
+                   {"prompt": prompt, "max_tokens": 6}) as resp:
+            results[name] = json.load(resp)["choices"][0]["token_ids"]
+
+    threads = [threading.Thread(target=fetch, args=(i, [10 + i, 20 + i]))
+               for i in range(3)]  # 3 requests > max_batch=2: queueing too
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert sorted(results) == [0, 1, 2]
+    assert all(len(v) == 6 for v in results.values())
+
+
+def test_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server, "/v1/completions", {"prompt": "text prompt"})
+    assert err.value.code == 400  # no tokenizer configured
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server, "/v1/completions", {"prompt": {"bad": 1}})
+    assert err.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server, "/nope", {})
+    assert err.value.code == 404
+
+
+def test_stats_counts(server):
+    with urllib.request.urlopen(server + "/stats", timeout=60) as resp:
+        stats = json.load(resp)
+    assert stats["submitted"] >= stats["completed"] > 0
+    assert stats["tokens"] > 0
