@@ -31,7 +31,8 @@ import numpy as np
 
 from .kv_cache import KVCache
 from .metrics import Metrics
-from .sampler import ArgMaxSampler, Sampler
+from .sampler import (ArgMaxSampler, PerRequestSampler, Sampler,
+                      SamplingParams)
 
 
 def _bucket(n, buckets):
@@ -46,6 +47,9 @@ class Request:
     prompt_ids: list
     max_new_tokens: int = 128
     stop_ids: tuple = ()
+    # per-request sampling (used when the engine's sampler is a
+    # PerRequestSampler; None = greedy)
+    sampling: Optional[SamplingParams] = None
     # filled by the engine:
     request_id: int = -1
     tokens: list = field(default_factory=list)
@@ -80,6 +84,10 @@ class ServingEngine:
         self.max_batch = max_batch
         self.capacity = capacity
         self.sampler = sampler or ArgMaxSampler()
+        # Per-request sampling: temperature/top-k/top-p ride as [B]
+        # runtime inputs through the SAME compiled decode program.
+        self._per_request = isinstance(self.sampler, PerRequestSampler)
+        self._samp = np.zeros((3, max_batch), np.float32)  # temp, k, p rows
         self.quantized_cache = quantized_cache
         self.cache_dtype = cache_dtype
         self.paged = paged
@@ -173,25 +181,28 @@ class ServingEngine:
                             (greedy and mesh is None
                              and hasattr(model, "decode_step_argmax")))
 
-        def decode_one(params, tokens, cache, key):
+        def decode_one(params, tokens, cache, key, samp):
             if self._fused_head:
                 return model.decode_step_argmax(params, tokens, cache)
             logits, cache = model.decode_step(params, tokens, cache)
+            if self._per_request:
+                return self.sampler.sample(key, logits, *samp), cache
             return self.sampler.sample(key, logits), cache
 
-        def decode_fn(params, tokens, cache, key):
-            next_tokens, cache = decode_one(params, tokens, cache, key)
+        def decode_fn(params, tokens, cache, key, samp):
+            next_tokens, cache = decode_one(params, tokens, cache, key,
+                                            samp)
             return next_tokens, cache
 
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
 
-        def burst_fn(params, tokens, cache, key, n):
+        def burst_fn(params, tokens, cache, key, samp, n):
             """n chained decode steps fully on device (one dispatch, one
             host sync) — amortizes host↔device latency over n tokens."""
             def body(carry, _):
                 tokens, cache, key = carry
                 key, sub = jax.random.split(key)
-                nxt, cache = decode_one(params, tokens, cache, sub)
+                nxt, cache = decode_one(params, tokens, cache, sub, samp)
                 return (nxt, cache, key), nxt
 
             (tokens, cache, _), toks = jax.lax.scan(
@@ -199,7 +210,10 @@ class ServingEngine:
             return toks, cache
 
         self._decode_burst = jax.jit(burst_fn, donate_argnums=(2,),
-                                     static_argnums=(4,))
+                                     static_argnums=(5,))
+
+        if self._per_request:
+            self._first_sample = jax.jit(self.sampler.sample)
 
         def insert_fn(cache, prefilled, slot, length, token, src_slot):
             return cache.insert_sequence(prefilled, slot, length,
@@ -209,9 +223,18 @@ class ServingEngine:
 
     # -- request lifecycle --------------------------------------------------
 
-    def submit(self, prompt_ids, max_new_tokens=128, stop_ids=()) -> Request:
+    def _samp_args(self):
+        """Per-slot sampling parameter arrays for the decode program
+        (None unless the engine's sampler is per-request)."""
+        if not self._per_request:
+            return None
+        return (jnp.asarray(self._samp[0]), jnp.asarray(self._samp[1]),
+                jnp.asarray(self._samp[2]))
+
+    def submit(self, prompt_ids, max_new_tokens=128, stop_ids=(),
+               sampling: Optional[SamplingParams] = None) -> Request:
         req = Request(list(map(int, prompt_ids)), max_new_tokens,
-                      tuple(stop_ids))
+                      tuple(stop_ids), sampling=sampling)
         if len(req.prompt_ids) >= self.capacity:
             raise ValueError(f"prompt length {len(req.prompt_ids)} exceeds "
                              f"cache capacity")
@@ -270,7 +293,19 @@ class ServingEngine:
             last_logits, prefilled = self._prefill(
                 self.params, jnp.asarray(tokens), jnp.asarray(lengths))
             self._key, sub = jax.random.split(self._key)
-            firsts = np.asarray(self.sampler.sample(sub, last_logits))
+            if self._per_request:
+                sps = [req.sampling or SamplingParams.GREEDY
+                       for req, _ in group_pairs]
+                gt = np.asarray([sp.temperature for sp in sps], np.float32)
+                gk = np.asarray([sp.top_k for sp in sps], np.float32)
+                gp = np.asarray([sp.top_p for sp in sps], np.float32)
+                firsts = np.asarray(self._first_sample(
+                    sub, last_logits, gt, gk, gp))
+                for (req, slot), sp in zip(group_pairs, sps):
+                    self._samp[:, slot] = (sp.temperature, sp.top_k,
+                                           sp.top_p)
+            else:
+                firsts = np.asarray(self.sampler.sample(sub, last_logits))
             for gi, (req, slot) in enumerate(group_pairs):
                 first = int(np.asarray(firsts).reshape(-1)[gi])
                 self.cache = self._insert(self.cache, prefilled, slot,
@@ -371,7 +406,8 @@ class ServingEngine:
                     self.cache, slot, 2, length=int(lengths_np[slot]))
         self._key, sub = jax.random.split(self._key)
         next_tokens, self.cache = self._decode(
-            self.params, jnp.asarray(self.current_tokens), self.cache, sub)
+            self.params, jnp.asarray(self.current_tokens), self.cache, sub,
+            self._samp_args())
         self._host_lengths += 1
         self._device_tokens = None
         next_np = np.asarray(next_tokens)
@@ -401,7 +437,8 @@ class ServingEngine:
             self._device_tokens = jnp.asarray(self.current_tokens)
         self._key, sub = jax.random.split(self._key)
         toks, self.cache = self._decode_burst(
-            self.params, self._device_tokens, self.cache, sub, n)
+            self.params, self._device_tokens, self.cache, sub,
+            self._samp_args(), n)
         self._device_tokens = toks[-1]
         self._host_lengths += n     # the device advances every slot
         snapshot = [(s, self.slot_request[s]) for s in active]

@@ -71,11 +71,11 @@ class EngineDriver:
         self._wake.set()
         self._thread.join(timeout)
 
-    def submit(self, prompt_ids, max_new_tokens=128, stop_ids=()) \
-            -> StreamHandle:
+    def submit(self, prompt_ids, max_new_tokens=128, stop_ids=(),
+               sampling=None) -> StreamHandle:
         handle = StreamHandle()
         self._submit_q.put((handle, list(prompt_ids), int(max_new_tokens),
-                            tuple(stop_ids)))
+                            tuple(stop_ids), sampling))
         self._wake.set()
         return handle
 
@@ -84,12 +84,14 @@ class EngineDriver:
     def _drain_submits(self):
         while True:
             try:
-                handle, ids, max_new, stop_ids = self._submit_q.get_nowait()
+                handle, ids, max_new, stop_ids, sampling = \
+                    self._submit_q.get_nowait()
             except queue.Empty:
                 return
             try:
                 req = self.engine.submit(ids, max_new_tokens=max_new,
-                                         stop_ids=stop_ids)
+                                         stop_ids=stop_ids,
+                                         sampling=sampling)
             except Exception as exc:
                 handle.q.put(("error", str(exc)))
                 continue
@@ -193,7 +195,15 @@ def make_handler(driver: EngineDriver, tokenizer=None,
             max_tokens = int(body.get("max_tokens", 128))
             stop_ids = tuple(body.get("stop_ids", ()))
             stream = bool(body.get("stream", False))
-            handle = driver.submit(prompt_ids, max_tokens, stop_ids)
+            sampling = None
+            if any(k in body for k in ("temperature", "top_k", "top_p")):
+                from .generate.sampler import SamplingParams
+                sampling = SamplingParams(
+                    temperature=float(body.get("temperature", 1.0)),
+                    top_k=int(body.get("top_k", 0)),
+                    top_p=float(body.get("top_p", 1.0)))
+            handle = driver.submit(prompt_ids, max_tokens, stop_ids,
+                                   sampling)
             decoder = TextDecoder(tokenizer) if tokenizer else None
 
             if stream:
@@ -291,14 +301,16 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--capacity", type=int, default=1024)
     parser.add_argument("--burst", type=int, default=8)
-    parser.add_argument("--top-k", type=int, default=0)
-    parser.add_argument("--temperature", type=float, default=0.8)
+    parser.add_argument("--fixed-greedy", action="store_true",
+                        help="engine-wide greedy sampling (enables the "
+                             "fused LM-head+argmax kernel) instead of "
+                             "per-request temperature/top_k/top_p")
     args = parser.parse_args(argv)
 
     import jax
 
     from .generate.engine import ServingEngine
-    from .generate.sampler import ArgMaxSampler, TopKSampler
+    from .generate.sampler import ArgMaxSampler, PerRequestSampler
     from .models.transformer import (TransformerConfig, TransformerLM,
                                      quantize_weights)
 
@@ -319,8 +331,8 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
         from .text import from_json_file
         tok = from_json_file(args.tokenizer)
 
-    sampler = (TopKSampler(args.top_k, args.temperature) if args.top_k
-               else ArgMaxSampler())
+    sampler = (ArgMaxSampler() if args.fixed_greedy
+               else PerRequestSampler())
     engine = ServingEngine(model, params, max_batch=args.max_batch,
                            capacity=args.capacity, sampler=sampler,
                            cache_dtype="bfloat16" if args.quantize else None)

@@ -281,3 +281,81 @@ def test_engine_stats_counters():
     # tokens by the burst counter.
     assert s["tokens"] == total - len(reqs)
     assert s["tokens_per_s"] > 0 and s["decode_steps"] >= 4
+
+
+# -- per-request sampling -----------------------------------------------
+
+
+def test_per_request_sampler_greedy_rows_match_argmax():
+    from rten_tpu.generate.sampler import PerRequestSampler
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(4, 100).astype(np.float32))
+    s = PerRequestSampler(max_k=16)
+    toks = s.sample(jax.random.PRNGKey(1), logits,
+                    jnp.zeros(4), jnp.zeros(4), jnp.ones(4))
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_per_request_sampler_top_k_one_is_greedy():
+    from rten_tpu.generate.sampler import PerRequestSampler
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(3, 50).astype(np.float32))
+    s = PerRequestSampler(max_k=8)
+    toks = s.sample(jax.random.PRNGKey(2), logits,
+                    jnp.ones(3), jnp.ones(3), jnp.ones(3))  # temp 1, k 1
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_per_request_sampler_respects_top_k_set():
+    from rten_tpu.generate.sampler import PerRequestSampler
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(2, 64).astype(np.float32))
+    s = PerRequestSampler(max_k=16)
+    top4 = np.argsort(-np.asarray(logits), axis=-1)[:, :4]
+    for seed in range(20):
+        toks = np.asarray(s.sample(
+            jax.random.PRNGKey(seed), logits,
+            jnp.full(2, 1.5), jnp.full(2, 4.0), jnp.ones(2)))
+        for row in range(2):
+            assert toks[row] in top4[row]
+
+
+def test_per_request_sampler_tiny_top_p_is_greedy():
+    from rten_tpu.generate.sampler import PerRequestSampler
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(3, 40).astype(np.float32))
+    s = PerRequestSampler(max_k=8)
+    toks = s.sample(jax.random.PRNGKey(0), logits,
+                    jnp.ones(3), jnp.zeros(3), jnp.full(3, 1e-6))
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_engine_per_request_mixed_batch(model_and_params):
+    """One compiled decode serves a greedy and a stochastic request at
+    once; the greedy one must reproduce the argmax-engine tokens."""
+    from rten_tpu.generate.sampler import PerRequestSampler, SamplingParams
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,),
+                        sampler=PerRequestSampler(max_k=16))
+    greedy_req = eng.submit([1, 2, 3], max_new_tokens=6)  # default greedy
+    hot_req = eng.submit([4, 5, 6], max_new_tokens=6,
+                         sampling=SamplingParams(temperature=1.0, top_k=8))
+    eng.run()
+    assert greedy_req.tokens == ref_greedy(model, params, [1, 2, 3], 6)
+    assert len(hot_req.tokens) == 6
+    assert eng._decode._cache_size() == 1  # one decode compile for both
+
+
+def test_engine_per_request_burst_greedy_parity(model_and_params):
+    from rten_tpu.generate.sampler import PerRequestSampler
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,),
+                        sampler=PerRequestSampler(max_k=16))
+    req = eng.submit([7, 8, 9], max_new_tokens=6)
+    eng.run(burst=3)
+    assert req.tokens == ref_greedy(model, params, [7, 8, 9], 6)

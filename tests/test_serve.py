@@ -16,11 +16,16 @@ def server():
     from rten_tpu.models.transformer import TransformerConfig, TransformerLM
     from rten_tpu.serve import serve
 
+    from rten_tpu.generate.sampler import PerRequestSampler
+
     cfg = TransformerConfig.tiny_test()
     model = TransformerLM(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
+    # The real server default: per-request sampling (requests without
+    # sampling params decode greedily).
     engine = ServingEngine(model, params, max_batch=2, capacity=64,
-                           prefill_buckets=(16,))
+                           prefill_buckets=(16,),
+                           sampler=PerRequestSampler(max_k=16))
     srv, driver = serve(engine, port=0, burst=1)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
@@ -142,3 +147,22 @@ def test_stats_counts(server):
         stats = json.load(resp)
     assert stats["submitted"] >= stats["completed"] > 0
     assert stats["tokens"] > 0
+
+
+def test_per_request_sampling_params(server):
+    # Greedy baseline.
+    with _post(server, "/v1/completions",
+               {"prompt": [11, 12, 13], "max_tokens": 6}) as resp:
+        greedy = json.load(resp)["choices"][0]["token_ids"]
+    # temperature=0 in the body must reproduce it.
+    with _post(server, "/v1/completions",
+               {"prompt": [11, 12, 13], "max_tokens": 6,
+                "temperature": 0.0}) as resp:
+        assert json.load(resp)["choices"][0]["token_ids"] == greedy
+    # A hot stochastic request runs in the same engine (different seeds
+    # per step; only sanity-check shape/validity, not token values).
+    with _post(server, "/v1/completions",
+               {"prompt": [11, 12, 13], "max_tokens": 6,
+                "temperature": 1.2, "top_k": 8, "top_p": 0.9}) as resp:
+        hot = json.load(resp)["choices"][0]["token_ids"]
+    assert len(hot) == 6 and all(0 <= t < 128 for t in hot)
