@@ -62,7 +62,8 @@ class ServingEngine:
                  sampler: Optional[Sampler] = None, quantized_cache=False,
                  prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
                  mesh=None, paged=False, page_size=64, pool_pages=None,
-                 cache_dtype=None, fused_head=None, log_stats_every=None):
+                 cache_dtype=None, fused_head=None, log_stats_every=None,
+                 spec_draft=0, spec_ngram=3):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -221,6 +222,31 @@ class ServingEngine:
 
         self._insert = jax.jit(insert_fn, donate_argnums=(0,))
 
+        # Self-speculative decoding (generate/speculative.py): draft
+        # ``spec_draft`` tokens per step by n-gram prompt lookup, verify
+        # them in one chunked forward. Greedy-exact; entirely on device.
+        self.spec_draft = spec_draft
+        self.spec_ngram = spec_ngram
+        if spec_draft:
+            assert not paged and mesh is None, \
+                "speculative mode is single-mesh, unpaged for now"
+            assert isinstance(self.sampler, ArgMaxSampler), \
+                "speculative decoding is greedy-only"
+            # Variable tokens-per-step doesn't fit the native scheduler's
+            # rectangular commit_burst; spec mode keeps the Python queue.
+            self._sched = None
+            from .speculative import make_spec_burst
+            self._spec_history = jnp.zeros((max_batch, capacity), jnp.int32)
+            self._spec_burst = jax.jit(
+                make_spec_burst(model, spec_ngram, spec_draft),
+                donate_argnums=(1, 2), static_argnums=(3,))
+
+            def hist_set(history, row, slot):
+                return jax.lax.dynamic_update_slice(history, row[None, :],
+                                                    (slot, 0))
+
+            self._hist_set = jax.jit(hist_set, donate_argnums=(0,))
+
     # -- request lifecycle --------------------------------------------------
 
     def _samp_args(self):
@@ -317,6 +343,12 @@ class ServingEngine:
                 if self._device_tokens is not None:
                     self._device_tokens = \
                         self._device_tokens.at[slot].set(first)
+                if self.spec_draft:
+                    row = np.zeros(self.capacity, np.int32)
+                    row[:len(req.prompt_ids)] = req.prompt_ids
+                    row[len(req.prompt_ids)] = first
+                    self._spec_history = self._hist_set(
+                        self._spec_history, jnp.asarray(row), slot)
                 self.slot_request[slot] = req
                 if self._sched is not None:
                     if self._sched.commit_first(slot, first):
@@ -477,6 +509,63 @@ class ServingEngine:
                 "tokens_per_s": round(self.counters["tokens"]
                                       / max(uptime, 1e-9), 1)}
 
+    def _commit_spec(self, toks_np, counts_np, lengths_np, snapshot) -> int:
+        """Deliver a speculative burst: ``toks_np`` [n, B, k+1] greedy
+        outputs, ``counts_np`` [n, B] accepted counts (incl. the bonus
+        token). Each step's committed tokens are the first ``counts``
+        entries of its row."""
+        emitted = 0
+        n_steps = toks_np.shape[0]
+        for slot, req in snapshot:
+            if self.slot_request[slot] is not req:
+                continue
+            base = int(lengths_np[slot])
+            off = 0
+            for i in range(n_steps):
+                c = int(counts_np[i, slot])
+                for j in range(c):
+                    token = int(toks_np[i, slot, j])
+                    req.tokens.append(token)
+                    req.metrics.step()
+                    emitted += 1
+                    self.current_tokens[slot] = token
+                    self._finish_if_done(slot, token,
+                                         length=base + off + j + 1)
+                    if self.slot_request[slot] is None:
+                        break
+                off += c
+                if self.slot_request[slot] is None:
+                    break
+        return emitted
+
+    def step_spec_burst(self, n: int) -> int:
+        """Run ``n`` speculative decode steps on device (each step emits
+        1..spec_draft+1 tokens per sequence). Returns tokens emitted."""
+        self._admit()
+        active = [s for s in range(self.max_batch)
+                  if self.slot_request[s] is not None]
+        if not active:
+            return 0
+        lengths_np = self._host_lengths.copy()
+        k1 = self.spec_draft + 1
+        # Worst case every step accepts everything: keep k1*n inside the
+        # cache (the chunk append clamps, but tokens past capacity would
+        # be garbage).
+        headroom = self.capacity - 1 - max(int(lengths_np[s])
+                                           for s in active)
+        n = min(n, max(1, headroom // k1))
+        self._spec_history, self.cache, toks, counts = self._spec_burst(
+            self.params, self._spec_history, self.cache, n)
+        self._device_tokens = None
+        counts_np = np.asarray(counts)
+        toks_np = np.asarray(toks)
+        self._host_lengths += counts_np.sum(axis=0)
+        emitted = self._commit_spec(
+            toks_np, counts_np, lengths_np,
+            [(s, self.slot_request[s]) for s in active])
+        self._count(emitted, n)
+        return emitted
+
     def step_burst(self, n: int) -> int:
         """Run ``n`` decode steps on-device for the current batch, then do
         host-side bookkeeping once. Stop tokens are honored post hoc (a
@@ -516,6 +605,11 @@ class ServingEngine:
                 if req not in self.queue and not req.done:
                     self.queue.append(req)
         steps = 0
+        if self.spec_draft:
+            while self._pending() and steps < max_steps:
+                self.step_spec_burst(max(burst, 1))
+                steps += 1
+            return steps
         if burst <= 1 or self.paged or not pipeline:
             while self._pending() and steps < max_steps:
                 if burst > 1:

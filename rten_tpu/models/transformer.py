@@ -318,7 +318,7 @@ class TransformerLM:
     # -- forward -----------------------------------------------------------
 
     def _attention(self, layer_params, x, positions, cache, layer_idx,
-                   lengths):
+                   lengths, chunk=False):
         cfg = self.config
         b, s, d = x.shape
         h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -335,9 +335,12 @@ class TransformerLM:
 
         if cache is not None:
             # Prefill writes from 0; decode appends at each sequence's own
-            # depth (continuous batching: depths differ per slot).
+            # depth (continuous batching: depths differ per slot); chunked
+            # verify (speculative decoding) appends a multi-token chunk at
+            # per-sequence depths.
             cache = cache.append(layer_idx, k, v,
-                                 position=0 if s > 1 else None)
+                                 position=None if (chunk or s == 1)
+                                 else 0)
         if s == 1 and cache is not None:
             # Fused token-major kernel: one program per (sequence, cache
             # block) streams K+V rows for all heads once
@@ -368,6 +371,28 @@ class TransformerLM:
                     vc = jnp.repeat(vc, h // kvh, axis=1)
                 out = _attn_reference(q, kc, vc, False,
                                       1.0 / math.sqrt(hd), cache.lengths + 1)
+        elif chunk and cache is not None:
+            # Chunked verify attention: the s new queries (at depths
+            # lengths..lengths+s-1) attend to the FULL cache — past
+            # tokens plus the just-appended chunk, causally within it.
+            # Plain XLA einsum + mask: s is small (draft length + 1) so
+            # the [B, H, s, cap] score tile is cheap and MXU-friendly.
+            kc, vc = cache.layer_kv(layer_idx)
+            if kvh != h:
+                kc = jnp.repeat(kc, h // kvh, axis=1)
+                vc = jnp.repeat(vc, h // kvh, axis=1)
+            cap = kc.shape[2]
+            scores = jnp.einsum(
+                "bhsd,bhcd->bhsc", q.astype(jnp.float32),
+                kc.astype(jnp.float32)) / math.sqrt(hd)
+            # Query i (at absolute position lengths+i) sees cache rows
+            # < lengths + i + 1.
+            limit = cache.lengths[:, None] + 1 + jnp.arange(s)[None, :]
+            mask = jnp.arange(cap)[None, None, :] < limit[:, :, None]
+            scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhsc,bhcd->bhsd", probs,
+                             vc.astype(jnp.float32)).astype(x.dtype)
         else:
             if kvh != h:
                 k = jnp.repeat(k, h // kvh, axis=1)
@@ -392,10 +417,10 @@ class TransformerLM:
                       layer_params.get("b_down"))
 
     def forward(self, params, tokens, cache=None, positions=None,
-                lengths=None):
+                lengths=None, chunk=False):
         """tokens: [B, S] int32. Returns (logits [B, S, V], cache)."""
         x, cache = self._hidden_states(params, tokens, cache, positions,
-                                       lengths)
+                                       lengths, chunk)
         if self.config.tie_embeddings and "lm_head" not in params:
             logits = jnp.matmul(x, params["embed"].T.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
@@ -404,14 +429,14 @@ class TransformerLM:
         return logits.astype(jnp.float32), cache
 
     def _hidden_states(self, params, tokens, cache=None, positions=None,
-                       lengths=None):
+                       lengths=None, chunk=False):
         """The transformer stack through the final norm (everything but
         the LM head). Returns (hidden [B, S, D], advanced cache)."""
         cfg = self.config
         b, s = tokens.shape
         if positions is None:
-            if cache is not None and s == 1:
-                positions = cache.lengths[:, None]
+            if cache is not None and (s == 1 or chunk):
+                positions = cache.lengths[:, None] + jnp.arange(s)[None, :]
             else:
                 positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         x = jnp.take(params["embed"], tokens, axis=0)
@@ -435,7 +460,7 @@ class TransformerLM:
                                 layer.get("ln1_bias"))
                 attn_out, cache = self._attention(layer, attn_in,
                                                   positions, cache, idx,
-                                                  lengths)
+                                                  lengths, chunk)
                 x = x + attn_out
                 mlp_in = _norm(cfg, x, layer["ln2_scale"],
                                layer.get("ln2_bias"))
@@ -449,7 +474,7 @@ class TransformerLM:
                 attn_in = _norm(cfg, x, layer["ln1_scale"],
                                 layer.get("ln1_bias"))
                 attn_out, cache = self._attention(layer, attn_in, positions,
-                                                  cache, i, lengths)
+                                                  cache, i, lengths, chunk)
                 x = x + attn_out
                 mlp_in = _norm(cfg, x, layer["ln2_scale"],
                                layer.get("ln2_bias"))
@@ -471,6 +496,17 @@ class TransformerLM:
         """tokens: [B] int32 — one token per sequence."""
         logits, cache = self.forward(params, tokens[:, None], cache)
         return logits[:, 0], cache
+
+    def verify_step(self, params, tokens, cache):
+        """Speculative-decoding verification (chunked decode). ``tokens``
+        [B, S]: each row is [last committed token, draft_1..draft_{S-1}],
+        appended at the sequence's current depth; the S queries attend to
+        the full cache. Returns (logits [B, S, V], cache with lengths
+        UNCHANGED — the caller advances by the accepted count via
+        ``with_lengths``; rows written past the accepted prefix are
+        overwritten by later appends and masked until then)."""
+        logits, new_cache = self.forward(params, tokens, cache, chunk=True)
+        return logits, new_cache.with_lengths(cache.lengths)
 
     def decode_step_argmax(self, params, tokens, cache):
         """Greedy decode step via the fused LM-head+argmax kernel: the

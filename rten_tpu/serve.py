@@ -305,6 +305,10 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
                         help="engine-wide greedy sampling (enables the "
                              "fused LM-head+argmax kernel) instead of "
                              "per-request temperature/top_k/top_p")
+    parser.add_argument("--spec-draft", type=int, default=0, metavar="K",
+                        help="speculative decoding: draft K tokens per "
+                             "step by n-gram prompt lookup (greedy-only; "
+                             "implies --fixed-greedy)")
     args = parser.parse_args(argv)
 
     import jax
@@ -331,11 +335,12 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
         from .text import from_json_file
         tok = from_json_file(args.tokenizer)
 
-    sampler = (ArgMaxSampler() if args.fixed_greedy
+    sampler = (ArgMaxSampler() if args.fixed_greedy or args.spec_draft
                else PerRequestSampler())
     engine = ServingEngine(model, params, max_batch=args.max_batch,
                            capacity=args.capacity, sampler=sampler,
-                           cache_dtype="bfloat16" if args.quantize else None)
+                           cache_dtype="bfloat16" if args.quantize else None,
+                           spec_draft=args.spec_draft)
     server, driver = serve(engine, tok, args.host, args.port,
                            burst=args.burst, quiet=False)
     print(f"serving on http://{args.host}:{server.server_address[1]} "

@@ -1,0 +1,181 @@
+"""Speculative decoding tests: chunked verify parity, n-gram prompt
+lookup drafting, and greedy-exactness of the speculative engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rten_tpu.generate.engine import ServingEngine
+from rten_tpu.generate.speculative import ngram_draft
+from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+
+
+@pytest.fixture(scope="module", params=["gpt2", "gqa"])
+def model_and_params(request):
+    if request.param == "gpt2":
+        cfg = TransformerConfig.tiny_test()
+    else:
+        cfg = TransformerConfig.tiny_test(pos="rope", norm="rmsnorm",
+                                          act="swiglu", kv_heads=2)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_verify_step_matches_sequential_decode(model_and_params):
+    model, params = model_and_params
+    cfg = model.config
+    B, P, S = 2, 5, 4
+    rng = np.random.RandomState(0)
+    prompts = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, P)), jnp.int32)
+    extra = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, S)), jnp.int32)
+
+    cache = model.new_cache(B, 64)
+    _, cache = model.prefill(params, prompts, cache)
+    cache = cache.with_lengths(jnp.full(B, P, jnp.int32))
+    ref = []
+    for i in range(S):
+        lg, cache = model.decode_step(params, extra[:, i], cache)
+        ref.append(np.asarray(lg))
+    ref = np.stack(ref, axis=1)
+
+    cache2 = model.new_cache(B, 64)
+    _, cache2 = model.prefill(params, prompts, cache2)
+    cache2 = cache2.with_lengths(jnp.full(B, P, jnp.int32))
+    vlog, cache2 = model.verify_step(params, extra, cache2)
+    np.testing.assert_allclose(np.asarray(vlog), ref, atol=2e-4)
+    # lengths unchanged: the caller owns advancement.
+    assert int(cache2.lengths[0]) == P
+
+
+def test_verify_step_partial_rollback_consistent(model_and_params):
+    """After accepting only m of the verified tokens (lengths advanced by
+    m), a later decode step must behave as if the rejected tail was never
+    appended."""
+    model, params = model_and_params
+    cfg = model.config
+    B, P = 1, 6
+    rng = np.random.RandomState(1)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, P)), jnp.int32)
+    good = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, 1)), jnp.int32)
+    junk = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, 3)), jnp.int32)
+
+    # Path A: verify [good, junk...] but accept only `good` (m=1).
+    cache = model.new_cache(B, 64)
+    _, cache = model.prefill(params, prompt, cache)
+    cache = cache.with_lengths(jnp.full(B, P, jnp.int32))
+    _, cache = model.verify_step(
+        params, jnp.concatenate([good, junk], axis=1), cache)
+    cache = cache.with_lengths(cache.lengths + 1)      # accept 1
+    follow = jnp.asarray([[3]], jnp.int32)
+    logits_a, _ = model.decode_step(params, follow[:, 0], cache)
+
+    # Path B: plain decode of good then follow.
+    cache2 = model.new_cache(B, 64)
+    _, cache2 = model.prefill(params, prompt, cache2)
+    cache2 = cache2.with_lengths(jnp.full(B, P, jnp.int32))
+    _, cache2 = model.decode_step(params, good[:, 0], cache2)
+    logits_b, _ = model.decode_step(params, follow[:, 0], cache2)
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               atol=2e-4)
+
+
+# -- n-gram drafting ----------------------------------------------------
+
+
+def test_ngram_draft_finds_last_match():
+    #              0  1  2  3  4  5  6  7  8
+    hist = jnp.asarray([[5, 6, 9, 9, 5, 6, 7, 5, 6] + [0] * 7], jnp.int32)
+    drafts = ngram_draft(hist, jnp.asarray([9]), n=2, k=3)
+    # trailing bigram (5,6) last matches at j=4 -> continuation 7, 5, 6
+    assert drafts.tolist() == [[7, 5, 6]]
+
+
+def test_ngram_draft_no_match_repeats_last():
+    hist = jnp.asarray([[1, 2, 3, 4, 5] + [0] * 5], jnp.int32)
+    drafts = ngram_draft(hist, jnp.asarray([5]), n=2, k=2)
+    assert drafts.tolist() == [[5, 5]]
+
+
+def test_ngram_draft_ignores_garbage_past_length():
+    # Same valid prefix, different garbage: drafts must agree.
+    a = np.zeros((1, 12), np.int32)
+    b = np.full((1, 12), 7, np.int32)
+    for arr in (a, b):
+        arr[0, :6] = [4, 1, 2, 9, 1, 2]
+    da = ngram_draft(jnp.asarray(a), jnp.asarray([6]), n=2, k=3)
+    db = ngram_draft(jnp.asarray(b), jnp.asarray([6]), n=2, k=3)
+    assert da.tolist() == db.tolist() == [[9, 1, 2]]
+
+
+def test_ngram_draft_clamps_draft_window_to_valid_prefix():
+    # Match near the end: continuation shorter than k clamps to the last
+    # valid token instead of reading garbage.
+    hist = np.zeros((1, 10), np.int32)
+    hist[0, :5] = [1, 2, 8, 1, 2]
+    drafts = ngram_draft(jnp.asarray(hist), jnp.asarray([5]), n=2, k=3)
+    assert drafts.tolist() == [[8, 1, 2]]
+
+
+# -- engine exactness ---------------------------------------------------
+
+
+def ref_greedy(model, params, prompt, n):
+    toks = list(prompt)
+    for _ in range(n):
+        logits, _ = model.forward(params, jnp.asarray([toks], jnp.int32))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+def test_spec_engine_matches_plain_greedy(model_and_params):
+    """The speculative engine must emit EXACTLY the plain greedy stream
+    (speculative decoding changes step count, never tokens)."""
+    model, params = model_and_params
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10]]
+    plain = ServingEngine(model, params, max_batch=4, capacity=64,
+                          prefill_buckets=(16,))
+    expect = plain.generate(prompts, max_new_tokens=10)
+
+    spec = ServingEngine(model, params, max_batch=4, capacity=64,
+                         prefill_buckets=(16,), spec_draft=3, spec_ngram=2)
+    got = spec.generate(prompts, max_new_tokens=10, burst=2)
+    assert got == expect
+
+
+def test_spec_engine_oversubscribed_slots(model_and_params):
+    model, params = model_and_params
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]
+    spec = ServingEngine(model, params, max_batch=2, capacity=64,
+                         prefill_buckets=(16,), spec_draft=2, spec_ngram=2)
+    outs = spec.generate(prompts, max_new_tokens=6, burst=2)
+    for prompt, out in zip(prompts, outs):
+        assert out == ref_greedy(model, params, prompt, 6)
+
+
+def test_spec_engine_stop_tokens(model_and_params):
+    model, params = model_and_params
+    first = ref_greedy(model, params, [1, 2], 1)[0]
+    spec = ServingEngine(model, params, max_batch=2, capacity=64,
+                         prefill_buckets=(16,), spec_draft=2)
+    outs = spec.generate([[1, 2]], max_new_tokens=10, stop_ids=(first,))
+    assert outs[0][-1] == first
+    assert len(outs[0]) <= 10
+
+
+def test_spec_acceptance_on_repetitive_prompt(model_and_params):
+    """A prompt that already loops should let prompt-lookup accept >1
+    token per step (fewer engine steps than tokens)."""
+    model, params = model_and_params
+    # Build a genuinely repetitive stream: the model's own greedy loop.
+    seed = ref_greedy(model, params, [1, 2], 12)
+    prompt = [1, 2] + seed
+    spec = ServingEngine(model, params, max_batch=1, capacity=128,
+                         prefill_buckets=(32,), spec_draft=3, spec_ngram=2)
+    req = spec.submit(prompt, max_new_tokens=12)
+    spec.run(burst=1)
+    assert req.tokens == ref_greedy(model, params, prompt, 12)
+    # decode_steps counts spec steps; with acceptance it must be fewer
+    # than the tokens emitted (minus the prefill-sampled first token).
+    assert spec.counters["decode_steps"] < len(req.tokens) - 1

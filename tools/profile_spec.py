@@ -1,0 +1,95 @@
+"""Speculative-decoding profile: GPT-2-class spec decode vs plain burst
+on the real chip.
+
+    python tools/profile_spec.py [--batch 8] [--steps 128] [--draft 3]
+
+Prompt-lookup acceptance depends on text repetitiveness; this harness
+reports both a repetitive prompt (high acceptance: structured/code-like
+serving) and a random prompt (worst case). Tokens are identical to plain
+greedy decoding by construction — the test suite asserts it; here we
+only measure step-rate.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(engine_kwargs, model, params, prompts, max_new, burst):
+    from rten_tpu.generate.engine import ServingEngine
+
+    eng = ServingEngine(model, params, **engine_kwargs)
+    reqs = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
+    eng._admit()
+    # Warm the decode program at the SAME static burst size the run
+    # uses (a different n is a different compiled program).
+    if eng.spec_draft:
+        eng.step_spec_burst(burst)
+    else:
+        eng.step_burst(burst)
+    t0 = time.perf_counter()
+    before = sum(len(r.tokens) for r in reqs)
+    steps0 = eng.counters["decode_steps"]
+    eng.run(burst=burst)
+    emitted = sum(len(r.tokens) for r in reqs) - before
+    dt = time.perf_counter() - t0
+    steps = eng.counters["decode_steps"] - steps0
+    return emitted / dt, emitted, steps
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--prompt-len", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=256)
+    parser.add_argument("--draft", type=int, default=3)
+    parser.add_argument("--ngram", type=int, default=3)
+    parser.add_argument("--burst", type=int, default=16)
+    parser.add_argument("--capacity", type=int, default=2048)
+    parser.add_argument("--quantize", choices=["int8", "int4"],
+                        default="int8")
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM,
+                                             quantize_weights)
+
+    cfg = TransformerConfig.gpt2()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    if args.quantize:
+        params = quantize_weights(params, args.quantize)
+
+    rng = np.random.RandomState(0)
+    random_prompts = [list(rng.randint(0, cfg.vocab_size, args.prompt_len))
+                      for _ in range(args.batch)]
+    period = rng.randint(0, cfg.vocab_size, 8)
+    repetitive_prompts = [
+        list(np.tile(period, args.prompt_len // 8))[:args.prompt_len]
+        for _ in range(args.batch)]
+
+    base = dict(max_batch=args.batch, capacity=args.capacity,
+                prefill_buckets=(args.prompt_len,),
+                cache_dtype="bfloat16")
+    for name, prompts in [("random", random_prompts),
+                          ("repetitive", repetitive_prompts)]:
+        tps, emitted, steps = run(base, model, params, prompts,
+                                  args.steps, args.burst)
+        print(f"plain {name:<11}: {tps:8.0f} tok/s "
+              f"({emitted} tokens / {steps} steps)")
+        tps, emitted, steps = run(
+            {**base, "spec_draft": args.draft, "spec_ngram": args.ngram},
+            model, params, prompts, args.steps, args.burst)
+        print(f"spec  {name:<11}: {tps:8.0f} tok/s "
+              f"({emitted} tokens / {steps} steps, "
+              f"{emitted / max(steps, 1):.2f} tok/step)")
+
+
+if __name__ == "__main__":
+    main()
