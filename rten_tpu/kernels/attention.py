@@ -187,7 +187,13 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
 
 def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
                          l_ref, acc_ref, *, scale, block_k, n_k,
-                         scales_ref=None):
+                         scales_ref=None, chunk_s=0):
+    """``chunk_s``: 0 = single-query decode; > 0 = chunked verify with
+    ``chunk_s`` query tokens per sequence (speculative decoding). The
+    q block then holds chunk_s×H block-diagonal rows (query-major) and
+    row r's query sits at absolute position lengths[b] + r//H, seeing
+    cache rows < lengths[b] + r//H + 1 (the chunk itself was appended
+    at lengths before the call)."""
     kb = pl.program_id(1)
     b = pl.program_id(0)
 
@@ -197,7 +203,7 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    length = len_ref[b]
+    length = len_ref[b] + chunk_s   # valid cache rows incl. the chunk
 
     # Ragged skip: blocks past the sequence's length contribute nothing
     # (fully masked), their DMA was elided by the clamped index map
@@ -243,7 +249,16 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
             s = s * ks
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (h, block_k), 1)
-        s = jnp.where(k_pos < length, s, _NEG_INF)
+        if chunk_s:
+            # Per-row causal limit: row r is query r // H at absolute
+            # position len_ref[b] + r//H.
+            heads = h // chunk_s
+            qi = jax.lax.broadcasted_iota(jnp.int32, (h, block_k),
+                                          0) // heads
+            limit = len_ref[b] + qi + 1
+        else:
+            limit = length
+        s = jnp.where(k_pos < limit, s, _NEG_INF)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -415,6 +430,144 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     # Extract the block diagonal: out[b, h] = out_full[b, h, g(h) block].
     out4 = out_full.reshape(b, h, kv_heads, d)
     return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
+
+
+def _chunk_reference(q, kv, lengths, kv_heads, scale):
+    """jnp chunked-verify attention (fallback + test oracle): q
+    [B, S, H, D] at absolute positions lengths..lengths+S-1 over the
+    float fused cache [B, cap, 2, KVH*D] (chunk already appended)."""
+    b, s, h, d = q.shape
+    cap = kv.shape[1]
+    q_per_kv = h // kv_heads
+    kc = kv[:, :, 0].reshape(b, cap, kv_heads, d).transpose(0, 2, 1, 3)
+    vc = kv[:, :, 1].reshape(b, cap, kv_heads, d).transpose(0, 2, 1, 3)
+    kc = jnp.repeat(kc, q_per_kv, axis=1)
+    vc = jnp.repeat(vc, q_per_kv, axis=1)
+    scores = jnp.einsum("bshd,bhcd->bhsc", q.astype(jnp.float32),
+                        kc.astype(jnp.float32)) * scale
+    limit = lengths[:, None] + 1 + jnp.arange(s)[None, :]
+    mask = jnp.arange(cap)[None, None, :] < limit[:, :, None]
+    scores = jnp.where(mask[:, None, :, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhsc,bhcd->bshd", probs, vc.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kv_heads", "scale", "block_k"))
+def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
+                       kv_scales=None):
+    """Chunked-verify attention for speculative decoding over the
+    token-major fused cache (ragged sibling of :func:`flash_decode_fused`).
+
+    q: [B, S, H, D] — S verify queries per sequence, already appended to
+    the cache at positions lengths..lengths+S-1; lengths: [B] PRE-chunk
+    valid counts. One program per (sequence, cache block) streams each
+    block's rows ONCE for all S×H queries (block-diagonal MXU head
+    separation, per-row causal limits in-kernel), and the clamped index
+    map elides DMAs past lengths+S — cache reads scale with live length,
+    not capacity, which is what makes a verify step cost ~a decode step
+    rather than a full-capacity pass."""
+    b, s, h, d = q.shape
+    hd_tot = kv_heads * d
+    quant = kv_scales is not None
+    _, s_max, planes, lanes = kv.shape
+    if quant:
+        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+    else:
+        assert planes == 2 and lanes == hd_tot
+    assert h % kv_heads == 0
+    q_per_kv = h // kv_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_k = min(block_k, s_max)
+    if s_max % block_k or quant is False and s_max < 8:
+        if quant:
+            from ..generate.kv_cache import VSCALE_OFF, unpack_int8_planar
+            kq, vq = unpack_int8_planar(kv)
+            s_rows = kv_scales[:, :, 0]
+            kf = (kq.reshape(b, s_max, kv_heads, d).astype(jnp.float32)
+                  * s_rows[:, :, :kv_heads, None])
+            vf = (vq.reshape(b, s_max, kv_heads, d).astype(jnp.float32)
+                  * s_rows[:, :, VSCALE_OFF:VSCALE_OFF + kv_heads, None])
+            kvf = jnp.stack([kf.reshape(b, s_max, hd_tot),
+                             vf.reshape(b, s_max, hd_tot)], axis=2)
+            return _chunk_reference(q, kvf, lengths, kv_heads, scale)
+        return _chunk_reference(q, kv, lengths, kv_heads, scale)
+    n_k = s_max // block_k
+
+    # Block-diagonal rows, query-major: row r = qi*H + head.
+    onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
+    q_full = (q[:, :, :, None, :]
+              * onehot[None, None, :, :, None].astype(q.dtype)
+              ).reshape(b, s * h, hd_tot)
+    oh_rows = jnp.tile(onehot, (s, 1))
+
+    def kv_index(bb, kk, lens):
+        last = jnp.maximum(pl.cdiv(lens[bb] + s, block_k) - 1, 0)
+        return (bb, jnp.minimum(kk, last), 0, 0)
+
+    if quant:
+        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
+        oh_s = jnp.concatenate([
+            jnp.pad(oh_rows, ((0, 0), (0, SCALE_LANES - kv_heads))),
+            jnp.pad(oh_rows, ((0, 0),
+                              (VSCALE_OFF,
+                               SCALE_LANES - VSCALE_OFF - kv_heads))),
+        ], axis=1)
+        oh_arg, oh_block = oh_s, (s * h, 2 * SCALE_LANES)
+        kv_block = (1, block_k, 1, lanes)
+    else:
+        oh_arg, oh_block = oh_rows, (s * h, kv_heads)
+        kv_block = (1, block_k, 2, hd_tot)
+
+    in_specs = [
+        pl.BlockSpec((1, s * h, hd_tot), lambda bb, kk, lens: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(oh_block, lambda bb, kk, lens: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(kv_block, kv_index, memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(lengths, jnp.int32), q_full, oh_arg, kv]
+    kernel = functools.partial(_decode_fused_kernel, scale=scale,
+                               block_k=block_k, n_k=n_k, chunk_s=s)
+    if quant:
+        in_specs.append(pl.BlockSpec(
+            (1, block_k, 1, SCALE_LANES),
+            lambda bb, kk, lens: kv_index(bb, kk, lens),
+            memory_space=pltpu.VMEM))
+        args.append(kv_scales)
+
+        def kernel(len_ref, q_ref, oh_ref, kv_ref, s_ref, *rest):
+            return _decode_fused_kernel(len_ref, q_ref, oh_ref, kv_ref,
+                                        *rest, scale=scale, block_k=block_k,
+                                        n_k=n_k, scales_ref=s_ref,
+                                        chunk_s=s)
+
+    out_full = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_k),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, s * h, hd_tot),
+                                   lambda bb, kk, lens: (bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((s * h, 1), jnp.float32),
+                pltpu.VMEM((s * h, 1), jnp.float32),
+                pltpu.VMEM((s * h, hd_tot), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s * h, hd_tot), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s * h * s_max * hd_tot,
+            bytes_accessed=kv.size * kv.dtype.itemsize
+            + 8 * b * s * h * hd_tot,
+            transcendentals=b * s * h * s_max),
+        interpret=_interpret(),
+    )(*args)
+    out5 = out_full.reshape(b, s, h, kv_heads, d)
+    return jnp.einsum("bshgd,hg->bshd", out5, onehot.astype(out5.dtype))
 
 
 def _decode_paged_kernel(tab_ref, len_ref, q_ref, onehot_ref, page_ref,

@@ -375,24 +375,36 @@ class TransformerLM:
             # Chunked verify attention: the s new queries (at depths
             # lengths..lengths+s-1) attend to the FULL cache — past
             # tokens plus the just-appended chunk, causally within it.
-            # Plain XLA einsum + mask: s is small (draft length + 1) so
-            # the [B, H, s, cap] score tile is cheap and MXU-friendly.
-            kc, vc = cache.layer_kv(layer_idx)
-            if kvh != h:
-                kc = jnp.repeat(kc, h // kvh, axis=1)
-                vc = jnp.repeat(vc, h // kvh, axis=1)
-            cap = kc.shape[2]
-            scores = jnp.einsum(
-                "bhsd,bhcd->bhsc", q.astype(jnp.float32),
-                kc.astype(jnp.float32)) / math.sqrt(hd)
-            # Query i (at absolute position lengths+i) sees cache rows
-            # < lengths + i + 1.
-            limit = cache.lengths[:, None] + 1 + jnp.arange(s)[None, :]
-            mask = jnp.arange(cap)[None, None, :] < limit[:, :, None]
-            scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
-            probs = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum("bhsc,bhcd->bhsd", probs,
-                             vc.astype(jnp.float32)).astype(x.dtype)
+            if cfg.use_pallas and not getattr(cache, "paged", False):
+                # Ragged Pallas kernel: cache reads scale with live
+                # length, not capacity (kernels/attention.py).
+                from ..kernels.attention import flash_verify_fused
+                scales = (cache.quant_scales[layer_idx]
+                          if cache.quant_scales is not None else None)
+                out = flash_verify_fused(q.transpose(0, 2, 1, 3),
+                                         cache.fused_layer(layer_idx),
+                                         cache.lengths, kvh,
+                                         kv_scales=scales)
+                out = out.astype(x.dtype).transpose(0, 2, 1, 3)
+            else:
+                # XLA fallback: [B, H, s, cap] masked einsum (s is small
+                # — draft length + 1 — so the score tile is cheap).
+                kc, vc = cache.layer_kv(layer_idx)
+                if kvh != h:
+                    kc = jnp.repeat(kc, h // kvh, axis=1)
+                    vc = jnp.repeat(vc, h // kvh, axis=1)
+                cap = kc.shape[2]
+                scores = jnp.einsum(
+                    "bhsd,bhcd->bhsc", q.astype(jnp.float32),
+                    kc.astype(jnp.float32)) / math.sqrt(hd)
+                # Query i (at absolute position lengths+i) sees cache
+                # rows < lengths + i + 1.
+                limit = cache.lengths[:, None] + 1 + jnp.arange(s)[None, :]
+                mask = jnp.arange(cap)[None, None, :] < limit[:, :, None]
+                scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
+                probs = jax.nn.softmax(scores, axis=-1)
+                out = jnp.einsum("bhsc,bhcd->bhsd", probs,
+                                 vc.astype(jnp.float32)).astype(x.dtype)
         else:
             if kvh != h:
                 k = jnp.repeat(k, h // kvh, axis=1)

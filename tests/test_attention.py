@@ -110,3 +110,91 @@ def test_flash_decode_fused_quantized_cache():
                           1.0 / np.sqrt(D), lengths)[:, :, 0, :]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_verify_fused_matches_chunk_reference():
+    from rten_tpu.kernels.attention import (_chunk_reference,
+                                            flash_verify_fused)
+    B, S, H, KVH, D, cap = 2, 4, 8, 4, 32, 128
+    r = np.random.RandomState(5)
+    q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
+    kv = jnp.asarray(r.randn(B, cap, 2, KVH * D).astype(np.float32))
+    lengths = jnp.asarray([13, 100], jnp.int32)  # pre-chunk lengths
+    out = flash_verify_fused(q, kv, lengths, KVH, block_k=64)
+    want = _chunk_reference(q, kv, lengths, KVH, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_verify_fused_ignores_garbage_past_chunk():
+    from rten_tpu.kernels.attention import flash_verify_fused
+    B, S, H, D, cap = 1, 3, 2, 32, 128
+    r = np.random.RandomState(6)
+    q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
+    kv = r.randn(B, cap, 2, H * D).astype(np.float32)
+    length = 20
+    out1 = flash_verify_fused(q, jnp.asarray(kv), jnp.asarray([length]),
+                              H, block_k=64)
+    kv2 = kv.copy()
+    kv2[:, length + S:] = 1e9      # garbage beyond chunk end
+    out2 = flash_verify_fused(q, jnp.asarray(kv2), jnp.asarray([length]),
+                              H, block_k=64)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-6)
+    # ...but rows INSIDE the per-query window do matter.
+    kv3 = kv.copy()
+    kv3[:, length] = 1e3
+    out3 = flash_verify_fused(q, jnp.asarray(kv3), jnp.asarray([length]),
+                              H, block_k=64)
+    assert np.abs(np.asarray(out3) - np.asarray(out1)).max() > 1e-3
+
+
+def test_flash_verify_fused_per_query_causality():
+    """Query i must not see chunk rows > i: row at position len+2 must
+    not affect query 0/1."""
+    from rten_tpu.kernels.attention import flash_verify_fused
+    B, S, H, D, cap = 1, 3, 2, 32, 64
+    r = np.random.RandomState(7)
+    q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
+    kv = r.randn(B, cap, 2, H * D).astype(np.float32)
+    length = 10
+    out1 = flash_verify_fused(q, jnp.asarray(kv), jnp.asarray([length]),
+                              H, block_k=64)
+    kv2 = kv.copy()
+    kv2[:, length + 2] = 1e3       # the LAST chunk row
+    out2 = flash_verify_fused(q, jnp.asarray(kv2), jnp.asarray([length]),
+                              H, block_k=64)
+    np.testing.assert_allclose(np.asarray(out2[:, :2]),
+                               np.asarray(out1[:, :2]), rtol=1e-6)
+    assert np.abs(np.asarray(out2[:, 2]) - np.asarray(out1[:, 2])).max() \
+        > 1e-3
+
+
+def test_flash_verify_fused_quantized_cache():
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_planar)
+    from rten_tpu.kernels.attention import (_chunk_reference,
+                                            flash_verify_fused)
+    B, S, H, KVH, D, cap = 2, 3, 8, 4, 32, 64
+    r = np.random.RandomState(8)
+    q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
+    k_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * r.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    lengths = jnp.asarray([7, 60], jnp.int32)
+
+    out = flash_verify_fused(q, kv_q, lengths, KVH, block_k=64,
+                             kv_scales=jnp.asarray(scales))
+
+    kf = (jnp.asarray(k_q).reshape(B, cap, KVH, D).astype(jnp.float32)
+          * s_np[:, :, 0][..., None]).reshape(B, cap, KVH * D)
+    vf = (jnp.asarray(v_q).reshape(B, cap, KVH, D).astype(jnp.float32)
+          * s_np[:, :, 1][..., None]).reshape(B, cap, KVH * D)
+    kvf = jnp.stack([kf, vf], axis=2)
+    want = _chunk_reference(q, kvf, lengths, KVH, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
