@@ -138,7 +138,7 @@ class ServingEngine:
         # ``log_stats_every=N`` emits one JSON line to stderr every N
         # bursts/steps.
         self.counters = {"submitted": 0, "completed": 0, "tokens": 0,
-                         "bursts": 0, "decode_steps": 0}
+                         "bursts": 0, "decode_steps": 0, "prefix_hits": 0}
         self._t_start = time.perf_counter()
         self._log_every = log_stats_every
 
@@ -222,6 +222,20 @@ class ServingEngine:
 
         self._insert = jax.jit(insert_fn, donate_argnums=(0,))
 
+        # Prefix cache (register_prefix): admission for a hit runs a
+        # chunked forward over just the suffix, continuing the stored
+        # fragment at depth plen. The fragment is NOT donated — it is
+        # reused by every later hit.
+        def suffix_fn(params, tokens, frag, plen, slens):
+            cache = frag.with_lengths(jnp.broadcast_to(plen, slens.shape))
+            logits, cache = model.forward(params, tokens, cache,
+                                          chunk=True)
+            last = logits[jnp.arange(tokens.shape[0]), slens - 1]
+            return last, cache.with_lengths(plen + slens)
+
+        self._suffix_prefill = jax.jit(suffix_fn)
+        self._prefixes: list = []   # (token tuple, KV fragment), longest 1st
+
         # Self-speculative decoding (generate/speculative.py): draft
         # ``spec_draft`` tokens per step by n-gram prompt lookup, verify
         # them in one chunked forward. Greedy-exact; entirely on device.
@@ -295,6 +309,32 @@ class ServingEngine:
             batch_reqs = self.queue[:len(free)]
             del self.queue[:len(batch_reqs)]
             pairs = list(zip(batch_reqs, free))
+        if self._prefixes:
+            rest = []
+            for req, slot in pairs:
+                hit = self._match_prefix(req.prompt_ids)
+                if hit is None:
+                    rest.append((req, slot))
+                    continue
+                ptoks, frag = hit
+                suffix = req.prompt_ids[len(ptoks):]
+                sbucket = _bucket(len(suffix), self.prefill_buckets)
+                if len(ptoks) + sbucket >= self.capacity:
+                    rest.append((req, slot))   # no room for the chunk
+                    continue
+                tok = np.zeros((1, sbucket), np.int32)
+                tok[0, :len(suffix)] = suffix
+                last_logits, filled = self._suffix_prefill(
+                    self.params, jnp.asarray(tok), frag,
+                    jnp.asarray(len(ptoks), jnp.int32),
+                    jnp.asarray([len(suffix)], jnp.int32))
+                self.counters["prefix_hits"] += 1
+                self._finish_admission(
+                    [(req, slot)], np.asarray([len(req.prompt_ids)]),
+                    last_logits, filled)
+            pairs = rest
+            if not pairs:
+                return
         by_bucket: dict = {}
         for req, slot in pairs:
             n = len(req.prompt_ids)
@@ -318,45 +358,83 @@ class ServingEngine:
                         length=0)
             last_logits, prefilled = self._prefill(
                 self.params, jnp.asarray(tokens), jnp.asarray(lengths))
-            self._key, sub = jax.random.split(self._key)
-            if self._per_request:
-                sps = [req.sampling or SamplingParams.GREEDY
-                       for req, _ in group_pairs]
-                gt = np.asarray([sp.temperature for sp in sps], np.float32)
-                gk = np.asarray([sp.top_k for sp in sps], np.float32)
-                gp = np.asarray([sp.top_p for sp in sps], np.float32)
-                firsts = np.asarray(self._first_sample(
-                    sub, last_logits, gt, gk, gp))
-                for (req, slot), sp in zip(group_pairs, sps):
-                    self._samp[:, slot] = (sp.temperature, sp.top_k,
-                                           sp.top_p)
+            self._finish_admission(group_pairs, lengths, last_logits,
+                                   prefilled)
+
+    def _finish_admission(self, group_pairs, lengths, last_logits,
+                          prefilled):
+        """Sample each admitted request's first token and scatter its
+        prefilled KV entry into its slot. ``lengths``: total prompt
+        length per group row (cache depth after insert)."""
+        self._key, sub = jax.random.split(self._key)
+        if self._per_request:
+            sps = [req.sampling or SamplingParams.GREEDY
+                   for req, _ in group_pairs]
+            gt = np.asarray([sp.temperature for sp in sps], np.float32)
+            gk = np.asarray([sp.top_k for sp in sps], np.float32)
+            gp = np.asarray([sp.top_p for sp in sps], np.float32)
+            firsts = np.asarray(self._first_sample(
+                sub, last_logits, gt, gk, gp))
+            for (req, slot), sp in zip(group_pairs, sps):
+                self._samp[:, slot] = (sp.temperature, sp.top_k,
+                                       sp.top_p)
+        else:
+            firsts = np.asarray(self.sampler.sample(sub, last_logits))
+        for gi, (req, slot) in enumerate(group_pairs):
+            first = int(np.asarray(firsts).reshape(-1)[gi])
+            self.cache = self._insert(self.cache, prefilled, slot,
+                                      int(lengths[gi]), first, gi)
+            req.tokens.append(first)
+            req.metrics.step()
+            self.current_tokens[slot] = first
+            self._host_lengths[slot] = int(lengths[gi])
+            if self._device_tokens is not None:
+                self._device_tokens = \
+                    self._device_tokens.at[slot].set(first)
+            if self.spec_draft:
+                row = np.zeros(self.capacity, np.int32)
+                row[:len(req.prompt_ids)] = req.prompt_ids
+                row[len(req.prompt_ids)] = first
+                self._spec_history = self._hist_set(
+                    self._spec_history, jnp.asarray(row), slot)
+            self.slot_request[slot] = req
+            if self._sched is not None:
+                if self._sched.commit_first(slot, first):
+                    req.done = True
+                    self._free_slot(slot)
             else:
-                firsts = np.asarray(self.sampler.sample(sub, last_logits))
-            for gi, (req, slot) in enumerate(group_pairs):
-                first = int(np.asarray(firsts).reshape(-1)[gi])
-                self.cache = self._insert(self.cache, prefilled, slot,
-                                          int(lengths[gi]), first, gi)
-                req.tokens.append(first)
-                req.metrics.step()
-                self.current_tokens[slot] = first
-                self._host_lengths[slot] = int(lengths[gi])
-                if self._device_tokens is not None:
-                    self._device_tokens = \
-                        self._device_tokens.at[slot].set(first)
-                if self.spec_draft:
-                    row = np.zeros(self.capacity, np.int32)
-                    row[:len(req.prompt_ids)] = req.prompt_ids
-                    row[len(req.prompt_ids)] = first
-                    self._spec_history = self._hist_set(
-                        self._spec_history, jnp.asarray(row), slot)
-                self.slot_request[slot] = req
-                if self._sched is not None:
-                    if self._sched.commit_first(slot, first):
-                        req.done = True
-                        self._free_slot(slot)
-                else:
-                    self._finish_if_done(slot, first,
-                                         length=int(lengths[gi]))
+                self._finish_if_done(slot, first,
+                                     length=int(lengths[gi]))
+
+    def register_prefix(self, tokens) -> int:
+        """Precompute and pin the KV of a shared prompt prefix (e.g. a
+        system prompt). Submissions whose prompt strictly extends it skip
+        prefilling those tokens — admission runs ONE chunked forward over
+        just the suffix (counted in ``stats()['prefix_hits']``). Returns
+        the prefix length. Fragment memory: one full-capacity cache row
+        per registered prefix."""
+        assert not self.paged and self.mesh is None, \
+            "prefix cache is single-mesh, unpaged for now"
+        toks = tuple(int(t) for t in tokens)
+        if not toks or len(toks) >= self.capacity:
+            raise ValueError("prefix must be non-empty and below capacity")
+        bucket = _bucket(len(toks), self.prefill_buckets)
+        arr = np.zeros((1, bucket), np.int32)
+        arr[0, :len(toks)] = toks
+        _, frag = self._prefill(self.params, jnp.asarray(arr),
+                                jnp.asarray([len(toks)], np.int32))
+        self._prefixes.append((toks, frag))
+        self._prefixes.sort(key=lambda kv: -len(kv[0]))
+        return len(toks)
+
+    def _match_prefix(self, prompt):
+        """Longest registered prefix that the prompt STRICTLY extends
+        (at least one suffix token must remain to prefill)."""
+        for toks, frag in self._prefixes:
+            if len(toks) < len(prompt) \
+                    and tuple(prompt[:len(toks)]) == toks:
+                return toks, frag
+        return None
 
     def _free_slot(self, slot):
         """Mark a finished request's slot reusable (and return its KV

@@ -74,20 +74,38 @@ class EngineDriver:
     def submit(self, prompt_ids, max_new_tokens=128, stop_ids=(),
                sampling=None) -> StreamHandle:
         handle = StreamHandle()
-        self._submit_q.put((handle, list(prompt_ids), int(max_new_tokens),
-                            tuple(stop_ids), sampling))
+        self._submit_q.put(("gen", handle, list(prompt_ids),
+                            int(max_new_tokens), tuple(stop_ids), sampling))
         self._wake.set()
         return handle
+
+    def register_prefix(self, prompt_ids, timeout: float = 600.0):
+        """Thread-safe prefix-cache registration (blocks until the
+        driver thread has prefilled and pinned the fragment)."""
+        reply: queue.Queue = queue.Queue()
+        self._submit_q.put(("prefix", reply, list(prompt_ids)))
+        self._wake.set()
+        kind, payload = reply.get(timeout=timeout)
+        if kind == "error":
+            raise ValueError(payload)
+        return payload
 
     # -- driver thread --------------------------------------------------
 
     def _drain_submits(self):
         while True:
             try:
-                handle, ids, max_new, stop_ids, sampling = \
-                    self._submit_q.get_nowait()
+                entry = self._submit_q.get_nowait()
             except queue.Empty:
                 return
+            if entry[0] == "prefix":
+                _, reply, ids = entry
+                try:
+                    reply.put(("ok", self.engine.register_prefix(ids)))
+                except Exception as exc:
+                    reply.put(("error", str(exc)))
+                continue
+            _, handle, ids, max_new, stop_ids, sampling = entry
             try:
                 req = self.engine.submit(ids, max_new_tokens=max_new,
                                          stop_ids=stop_ids,
@@ -167,7 +185,8 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path not in ("/v1/completions", "/completions"):
+            if self.path not in ("/v1/completions", "/completions",
+                                 "/v1/prefixes"):
                 self._json(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -178,6 +197,25 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                 return
 
             prompt = body.get("prompt")
+            if self.path == "/v1/prefixes":
+                # Pin a shared prompt prefix (system prompt) in the KV
+                # prefix cache; later completions extending it skip its
+                # prefill.
+                if isinstance(prompt, str) and tokenizer is not None:
+                    prompt = tokenizer.encode(prompt)
+                if not (isinstance(prompt, list) and all(
+                        isinstance(t, int) for t in prompt)):
+                    self._json(400, {"error": "prompt must be token ids "
+                                              "(or a string with a "
+                                              "tokenizer)"})
+                    return
+                try:
+                    n = driver.register_prefix(prompt)
+                except ValueError as exc:
+                    self._json(400, {"error": str(exc)})
+                    return
+                self._json(200, {"registered": n})
+                return
             if isinstance(prompt, str):
                 if tokenizer is None:
                     self._json(400, {"error": "string prompt needs a "

@@ -359,3 +359,69 @@ def test_engine_per_request_burst_greedy_parity(model_and_params):
     req = eng.submit([7, 8, 9], max_new_tokens=6)
     eng.run(burst=3)
     assert req.tokens == ref_greedy(model, params, [7, 8, 9], 6)
+
+
+# -- prefix cache ---------------------------------------------------------
+
+
+def test_prefix_cache_exact_parity(model_and_params):
+    """A prefix-cache hit must produce exactly the tokens of a cold
+    prefill."""
+    model, params = model_and_params
+    system = [7, 3, 9, 9, 2, 1]
+    prompts = [system + [11, 12], system + [4], [5, 6, 7]]  # 2 hits, 1 miss
+    cold = ServingEngine(model, params, max_batch=4, capacity=64,
+                         prefill_buckets=(8, 16))
+    expect = cold.generate(prompts, max_new_tokens=6)
+
+    eng = ServingEngine(model, params, max_batch=4, capacity=64,
+                        prefill_buckets=(8, 16))
+    eng.register_prefix(system)
+    got = eng.generate(prompts, max_new_tokens=6)
+    assert got == expect
+    assert eng.stats()["prefix_hits"] == 2
+
+
+def test_prefix_cache_fragment_reusable(model_and_params):
+    """The stored fragment must survive hits: two sequential hits on the
+    same prefix give identical results (no donation corruption)."""
+    model, params = model_and_params
+    system = [2, 4, 6, 8]
+    eng = ServingEngine(model, params, max_batch=1, capacity=64,
+                        prefill_buckets=(8,))
+    eng.register_prefix(system)
+    out1 = eng.generate([system + [1]], max_new_tokens=5)
+    out2 = eng.generate([system + [1]], max_new_tokens=5)
+    assert out1 == out2
+    assert eng.stats()["prefix_hits"] == 2
+
+
+def test_prefix_cache_longest_match(model_and_params):
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=1, capacity=64,
+                        prefill_buckets=(8, 16))
+    eng.register_prefix([1, 2])
+    eng.register_prefix([1, 2, 3, 4])
+    hit = eng._match_prefix([1, 2, 3, 4, 5])
+    assert hit[0] == (1, 2, 3, 4)
+    # Exact-equal prompt is NOT a hit (no suffix to prefill).
+    hit = eng._match_prefix([1, 2, 3, 4])
+    assert hit[0] == (1, 2)
+
+
+def test_prefix_cache_with_sampling_params(model_and_params):
+    from rten_tpu.generate.sampler import PerRequestSampler
+    model, params = model_and_params
+    system = [3, 1, 4, 1, 5]
+    cold = ServingEngine(model, params, max_batch=1, capacity=64,
+                         prefill_buckets=(8,),
+                         sampler=PerRequestSampler(max_k=16))
+    r0 = cold.submit(system + [9], max_new_tokens=5)  # greedy default
+    cold.run()
+    eng = ServingEngine(model, params, max_batch=1, capacity=64,
+                        prefill_buckets=(8,),
+                        sampler=PerRequestSampler(max_k=16))
+    eng.register_prefix(system)
+    r1 = eng.submit(system + [9], max_new_tokens=5)
+    eng.run()
+    assert r1.tokens == r0.tokens

@@ -166,3 +166,21 @@ def test_per_request_sampling_params(server):
                 "temperature": 1.2, "top_k": 8, "top_p": 0.9}) as resp:
         hot = json.load(resp)["choices"][0]["token_ids"]
     assert len(hot) == 6 and all(0 <= t < 128 for t in hot)
+
+
+def test_prefix_registration_endpoint(server):
+    system = [42, 43, 44, 45]
+    with _post(server, "/v1/completions",
+               {"prompt": system + [46], "max_tokens": 5}) as resp:
+        cold = json.load(resp)["choices"][0]["token_ids"]
+    with _post(server, "/v1/prefixes", {"prompt": system}) as resp:
+        assert json.load(resp)["registered"] == 4
+    with _post(server, "/v1/completions",
+               {"prompt": system + [46], "max_tokens": 5}) as resp:
+        warm = json.load(resp)["choices"][0]["token_ids"]
+    assert warm == cold
+    with urllib.request.urlopen(server + "/stats", timeout=60) as resp:
+        assert json.load(resp)["prefix_hits"] >= 1
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server, "/v1/prefixes", {"prompt": []})
+    assert err.value.code == 400
