@@ -54,6 +54,9 @@ class TransformerConfig:
     scan_layers: bool = False            # lax.scan over layers (one traced
                                          # layer body; needs stacked params
                                          # + stacked KV cache)
+    n_experts: int = 0                   # >0 → MoE MLP (models/moe.py)
+    experts_per_token: int = 2
+    moe_impl: str = "auto"               # "auto" | "dense" | "ragged"
 
     @property
     def head_dim(self):
@@ -77,6 +80,24 @@ class TransformerConfig:
             d_model=2048, d_ff=5632, max_seq_len=2048, pos="rope",
             norm="rmsnorm", act="swiglu", tie_embeddings=False,
             rope_theta=10000.0), **kw})
+
+    @staticmethod
+    def mixtral(**kw):
+        """Mixtral-8x7B-class shape (scaled by overrides in practice)."""
+        return TransformerConfig(**{**dict(
+            vocab_size=32000, n_layers=32, n_heads=32, kv_heads=8,
+            d_model=4096, d_ff=14336, max_seq_len=4096, pos="rope",
+            norm="rmsnorm", act="swiglu", tie_embeddings=False,
+            rope_theta=1e6, n_experts=8, experts_per_token=2), **kw})
+
+    @staticmethod
+    def tiny_moe(**kw):
+        """Small MoE config for tests (Mixtral family: GQA/RoPE/SwiGLU)."""
+        return TransformerConfig(**{**dict(
+            vocab_size=128, n_layers=2, n_heads=4, kv_heads=2, d_model=64,
+            d_ff=96, max_seq_len=128, pos="rope", norm="rmsnorm",
+            act="swiglu", tie_embeddings=False, n_experts=4,
+            experts_per_token=2), **kw})
 
     @staticmethod
     def tiny_test(**kw):
@@ -190,8 +211,24 @@ def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
         if not isinstance(w, jnp.ndarray) and not isinstance(w, np.ndarray):
             return w
         arr = np.asarray(w)
-        if arr.ndim != 2 or "embed" in name or "pos" in name:
-            return w  # embeddings / position tables stay float (gathered)
+        if arr.ndim == 3 and name in ("w_gate", "w_up", "w_down"):
+            # Expert-stacked MoE weights [E, K, N]: int8 per-expert,
+            # per-output-channel (moe.py dense path consumes these; int4
+            # expert stacks stay float this round).
+            if kind != "int8":
+                return w
+            qs = [qt.abs_max_quantize_int8(arr[e], axis=0)
+                  for e in range(arr.shape[0])]
+            q = np.stack([a for a, _ in qs])
+            scales = np.stack([s for _, s in qs])
+            return QuantWeight("int8", jnp.asarray(q), jnp.asarray(scales),
+                               n=arr.shape[2])
+        if arr.ndim != 2 or "embed" in name or "pos" in name \
+                or name == "router":
+            # Embeddings / position tables stay float (gathered); the
+            # router stays float so quantization never flips a routing
+            # decision.
+            return w
         if kind == "int8":
             q, scales = qt.abs_max_quantize_int8(arr, axis=0)
             return QuantWeight("int8", jnp.asarray(q), jnp.asarray(scales),
@@ -303,7 +340,19 @@ class TransformerLM:
                 layer["ln2_bias"] = jnp.zeros(d, dt)
                 layer["bqkv"] = jnp.zeros((h + 2 * kvh) * hd, dt)
                 layer["bo"] = jnp.zeros(d, dt)
-            if cfg.act == "swiglu":
+            if cfg.n_experts > 0:
+                e = cfg.n_experts
+                layer["router"] = dense(None, (d, e))
+                if cfg.act == "swiglu":
+                    layer["w_gate"] = dense(None, (e, d, dff))
+                    layer["w_up"] = dense(None, (e, d, dff))
+                    layer["w_down"] = dense(None, (e, dff, d))
+                else:
+                    layer["w_up"] = dense(None, (e, d, dff))
+                    layer["b_up"] = jnp.zeros((e, dff), dt)
+                    layer["w_down"] = dense(None, (e, dff, d))
+                    layer["b_down"] = jnp.zeros((e, d), dt)
+            elif cfg.act == "swiglu":
                 layer["w_gate"] = dense(None, (d, dff))
                 layer["w_up"] = dense(None, (d, dff))
                 layer["w_down"] = dense(None, (dff, d))
@@ -419,6 +468,9 @@ class TransformerLM:
 
     def _mlp(self, layer_params, x):
         cfg = self.config
+        if "router" in layer_params:
+            from .moe import moe_mlp
+            return moe_mlp(x, layer_params, cfg)
         if cfg.act == "swiglu":
             gate = linear(x, layer_params["w_gate"])
             up = linear(x, layer_params["w_up"])

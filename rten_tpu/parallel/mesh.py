@@ -11,19 +11,29 @@ from jax.sharding import Mesh
 
 
 def make_mesh(data: int | None = None, model: int | None = None,
-              devices=None) -> Mesh:
+              devices=None, expert: int | None = None,
+              pipe: int | None = None, seq: int | None = None) -> Mesh:
+    """Axes beyond data×model are added on request: ``expert`` (MoE
+    expert parallelism), ``pipe`` (pipeline stages), ``seq`` (sequence/
+    context parallelism for long prefill). Order is data-outermost,
+    model-innermost so the model axis rides the fastest ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    extra = {k: v for k, v in
+             (("expert", expert), ("pipe", pipe), ("seq", seq))
+             if v is not None}
+    n_extra = int(np.prod(list(extra.values()))) if extra else 1
     if data is None and model is None:
-        data, model = 1, n
+        data, model = 1, n // n_extra
     elif data is None:
-        data = n // model
+        data = n // (model * n_extra)
     elif model is None:
-        model = n // data
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.array(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+        model = n // (data * n_extra)
+    shape = {"data": data, **extra, "model": model}
+    if int(np.prod(list(shape.values()))) != n:
+        raise ValueError(f"mesh {shape} != {n} devices")
+    arr = np.array(devices).reshape(tuple(shape.values()))
+    return Mesh(arr, tuple(shape.keys()))
 
 
 def mesh_shape(mesh: Mesh) -> dict:

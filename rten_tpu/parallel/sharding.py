@@ -35,18 +35,40 @@ _ROW_SHARDED = {"wo", "w_down"}
 _COL_SHARDED_BIAS = {"bq", "bk", "bv", "bqkv", "b_up"}
 
 
-def _spec_for(name: str, ndim: int) -> P:
+def _spec_for(name: str, ndim: int, axes=()) -> P:
+    # MoE expert-stacked weights/biases carry a leading expert dim,
+    # sharded over the `expert` mesh axis when present (expert
+    # parallelism); the per-expert FF dim shards over `model` as in the
+    # dense rules, so EP and TP compose.
+    ex = "expert" if "expert" in axes else None
+    if ndim == 3 and name in _COL_SHARDED:
+        return P(ex, None, "model")
+    if ndim == 3 and name in _ROW_SHARDED:
+        return P(ex, "model", None)
+    if ndim == 2 and name == "b_up":
+        return P(ex, "model")
+    if ndim == 2 and name == "b_down":
+        return P(ex, None)
     if name in _COL_SHARDED and ndim == 2:
         return P(None, "model")
     if name in _ROW_SHARDED and ndim == 2:
         return P("model", None)
     if name in _COL_SHARDED_BIAS and ndim == 1:
         return P("model")
-    return P()
+    return P()  # router, embeddings, norms: replicated
+
+
+def _quant_scale_spec(name: str, data_ndim: int, axes=()) -> P:
+    ex = "expert" if "expert" in axes else None
+    if data_ndim == 3:  # expert stack: scales [E, N]
+        return P(ex, "model") if name in _COL_SHARDED else P(ex, None)
+    return P("model") if name in _COL_SHARDED else P()
 
 
 def param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings matching a TransformerLM parameter tree."""
+    axes = mesh.axis_names
+
     def walk(obj, name=""):
         if isinstance(obj, dict):
             return {k: walk(v, k) for k, v in obj.items()}
@@ -54,15 +76,16 @@ def param_shardings(params, mesh: Mesh):
             return [walk(v, name) for v in obj]
         if isinstance(obj, QuantWeight):
             if obj.kind == "int8":
+                ndim = np.ndim(obj.data)
                 return QuantWeight(
                     obj.kind,
-                    NamedSharding(mesh, _spec_for(name, 2)),
-                    NamedSharding(mesh, P("model")
-                                  if name in _COL_SHARDED else P()),
+                    NamedSharding(mesh, _spec_for(name, ndim, axes)),
+                    NamedSharding(mesh,
+                                  _quant_scale_spec(name, ndim, axes)),
                     obj.group, obj.n)
             return QuantWeight(obj.kind, replicated(mesh), replicated(mesh),
                                obj.group, obj.n)
-        return NamedSharding(mesh, _spec_for(name, np.ndim(obj)))
+        return NamedSharding(mesh, _spec_for(name, np.ndim(obj), axes))
     return walk(params)
 
 

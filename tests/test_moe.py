@@ -1,0 +1,203 @@
+"""Mixture-of-Experts (models/moe.py): routing convention, dense vs
+ragged grouped-GEMM parity, a per-token loop reference, HF Mixtral
+full-model parity, cached decode, quantized experts, and expert-parallel
+sharding on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rten_tpu.models.moe import (combine_matrix, moe_mlp, route_topk,
+                                 _moe_dense, _moe_ragged)
+from rten_tpu.models.transformer import (TransformerConfig, TransformerLM,
+                                         quantize_weights)
+
+rng = np.random.RandomState(7)
+
+
+def _moe_layer(d=16, f=24, e=4, act="swiglu", seed=0):
+    r = np.random.RandomState(seed)
+    layer = {
+        "router": jnp.asarray(r.randn(d, e).astype(np.float32)),
+        "w_up": jnp.asarray(r.randn(e, d, f).astype(np.float32) * 0.3),
+        "w_down": jnp.asarray(r.randn(e, f, d).astype(np.float32) * 0.3),
+    }
+    if act == "swiglu":
+        layer["w_gate"] = jnp.asarray(
+            r.randn(e, d, f).astype(np.float32) * 0.3)
+    else:
+        layer["b_up"] = jnp.asarray(r.randn(e, f).astype(np.float32) * 0.1)
+        layer["b_down"] = jnp.asarray(r.randn(e, d).astype(np.float32) * 0.1)
+    return layer
+
+
+def test_route_topk_matches_hf_convention():
+    torch = pytest.importorskip("torch")
+    logits = rng.randn(10, 6).astype(np.float32)
+    w, idx = route_topk(jnp.asarray(logits), 2)
+    tw = torch.softmax(torch.tensor(logits), dim=-1)
+    tw, tidx = torch.topk(tw, 2, dim=-1)
+    tw = tw / tw.sum(-1, keepdim=True)
+    np.testing.assert_array_equal(np.asarray(idx), tidx.numpy())
+    np.testing.assert_allclose(np.asarray(w), tw.numpy(), rtol=1e-6)
+
+
+@pytest.mark.parametrize("act", ["swiglu", "gelu"])
+def test_dense_vs_ragged_parity(act):
+    d, f, e, k, T = 16, 24, 4, 2, 33
+    layer = _moe_layer(d, f, e, act)
+    x2 = jnp.asarray(rng.randn(T, d).astype(np.float32))
+    logits = x2 @ layer["router"]
+    w, idx = route_topk(logits, k)
+    dense = _moe_dense(x2, combine_matrix(idx, w, e), layer, act,
+                       jnp.float32)
+    ragged = _moe_ragged(x2, w, idx, layer, act, e, jnp.float32)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ragged),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_moe_vs_loop_reference():
+    d, f, e, k, T = 8, 12, 4, 2, 9
+    layer = _moe_layer(d, f, e, "swiglu", seed=3)
+    x2 = rng.randn(T, d).astype(np.float32)
+    cfg = TransformerConfig.tiny_moe(d_model=d, d_ff=f, n_experts=e,
+                                     experts_per_token=k)
+    got = np.asarray(moe_mlp(jnp.asarray(x2), layer, cfg))
+
+    probs = np.asarray(jax.nn.softmax(
+        jnp.asarray(x2) @ layer["router"], axis=-1))
+    want = np.zeros_like(x2)
+    for t in range(T):
+        top = np.argsort(-probs[t])[:k]
+        w = probs[t][top] / probs[t][top].sum()
+        for we, eidx in zip(w, top):
+            g = x2[t] @ np.asarray(layer["w_gate"][eidx])
+            h = g / (1 + np.exp(-g)) * (
+                x2[t] @ np.asarray(layer["w_up"][eidx]))
+            want[t] += we * (h @ np.asarray(layer["w_down"][eidx]))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_prefill_decode_consistency():
+    """Cached prefill + decode steps match the uncached full forward."""
+    cfg = TransformerConfig.tiny_moe()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ids = rng.randint(0, cfg.vocab_size, (2, 12)).astype(np.int32)
+
+    full, _ = model.forward(params, jnp.asarray(ids))
+    cache = model.new_cache(2, capacity=32)
+    logits, cache = model.prefill(params, jnp.asarray(ids[:, :8]), cache)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(full[:, :8]), rtol=2e-3,
+                               atol=2e-3)
+    for s in range(8, 12):
+        step, cache = model.decode_step(params, jnp.asarray(ids[:, s]),
+                                        cache)
+        np.testing.assert_allclose(np.asarray(step),
+                                   np.asarray(full[:, s]), rtol=2e-3,
+                                   atol=2e-3)
+
+
+def test_mixtral_hf_parity():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import MixtralConfig, MixtralForCausalLM
+    from rten_tpu.models import hf_loader
+
+    hf_cfg = MixtralConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+    cfg = hf_loader.mixtral_config_from_hf(hf_cfg)
+    assert cfg.n_experts == 4 and cfg.experts_per_token == 2
+    params = hf_loader.load_mixtral(hf, cfg)
+    model = TransformerLM(cfg)
+
+    ids = rng.randint(0, 96, (2, 10))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    got, _ = model.forward(params, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-3)
+
+    # Ragged grouped-GEMM path gives the same full-model logits.
+    cfg_r = hf_loader.mixtral_config_from_hf(hf_cfg)
+    cfg_r = TransformerConfig(**{**cfg_r.__dict__, "moe_impl": "ragged"})
+    got_r, _ = TransformerLM(cfg_r).forward(params,
+                                            jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got_r), want, rtol=1e-3,
+                               atol=2e-3)
+
+
+def test_quantized_experts():
+    cfg = TransformerConfig.tiny_moe()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    ids = rng.randint(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    want, _ = model.forward(params, jnp.asarray(ids))
+    qparams = quantize_weights(params, kind="int8")
+    # Expert stacks quantized, router kept float.
+    from rten_tpu.models.transformer import QuantWeight
+    l0 = qparams["layers"][0]
+    assert isinstance(l0["w_up"], QuantWeight)
+    assert l0["w_up"].data.shape == (4, cfg.d_model, cfg.d_ff)
+    assert not isinstance(l0["router"], QuantWeight)
+    got, _ = model.forward(qparams, jnp.asarray(ids))
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 0.15, err  # int8 quantization error at tiny scale
+
+
+def test_expert_parallel_sharding():
+    """EP × TP: expert-stacked weights shard over (expert, model); the
+    jitted forward matches the single-device result."""
+    from rten_tpu.parallel import make_mesh, shard_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TransformerConfig.tiny_moe(moe_impl="dense", use_pallas=False)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(2))
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (4, 8)), jnp.int32)
+    want, _ = model.forward(params, ids)
+
+    mesh = make_mesh(data=2, expert=2, model=2)
+    assert mesh.axis_names == ("data", "expert", "model")
+    sharded = shard_params(params, mesh)
+    l0 = sharded["layers"][0]
+    assert l0["w_up"].sharding.spec == ("expert", None, "model")
+
+    @jax.jit
+    def fwd(p, t):
+        return model.forward(p, t)[0]
+
+    with mesh:
+        got = fwd(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_moe_serving_engine():
+    """The continuous-batching engine drives an MoE model end-to-end and
+    matches the sequential greedy reference."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig.tiny_moe()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,))
+    prompts = [[1, 2, 3], [4, 5, 6, 7]]
+    outs = eng.generate(prompts, max_new_tokens=5)
+    for prompt, out in zip(prompts, outs):
+        toks = list(prompt)
+        for _ in range(5):
+            logits, _ = model.forward(params,
+                                      jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        assert out == toks[len(prompt):]
