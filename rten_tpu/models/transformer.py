@@ -296,6 +296,12 @@ def _rope(x, positions, theta):
 class TransformerLM:
     def __init__(self, config: TransformerConfig):
         self.config = config
+        # Optional NamedSharding applied to hidden states ([B, S, D])
+        # after the embedding and after every layer — sequence/context
+        # parallelism for long prefill: shard S over a `seq` mesh axis
+        # and GSPMD inserts the K/V all-gathers attention needs while
+        # norms/MLPs stay local (parallel/sharding.py::sequence_parallel).
+        self.activation_sharding = None
 
     # -- parameters --------------------------------------------------------
 
@@ -507,6 +513,12 @@ class TransformerLM:
         if cfg.pos == "learned":
             x = x + jnp.take(params["pos_embed"], positions, axis=0)
         x = x.astype(jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+        if self.activation_sharding is not None and s > 1:
+            constrain = partial(jax.lax.with_sharding_constraint,
+                                shardings=self.activation_sharding)
+        else:
+            constrain = lambda v: v  # noqa: E731
+        x = constrain(x)
 
         if cfg.scan_layers:
             layers = params["layers"]
@@ -539,10 +551,10 @@ class TransformerLM:
                                 layer.get("ln1_bias"))
                 attn_out, cache = self._attention(layer, attn_in, positions,
                                                   cache, i, lengths, chunk)
-                x = x + attn_out
+                x = constrain(x + attn_out)
                 mlp_in = _norm(cfg, x, layer["ln2_scale"],
                                layer.get("ln2_bias"))
-                x = x + self._mlp(layer, mlp_in)
+                x = constrain(x + self._mlp(layer, mlp_in))
 
         x = _norm(cfg, x, params["ln_f_scale"], params.get("ln_f_bias"))
         if cache is not None:

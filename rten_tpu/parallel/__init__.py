@@ -10,10 +10,12 @@ the degenerate 1×1 mesh.
 
 from .mesh import make_mesh, mesh_shape
 from .sharding import (cache_shardings, param_shardings, shard_cache,
-                       shard_params, replicated)
+                       shard_params, replicated, sequence_parallel)
 from .distributed import (batch_sharding, batch_spec, initialize_multihost,
                           make_hybrid_mesh)
+from .pipeline import PipelinedLM, stacked_layer_shardings
 
 __all__ = ["make_mesh", "mesh_shape", "param_shardings", "cache_shardings",
            "shard_params", "shard_cache", "replicated", "make_hybrid_mesh",
-           "initialize_multihost", "batch_spec", "batch_sharding"]
+           "initialize_multihost", "batch_spec", "batch_sharding",
+           "PipelinedLM", "stacked_layer_shardings", "sequence_parallel"]

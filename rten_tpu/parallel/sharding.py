@@ -122,6 +122,20 @@ def cache_shardings(cache, mesh: Mesh):
                    cache.kv_heads, cache.head_dim)
 
 
+def sequence_parallel(model, mesh: Mesh):
+    """Enable sequence/context parallelism on a model: prefill hidden
+    states [B, S, D] shard S over the ``seq`` mesh axis (and B over
+    ``data``), so long-prompt activation memory and per-layer FLOPs
+    split across the axis; GSPMD inserts the K/V all-gathers that causal
+    attention needs. Decode (S=1) is untouched. Requires the pure-jnp
+    attention path (``use_pallas=False``) so GSPMD can partition it."""
+    if "seq" not in mesh.axis_names:
+        raise ValueError("mesh needs a 'seq' axis")
+    batch = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+    model.activation_sharding = NamedSharding(mesh, P(batch, "seq", None))
+    return model
+
+
 def shard_cache(cache, mesh: Mesh):
     shardings = cache_shardings(cache, mesh)
     import jax.tree_util as jtu
