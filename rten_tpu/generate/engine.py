@@ -278,6 +278,17 @@ class ServingEngine:
         if len(req.prompt_ids) >= self.capacity:
             raise ValueError(f"prompt length {len(req.prompt_ids)} exceeds "
                              f"cache capacity")
+        # The prompt (or its suffix after a prefix-cache hit) must fit a
+        # prefill bucket — admission would otherwise overflow the padded
+        # prefill program (and crash whichever thread runs _admit).
+        hit = self._match_prefix(req.prompt_ids) if self._prefixes else None
+        effective = (len(req.prompt_ids) - len(hit[0]) if hit
+                     else len(req.prompt_ids))
+        if effective > max(self.prefill_buckets):
+            raise ValueError(
+                f"prompt length {len(req.prompt_ids)} exceeds the largest "
+                f"prefill bucket ({max(self.prefill_buckets)}); raise "
+                f"prefill_buckets or register a covering prefix")
         req.request_id = self._next_id
         self._next_id += 1
         self.counters["submitted"] += 1

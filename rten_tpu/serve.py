@@ -136,10 +136,20 @@ class EngineDriver:
         while not self._stop.is_set():
             self._drain_submits()
             if self.engine._pending():
-                if self.burst > 1:
-                    self.engine.step_burst(self.burst)
-                else:
-                    self.engine.step()
+                try:
+                    if self.burst > 1:
+                        self.engine.step_burst(self.burst)
+                    else:
+                        self.engine.step()
+                except Exception as exc:  # noqa: BLE001
+                    # A stepping failure must not kill the driver thread
+                    # (handlers would block forever): fail the in-flight
+                    # requests, drop engine queue state, keep serving.
+                    for handle, _req, _n in self._live:
+                        handle.q.put(("error", f"engine error: {exc}"))
+                    self._live = []
+                    self.engine.queue.clear()
+                    continue
                 self._deliver()
             else:
                 self._wake.wait(timeout=0.25)
@@ -156,7 +166,8 @@ def _sse(wfile, payload):
 
 
 def make_handler(driver: EngineDriver, tokenizer=None,
-                 model_id: str = "rten-tpu", quiet: bool = True):
+                 model_id: str = "rten-tpu", quiet: bool = True,
+                 chat_template="plain"):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -185,8 +196,11 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path not in ("/v1/completions", "/completions",
-                                 "/v1/prefixes"):
+            chat = self.path in ("/v1/chat/completions",
+                                 "/chat/completions")
+            if not chat and self.path not in ("/v1/completions",
+                                              "/completions",
+                                              "/v1/prefixes"):
                 self._json(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -197,6 +211,18 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                 return
 
             prompt = body.get("prompt")
+            if chat:
+                if tokenizer is None:
+                    self._json(400, {"error": "chat completions need a "
+                                              "tokenizer"})
+                    return
+                from .generate.chat import render_chat
+                try:
+                    prompt = render_chat(body.get("messages"),
+                                         chat_template)
+                except ValueError as exc:
+                    self._json(400, {"error": str(exc)})
+                    return
             if self.path == "/v1/prefixes":
                 # Pin a shared prompt prefix (system prompt) in the KV
                 # prefix cache; later completions extending it skip its
@@ -244,6 +270,17 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                                    sampling)
             decoder = TextDecoder(tokenizer) if tokenizer else None
 
+            obj = "chat.completion.chunk" if chat else "completion.chunk"
+
+            def chunk(token_ids, text, finish=None):
+                if chat:
+                    c = {"delta": {"content": text} if text else {}}
+                else:
+                    c = {"token_ids": token_ids, "text": text}
+                if finish is not None:
+                    c["finish_reason"] = finish
+                return {"object": obj, "choices": [c]}
+
             if stream:
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -254,23 +291,13 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                     if kind == "tokens":
                         text = ("".join(decoder.push(t) for t in payload)
                                 if decoder else "")
-                        _sse(self.wfile, {"object": "completion.chunk",
-                                          "choices": [{
-                                              "token_ids": payload,
-                                              "text": text}]})
+                        _sse(self.wfile, chunk(payload, text))
                     elif kind == "done":
                         if decoder:
                             tail = decoder.flush()
                             if tail:
-                                _sse(self.wfile, {
-                                    "object": "completion.chunk",
-                                    "choices": [{"token_ids": [],
-                                                 "text": tail}]})
-                        _sse(self.wfile, {"object": "completion.chunk",
-                                          "choices": [{
-                                              "token_ids": [],
-                                              "text": "",
-                                              "finish_reason": payload}]})
+                                _sse(self.wfile, chunk([], tail))
+                        _sse(self.wfile, chunk([], "", finish=payload))
                         _sse(self.wfile, "[DONE]")
                     else:  # error
                         _sse(self.wfile, {"error": payload})
@@ -286,15 +313,18 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                     self._json(400, {"error": payload})
                     return
             req = handle.request
+            text = tokenizer.decode(tokens) if tokenizer else ""
+            if chat:
+                choice = {"index": 0,
+                          "message": {"role": "assistant", "content": text},
+                          "finish_reason": reason}
+            else:
+                choice = {"index": 0, "token_ids": tokens, "text": text,
+                          "finish_reason": reason}
             resp = {
-                "object": "text_completion",
+                "object": "chat.completion" if chat else "text_completion",
                 "model": model_id,
-                "choices": [{
-                    "index": 0,
-                    "token_ids": tokens,
-                    "text": tokenizer.decode(tokens) if tokenizer else "",
-                    "finish_reason": reason,
-                }],
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(prompt_ids),
                     "completion_tokens": len(tokens),
@@ -313,12 +343,14 @@ def make_handler(driver: EngineDriver, tokenizer=None,
 
 
 def serve(engine, tokenizer=None, host="127.0.0.1", port=8000,
-          burst: int = 8, model_id: str = "rten-tpu", quiet: bool = True):
+          burst: int = 8, model_id: str = "rten-tpu", quiet: bool = True,
+          chat_template="plain"):
     """Start the driver thread + a ThreadingHTTPServer (not yet serving;
     call ``serve_forever`` or use it from a test). Returns (server,
     driver)."""
     driver = EngineDriver(engine, burst=burst).start()
-    handler = make_handler(driver, tokenizer, model_id, quiet=quiet)
+    handler = make_handler(driver, tokenizer, model_id, quiet=quiet,
+                           chat_template=chat_template)
     server = ThreadingHTTPServer((host, port), handler)
     server.daemon_threads = True
     return server, driver
@@ -347,6 +379,9 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
                         help="speculative decoding: draft K tokens per "
                              "step by n-gram prompt lookup (greedy-only; "
                              "implies --fixed-greedy)")
+    parser.add_argument("--chat-template", default="plain",
+                        help="chat template for /v1/chat/completions: "
+                             "plain | zephyr | chatml")
     args = parser.parse_args(argv)
 
     import jax
@@ -380,7 +415,8 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
                            cache_dtype="bfloat16" if args.quantize else None,
                            spec_draft=args.spec_draft)
     server, driver = serve(engine, tok, args.host, args.port,
-                           burst=args.burst, quiet=False)
+                           burst=args.burst, quiet=False,
+                           chat_template=args.chat_template)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(batch {args.max_batch}, burst {args.burst})")
     try:

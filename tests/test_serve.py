@@ -184,3 +184,109 @@ def test_prefix_registration_endpoint(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         _post(server, "/v1/prefixes", {"prompt": []})
     assert err.value.code == 400
+
+
+# -- chat completions --------------------------------------------------------
+
+class _CharTok:
+    """Char-level stub tokenizer (vocab 128 = tiny_test's vocab)."""
+
+    def encode(self, text, add_special=False):
+        return [min(ord(c), 127) for c in text]
+
+    def decode(self, ids):
+        return "".join(chr(i) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def chat_server():
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    from rten_tpu.serve import serve
+
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    engine = ServingEngine(model, params, max_batch=2, capacity=64,
+                           prefill_buckets=(32,))
+    srv, driver = serve(engine, tokenizer=_CharTok(), port=0, burst=1,
+                        chat_template="plain")
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base
+    srv.shutdown()
+    driver.stop()
+    srv.server_close()
+
+
+def test_chat_completion_basic(chat_server):
+    with _post(chat_server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4}) as resp:
+        data = json.load(resp)
+    assert data["object"] == "chat.completion"
+    msg = data["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert isinstance(msg["content"], str) and len(msg["content"]) == 4
+    assert data["usage"]["completion_tokens"] == 4
+
+
+def test_chat_streaming_matches_non_streaming(chat_server):
+    body = {"messages": [{"role": "user", "content": "abc"}],
+            "max_tokens": 5}
+    with _post(chat_server, "/v1/chat/completions", body) as resp:
+        want = json.load(resp)["choices"][0]["message"]["content"]
+    text, finish = "", None
+    with _post(chat_server, "/v1/chat/completions",
+               {**body, "stream": True}) as resp:
+        for line in resp:
+            line = line.decode().strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            evt = json.loads(line[len("data: "):])
+            choice = evt["choices"][0]
+            text += choice.get("delta", {}).get("content", "")
+            finish = choice.get("finish_reason", finish)
+    assert text == want
+    assert finish == "length"
+
+
+def test_chat_bad_messages(chat_server):
+    for bad in ({}, {"messages": []},
+                {"messages": [{"role": "alien", "content": "x"}]},
+                {"messages": [{"content": "x"}]}):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(chat_server, "/v1/chat/completions", bad)
+        assert exc.value.code == 400
+
+
+def test_chat_templates_render():
+    from rten_tpu.generate.chat import render_chat
+
+    msgs = [{"role": "system", "content": "S"},
+            {"role": "user", "content": "U"}]
+    assert render_chat(msgs, "plain") == "system: S\nuser: U\nassistant: "
+    assert render_chat(msgs, "zephyr") == (
+        "<|system|>\nS</s>\n<|user|>\nU</s>\n<|assistant|>\n")
+    assert render_chat(msgs, "chatml") == (
+        "<|im_start|>system\nS<|im_end|>\n"
+        "<|im_start|>user\nU<|im_end|>\n<|im_start|>assistant\n")
+    assert render_chat(msgs, lambda m: "X") == "X"
+    with pytest.raises(ValueError):
+        render_chat(msgs, "nope")
+
+
+def test_prompt_exceeding_bucket_is_rejected_not_hung(chat_server):
+    """A prompt longer than the largest prefill bucket must 400 (it used
+    to crash the driver thread and hang the connection)."""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(chat_server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "x" * 64}],
+            "max_tokens": 2}, timeout=60)
+    assert exc.value.code == 400
+    # The server is still alive and serving.
+    with _post(chat_server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "ok"}],
+            "max_tokens": 2}, timeout=120) as resp:
+        assert json.load(resp)["choices"][0]["finish_reason"] == "length"
