@@ -106,7 +106,13 @@ def cache_shardings(cache, mesh: Mesh):
     # produce it).
     batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
                   else ("data",))
-    kv = NamedSharding(mesh, P(batch_axes, None, None, "model"))
+    # A `seq` mesh axis shards the cache CAPACITY dim — long-context
+    # decode where one sequence's KV exceeds a chip's HBM: attention
+    # contracts over cap, so GSPMD partitions the QK^T/PV dots across
+    # the axis and inserts the online-softmax-equivalent collectives
+    # (requires the jnp attention path, use_pallas=False).
+    seq_ax = "seq" if "seq" in mesh.axis_names else None
+    kv = NamedSharding(mesh, P(batch_axes, seq_ax, None, "model"))
     lengths = NamedSharding(mesh, P(batch_axes))
     from ..generate.kv_cache import KVCache
     scales = None

@@ -78,3 +78,37 @@ def test_sp_requires_seq_axis():
     with pytest.raises(ValueError):
         sequence_parallel(TransformerLM(TransformerConfig.tiny_test()),
                           mesh)
+
+
+def test_kv_sharded_long_context_decode():
+    """`seq` axis shards the cache capacity dim: decode attention
+    contracts over a distributed KV cache (long-context mode) and still
+    matches the single-device model."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TransformerConfig.tiny_test(use_pallas=False)
+    base = TransformerLM(cfg)
+    params = base.init_params(jax.random.PRNGKey(2))
+    ids = np.asarray(rng.randint(0, 128, (2, 20)), np.int32)
+
+    ref_cache = base.new_cache(2, capacity=64)
+    _, ref_cache = base.prefill(params, jnp.asarray(ids[:, :16]), ref_cache)
+
+    mesh = make_mesh(data=1, seq=4, model=2)
+    model = TransformerLM(cfg)
+    sharded = shard_params(params, mesh)
+    cache = shard_cache(model.new_cache(2, capacity=64), mesh)
+    # Capacity dim (64) sharded 4-way over `seq`.
+    assert cache.kv[0].sharding.spec[1] == "seq"
+
+    with mesh:
+        _, cache = jax.jit(model.prefill)(sharded,
+                                          jnp.asarray(ids[:, :16]), cache)
+        step = jax.jit(model.decode_step)
+        for s in range(16, 20):
+            tok = jnp.asarray(ids[:, s])
+            ref_step, ref_cache = base.decode_step(params, tok, ref_cache)
+            got, cache = step(sharded, tok, cache)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(ref_step), rtol=2e-3,
+                                       atol=2e-3)
