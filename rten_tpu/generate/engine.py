@@ -53,6 +53,8 @@ class Request:
     # filled by the engine:
     request_id: int = -1
     tokens: list = field(default_factory=list)
+    logprobs: list = field(default_factory=list)  # per sampled token,
+    # filled when the engine runs with logprobs=True
     done: bool = False
     metrics: Metrics = field(default_factory=Metrics)
 
@@ -63,7 +65,7 @@ class ServingEngine:
                  prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
                  mesh=None, paged=False, page_size=64, pool_pages=None,
                  cache_dtype=None, fused_head=None, log_stats_every=None,
-                 spec_draft=0, spec_ngram=3):
+                 spec_draft=0, spec_ngram=3, logprobs=False):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -96,6 +98,11 @@ class ServingEngine:
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= capacity) or (capacity,)
         self._key = jax.random.PRNGKey(seed)
+        # logprobs=True: every decode step also emits the sampled
+        # token's log-probability (one logsumexp over logits the step
+        # already materialized). Disables the fused argmax head, which
+        # never forms logits.
+        self.logprobs = bool(logprobs)
 
         if paged:
             assert mesh is None and not quantized_cache, \
@@ -181,19 +188,31 @@ class ServingEngine:
         self._fused_head = (fused_head if fused_head is not None else
                             (greedy and mesh is None
                              and hasattr(model, "decode_step_argmax")))
+        if self.logprobs:
+            self._fused_head = False
 
         def decode_one(params, tokens, cache, key, samp):
+            zeros = jnp.zeros(tokens.shape[0], jnp.float32)
             if self._fused_head:
-                return model.decode_step_argmax(params, tokens, cache)
+                nxt, cache = model.decode_step_argmax(params, tokens,
+                                                      cache)
+                return nxt, zeros, cache
             logits, cache = model.decode_step(params, tokens, cache)
             if self._per_request:
-                return self.sampler.sample(key, logits, *samp), cache
-            return self.sampler.sample(key, logits), cache
+                nxt = self.sampler.sample(key, logits, *samp)
+            else:
+                nxt = self.sampler.sample(key, logits)
+            if self.logprobs:
+                lp = (logits[jnp.arange(logits.shape[0]), nxt]
+                      - jax.nn.logsumexp(logits, axis=-1))
+            else:
+                lp = zeros
+            return nxt, lp, cache
 
         def decode_fn(params, tokens, cache, key, samp):
-            next_tokens, cache = decode_one(params, tokens, cache, key,
-                                            samp)
-            return next_tokens, cache
+            next_tokens, lp, cache = decode_one(params, tokens, cache,
+                                                key, samp)
+            return next_tokens, lp, cache
 
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
 
@@ -203,12 +222,13 @@ class ServingEngine:
             def body(carry, _):
                 tokens, cache, key = carry
                 key, sub = jax.random.split(key)
-                nxt, cache = decode_one(params, tokens, cache, sub, samp)
-                return (nxt, cache, key), nxt
+                nxt, lp, cache = decode_one(params, tokens, cache, sub,
+                                            samp)
+                return (nxt, cache, key), (nxt, lp)
 
-            (tokens, cache, _), toks = jax.lax.scan(
+            (tokens, cache, _), (toks, lps) = jax.lax.scan(
                 body, (tokens, cache, key), None, length=n)
-            return toks, cache
+            return toks, lps, cache
 
         self._decode_burst = jax.jit(burst_fn, donate_argnums=(2,),
                                      static_argnums=(5,))
@@ -246,6 +266,8 @@ class ServingEngine:
                 "speculative mode is single-mesh, unpaged for now"
             assert isinstance(self.sampler, ArgMaxSampler), \
                 "speculative decoding is greedy-only"
+            assert not self.logprobs, \
+                "speculative decoding does not emit logprobs"
             # Variable tokens-per-step doesn't fit the native scheduler's
             # rectangular commit_burst; spec mode keeps the Python queue.
             self._sched = None
@@ -391,11 +413,19 @@ class ServingEngine:
                                        sp.top_p)
         else:
             firsts = np.asarray(self.sampler.sample(sub, last_logits))
+        first_lps = None
+        if self.logprobs:
+            fl = jnp.asarray(np.asarray(firsts).reshape(-1))
+            first_lps = np.asarray(
+                jax.nn.log_softmax(last_logits, axis=-1)[
+                    jnp.arange(fl.shape[0]), fl])
         for gi, (req, slot) in enumerate(group_pairs):
             first = int(np.asarray(firsts).reshape(-1)[gi])
             self.cache = self._insert(self.cache, prefilled, slot,
                                       int(lengths[gi]), first, gi)
             req.tokens.append(first)
+            if first_lps is not None:
+                req.logprobs.append(float(first_lps[gi]))
             req.metrics.step()
             self.current_tokens[slot] = first
             self._host_lengths[slot] = int(lengths[gi])
@@ -469,7 +499,8 @@ class ServingEngine:
             req.done = True
             self._free_slot(slot)
 
-    def _commit_tokens(self, toks_np, lengths_np, snapshot) -> int:
+    def _commit_tokens(self, toks_np, lengths_np, snapshot,
+                       lps_np=None) -> int:
         """Deliver a [n, B] burst of sampled tokens to the requests that
         were active AT DISPATCH TIME (``snapshot``: (slot, Request)
         pairs), honoring stop conditions. Under pipelined serving a slot
@@ -489,6 +520,9 @@ class ServingEngine:
                 if self.slot_request[slot] is not req or n_acc == 0:
                     continue
                 req.tokens.extend(int(t) for t in toks_np[:n_acc, slot])
+                if lps_np is not None:
+                    req.logprobs.extend(
+                        float(v) for v in lps_np[:n_acc, slot])
                 req.metrics.step_n(n_acc)
                 emitted += n_acc
                 self.current_tokens[slot] = req.tokens[-1]
@@ -503,6 +537,8 @@ class ServingEngine:
             for i in range(n):
                 token = int(toks_np[i, slot])
                 req.tokens.append(token)
+                if lps_np is not None:
+                    req.logprobs.append(float(lps_np[i, slot]))
                 req.metrics.step()
                 emitted += 1
                 self.current_tokens[slot] = token
@@ -526,15 +562,16 @@ class ServingEngine:
                 self.cache = self.allocator.ensure_capacity(
                     self.cache, slot, 2, length=int(lengths_np[slot]))
         self._key, sub = jax.random.split(self._key)
-        next_tokens, self.cache = self._decode(
+        next_tokens, lps, self.cache = self._decode(
             self.params, jnp.asarray(self.current_tokens), self.cache, sub,
             self._samp_args())
         self._host_lengths += 1
         self._device_tokens = None
         next_np = np.asarray(next_tokens)
+        lps_np = np.asarray(lps)[None, :] if self.logprobs else None
         emitted = self._commit_tokens(
             next_np[None, :], lengths_np,
-            [(s, self.slot_request[s]) for s in active])
+            [(s, self.slot_request[s]) for s in active], lps_np)
         self._count(emitted, 1)
         return len(active)
 
@@ -557,20 +594,22 @@ class ServingEngine:
         if self._device_tokens is None:
             self._device_tokens = jnp.asarray(self.current_tokens)
         self._key, sub = jax.random.split(self._key)
-        toks, self.cache = self._decode_burst(
+        toks, lps, self.cache = self._decode_burst(
             self.params, self._device_tokens, self.cache, sub,
             self._samp_args(), n)
         self._device_tokens = toks[-1]
         self._host_lengths += n     # the device advances every slot
         snapshot = [(s, self.slot_request[s]) for s in active]
-        return (toks, snapshot, lengths_np, n)
+        return (toks, lps, snapshot, lengths_np, n)
 
     def _land_burst(self, inflight) -> int:
         """Wait for an in-flight burst's tokens (the only host sync) and
         run the bookkeeping against the dispatch-time snapshot."""
-        toks, snapshot, lengths_np, n = inflight
+        toks, lps, snapshot, lengths_np, n = inflight
         toks_np = np.asarray(toks)          # [n, B]
-        emitted = self._commit_tokens(toks_np, lengths_np, snapshot)
+        lps_np = np.asarray(lps) if self.logprobs else None
+        emitted = self._commit_tokens(toks_np, lengths_np, snapshot,
+                                      lps_np)
         self._count(emitted, n)
         return emitted
 

@@ -432,6 +432,122 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
 
+def _decode_stream_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
+                          block_k, h, hd_tot):
+    """One program per SEQUENCE; cache blocks stream through a
+    double-buffered manual DMA loop whose trip count is the sequence's
+    LIVE block count. Replaces the (batch × n_blocks) grid of
+    ``flash_decode_fused``, whose fixed per-grid-step cost dominated at
+    large batch (measured ~1 us/step on v5e — 256 steps/layer at batch
+    64 vs 64 programs here)."""
+    b = pl.program_id(0)
+    length = len_ref[b]
+    n_blocks = pl.cdiv(length, block_k)
+
+    def body(buf, sem, m_ref, l_ref, acc_ref):
+        def get_dma(slot, blk):
+            return pltpu.make_async_copy(
+                kv_hbm.at[b, pl.ds(blk * block_k, block_k)],
+                buf.at[slot], sem.at[slot])
+
+        get_dma(0, 0).start()
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0]                               # [H, KVH*D] block-diag
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                get_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+            get_dma(slot, i).wait()
+            kblk = buf[slot, :, 0, :]              # [block_k, KVH*D]
+            vblk = buf[slot, :, 1, :]
+            s = jax.lax.dot_general(
+                q, kblk.astype(q.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            k_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (h, block_k), 1)
+            s = jnp.where(k_pos < length, s, _NEG_INF)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                p, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((2, block_k, 2, hd_tot), kv_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+        m_ref=pltpu.VMEM((h, 1), jnp.float32),
+        l_ref=pltpu.VMEM((h, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((h, hd_tot), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kv_heads", "scale", "block_k"))
+def flash_decode_stream(q, kv, lengths, kv_heads, scale=None, block_k=256):
+    """Single-step decode attention, one program per sequence with an
+    in-kernel double-buffered DMA loop over live cache blocks (float
+    caches only; the quantized cache keeps ``flash_decode_fused``).
+
+    Same math/contract as :func:`flash_decode_fused`: q [B, H, D],
+    kv [B, cap, 2, KVH*D] token-major fused cache, lengths [B]."""
+    b, h, d = q.shape
+    hd_tot = kv_heads * d
+    _, s_max, planes, lanes = kv.shape
+    assert planes == 2 and lanes == hd_tot
+    assert h % kv_heads == 0
+    q_per_kv = h // kv_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_k = min(block_k, s_max)
+    if s_max % block_k:
+        return flash_decode_fused(q, kv, lengths, kv_heads, scale=scale)
+
+    onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
+    q_full = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
+              ).reshape(b, h, hd_tot)
+
+    out_full = pl.pallas_call(
+        functools.partial(_decode_stream_kernel, scale=scale,
+                          block_k=block_k, h=h, hd_tot=hd_tot),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # lengths
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, hd_tot), lambda bb, lens: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),      # kv stays in HBM
+            ],
+            out_specs=pl.BlockSpec((1, h, hd_tot),
+                                   lambda bb, lens: (bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, hd_tot), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_max * hd_tot,
+            bytes_accessed=kv.size * kv.dtype.itemsize + 8 * b * h * hd_tot,
+            transcendentals=b * h * s_max),
+        interpret=_interpret(),
+    )(jnp.asarray(lengths, jnp.int32), q_full, kv)
+    out4 = out_full.reshape(b, h, kv_heads, d)
+    return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
+
+
 def _chunk_reference(q, kv, lengths, kv_heads, scale):
     """jnp chunked-verify attention (fallback + test oracle): q
     [B, S, H, D] at absolute positions lengths..lengths+S-1 over the

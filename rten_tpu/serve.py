@@ -321,6 +321,10 @@ def make_handler(driver: EngineDriver, tokenizer=None,
             else:
                 choice = {"index": 0, "token_ids": tokens, "text": text,
                           "finish_reason": reason}
+            if body.get("logprobs") and req is not None and req.logprobs:
+                choice["logprobs"] = {
+                    "token_logprobs": [round(v, 6) for v in req.logprobs],
+                    "tokens": list(tokens)}
             resp = {
                 "object": "chat.completion" if chat else "text_completion",
                 "model": model_id,
@@ -379,6 +383,10 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
                         help="speculative decoding: draft K tokens per "
                              "step by n-gram prompt lookup (greedy-only; "
                              "implies --fixed-greedy)")
+    parser.add_argument("--logprobs", action="store_true",
+                        help="emit per-token logprobs (adds a logsumexp "
+                             "to each decode step; disables the fused "
+                             "argmax head)")
     parser.add_argument("--chat-template", default="plain",
                         help="chat template for /v1/chat/completions: "
                              "plain | zephyr | chatml")
@@ -413,7 +421,8 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
     engine = ServingEngine(model, params, max_batch=args.max_batch,
                            capacity=args.capacity, sampler=sampler,
                            cache_dtype="bfloat16" if args.quantize else None,
-                           spec_draft=args.spec_draft)
+                           spec_draft=args.spec_draft,
+                           logprobs=args.logprobs)
     server, driver = serve(engine, tok, args.host, args.port,
                            burst=args.burst, quiet=False,
                            chat_template=args.chat_template)

@@ -198,3 +198,39 @@ def test_flash_verify_fused_quantized_cache():
     want = _chunk_reference(q, kvf, lengths, KVH, 1.0 / np.sqrt(D))
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kvh,h", [(4, 4), (2, 8)])
+def test_flash_decode_stream_matches_reference(kvh, h):
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_stream)
+    b, d, cap = 3, 16, 256
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, h, d).astype(np.float32))
+    kv = jnp.asarray(rng.randn(b, cap, 2, kvh * d).astype(np.float32))
+    lengths = jnp.asarray([5, 128, 250], jnp.int32)
+
+    got = flash_decode_stream(q, kv, lengths, kvh, block_k=128)
+
+    k = kv[:, :, 0].reshape(b, cap, kvh, d).transpose(0, 2, 1, 3)
+    v = kv[:, :, 1].reshape(b, cap, kvh, d).transpose(0, 2, 1, 3)
+    k = jnp.repeat(k, h // kvh, axis=1)
+    v = jnp.repeat(v, h // kvh, axis=1)
+    want = _attn_reference(q[:, :, None, :], k, v, False,
+                           1.0 / np.sqrt(d), lengths)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_decode_stream_bf16_cache():
+    from rten_tpu.kernels.attention import (flash_decode_fused,
+                                            flash_decode_stream)
+    b, h, kvh, d, cap = 2, 8, 2, 32, 128
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, h, d).astype(np.float32))
+    kv = jnp.asarray(rng.randn(b, cap, 2, kvh * d)).astype(jnp.bfloat16)
+    lengths = jnp.asarray([17, 90], jnp.int32)
+    got = flash_decode_stream(q, kv, lengths, kvh, block_k=64)
+    want = flash_decode_fused(q, kv, lengths, kvh, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-3, atol=3e-3)

@@ -425,3 +425,31 @@ def test_prefix_cache_with_sampling_params(model_and_params):
     r1 = eng.submit(system + [9], max_new_tokens=5)
     eng.run()
     assert r1.tokens == r0.tokens
+
+
+def test_engine_logprobs(model_and_params):
+    """logprobs=True: each emitted token carries its log-probability,
+    matching a manual forward's log_softmax at the sampled id."""
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,), logprobs=True)
+    prompt = [3, 1, 4, 1, 5]
+    req = eng.submit(prompt, max_new_tokens=4)
+    eng.run(burst=2)
+    assert len(req.logprobs) == len(req.tokens) == 4
+
+    toks = list(prompt)
+    for tok, lp in zip(req.tokens, req.logprobs):
+        logits, _ = model.forward(params, jnp.asarray([toks], jnp.int32))
+        want = jax.nn.log_softmax(logits[0, -1])[tok]
+        assert abs(lp - float(want)) < 2e-3, (lp, float(want))
+        toks.append(tok)
+
+
+def test_engine_logprobs_off_by_default(model_and_params):
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,))
+    req = eng.submit([1, 2], max_new_tokens=3)
+    eng.run(burst=2)
+    assert req.logprobs == []

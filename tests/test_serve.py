@@ -290,3 +290,35 @@ def test_prompt_exceeding_bucket_is_rejected_not_hung(chat_server):
             "messages": [{"role": "user", "content": "ok"}],
             "max_tokens": 2}, timeout=120) as resp:
         assert json.load(resp)["choices"][0]["finish_reason"] == "length"
+
+
+def test_logprobs_in_response():
+    """Engine logprobs surface through the completions API."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    from rten_tpu.serve import serve
+
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    engine = ServingEngine(model, model.init_params(jax.random.PRNGKey(2)),
+                           max_batch=2, capacity=64, prefill_buckets=(16,),
+                           logprobs=True)
+    srv, driver = serve(engine, port=0, burst=1)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with _post(base, "/v1/completions",
+                   {"prompt": [1, 2, 3], "max_tokens": 4,
+                    "logprobs": True}) as resp:
+            choice = json.load(resp)["choices"][0]
+        lps = choice["logprobs"]["token_logprobs"]
+        assert len(lps) == 4 and all(v <= 0.0 for v in lps)
+        # Without the flag the field is absent.
+        with _post(base, "/v1/completions",
+                   {"prompt": [1, 2, 3], "max_tokens": 2}) as resp:
+            assert "logprobs" not in json.load(resp)["choices"][0]
+    finally:
+        srv.shutdown()
+        driver.stop()
+        srv.server_close()
