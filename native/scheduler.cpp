@@ -143,6 +143,28 @@ int32_t sched_commit_burst(void* sp, const int32_t* tokens, int32_t steps,
   return total;
 }
 
+// Cancel a request wherever it sits: dequeue it if still waiting, free
+// its slot if active. Returns 1 if state changed.
+int32_t sched_cancel(void* sp, int64_t handle) {
+  auto* s = static_cast<Scheduler*>(sp);
+  Request* r = s->by_handle(handle);
+  if (!r || r->done) return 0;
+  r->done = true;
+  for (int32_t slot = 0; slot < s->max_batch; slot++) {
+    if (s->slot_request[slot] == handle) {
+      s->slot_request[slot] = -1;
+      return 1;
+    }
+  }
+  for (auto it = s->queue.begin(); it != s->queue.end(); ++it) {
+    if (*it == handle) {
+      s->queue.erase(it);
+      break;
+    }
+  }
+  return 1;
+}
+
 int32_t sched_active(void* sp) {
   auto* s = static_cast<Scheduler*>(sp);
   int32_t n = 0;

@@ -145,7 +145,8 @@ class ServingEngine:
         # ``log_stats_every=N`` emits one JSON line to stderr every N
         # bursts/steps.
         self.counters = {"submitted": 0, "completed": 0, "tokens": 0,
-                         "bursts": 0, "decode_steps": 0, "prefix_hits": 0}
+                         "bursts": 0, "decode_steps": 0, "prefix_hits": 0,
+                         "cancelled": 0}
         self._t_start = time.perf_counter()
         self._log_every = log_stats_every
 
@@ -476,6 +477,27 @@ class ServingEngine:
                     and tuple(prompt[:len(toks)]) == toks:
                 return toks, frag
         return None
+
+    def cancel(self, req) -> bool:
+        """Abort a request: drop it from the queue if waiting, free its
+        slot if decoding (the slot is re-admitted next step; its stale
+        burst column is rejected by the snapshot identity check)."""
+        if req.done:
+            return False
+        req.done = True
+        self.counters["cancelled"] += 1
+        if self._sched is not None and getattr(req, "_native_handle", None) is not None:
+            self._sched.cancel(req._native_handle)
+        elif req in self.queue:
+            self.queue.remove(req)
+        for slot, r in enumerate(self.slot_request):
+            if r is req:
+                self.slot_request[slot] = None
+                if self.paged:
+                    self.cache = self.allocator.release_slot(self.cache,
+                                                             slot)
+                break
+        return True
 
     def _free_slot(self, slot):
         """Mark a finished request's slot reusable (and return its KV

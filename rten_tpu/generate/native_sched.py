@@ -49,6 +49,9 @@ def _load():
     lib.sched_active.argtypes = [ctypes.c_void_p]
     lib.sched_queued.restype = ctypes.c_int32
     lib.sched_queued.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "sched_cancel"):   # older .so builds lack it
+        lib.sched_cancel.restype = ctypes.c_int32
+        lib.sched_cancel.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -117,6 +120,14 @@ class NativeScheduler:
 
     def active(self) -> int:
         return int(self._lib.sched_active(self._handle))
+
+    def cancel(self, handle: int) -> bool:
+        """Dequeue or free-slot a request; returns True if state
+        changed (False also when the .so predates sched_cancel)."""
+        if not hasattr(self._lib, "sched_cancel"):
+            return False
+        return bool(self._lib.sched_cancel(self._handle,
+                                           ctypes.c_int64(handle)))
 
     def queued(self) -> int:
         return int(self._lib.sched_queued(self._handle))

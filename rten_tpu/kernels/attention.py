@@ -548,6 +548,169 @@ def flash_decode_stream(q, kv, lengths, kv_heads, scale=None, block_k=256):
     return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
 
+def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
+                           block_k, h, hd_tot, group):
+    """G sequences per program. v5e measurement: one-sequence programs
+    spend ~1.4 us/block in the DEPENDENT op chain (dot → max → exp →
+    dot with MXU/VPU issue latencies), leaving HBM at ~1/3 utilization.
+    Stacking G sequences into one set of ops amortizes that chain G×:
+    q is block-diagonal at BOTH levels ([G·H, G·F]: head bands inside
+    sequence bands), each sequence's cache block DMAs into its own
+    column band of a shared [block_k, 2, G·F] buffer, and the same
+    single dot/softmax/dot sequence serves the whole group (cross-
+    sequence products hit zero q rows / are discarded with the off-
+    diagonal bands)."""
+    p = pl.program_id(0)
+    gf = group * hd_tot
+
+    def body(buf, sem, m_ref, l_ref, acc_ref):
+        lens = [len_ref[p * group + g] for g in range(group)]
+        max_len = lens[0]
+        for g in range(1, group):
+            max_len = jnp.maximum(max_len, lens[g])
+        n_blocks = pl.cdiv(max_len, block_k)
+
+        # Every member DMAs every group block (no per-member skip): a
+        # skipped DMA leaves its buffer band stale/uninitialized, and
+        # 0·NaN in the shared dot would poison OTHER sequences' rows.
+        # Past-length rows are real (zero-initialized) cache memory and
+        # are masked out of the softmax below.
+        def dma(slot, blk, g):
+            return pltpu.make_async_copy(
+                kv_hbm.at[p * group + g, pl.ds(blk * block_k, block_k)],
+                buf.at[slot, :, :, pl.ds(g * hd_tot, hd_tot)],
+                sem.at[slot, g])
+
+        def start(slot, blk):
+            for g in range(group):
+                dma(slot, blk, g).start()
+
+        def wait(slot, blk):
+            for g in range(group):
+                dma(slot, blk, g).wait()
+
+        start(0, 0)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0]                       # [G*H, G*F] doubly block-diag
+        rows = q.shape[0]
+        # Per-row length limit: row r belongs to sequence r // h.
+        g_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k),
+                                            0) // h
+        limit = jnp.zeros((rows, block_k), jnp.int32)
+        for g in range(group):
+            limit = jnp.where(g_of_row == g, lens[g], limit)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start(jax.lax.rem(i + 1, 2), i + 1)
+
+            wait(slot, i)
+            kblk = buf[slot, :, 0, :]              # [block_k, G*F]
+            vblk = buf[slot, :, 1, :]
+            s = jax.lax.dot_general(
+                q, kblk.astype(q.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            k_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, block_k), 1)
+            s = jnp.where(k_pos < limit, s, _NEG_INF)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pmat = jnp.exp(s - m_new)
+            l_ref[:] = (l_ref[:] * alpha
+                        + jnp.sum(pmat, axis=1, keepdims=True))
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                pmat, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((2, block_k, 2, gf), kv_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, group)),
+        m_ref=pltpu.VMEM((group * h, 1), jnp.float32),
+        l_ref=pltpu.VMEM((group * h, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((group * h, gf), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kv_heads", "scale", "block_k",
+                                    "group"))
+def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
+                         block_k=128, group=4):
+    """Decode attention with G sequences per program (float caches).
+    Same contract as :func:`flash_decode_fused`; ``group`` must divide
+    the batch. Traffic note: a group reads up to its LONGEST member's
+    blocks for every member whose own length reaches them — sequences
+    are still skipped per-block past their own length."""
+    b, h, d = q.shape
+    hd_tot = kv_heads * d
+    _, s_max, planes, lanes = kv.shape
+    assert planes == 2 and lanes == hd_tot
+    assert h % kv_heads == 0
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_k = min(block_k, s_max)
+    if b % group or s_max % block_k:
+        return flash_decode_fused(q, kv, lengths, kv_heads, scale=scale)
+    q_per_kv = h // kv_heads
+    nprog = b // group
+
+    onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
+    q_head = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
+              ).reshape(b, h, hd_tot)
+    # Group-level block diagonal: [nprog, G*H, G*F].
+    eye_g = jnp.eye(group, dtype=q.dtype)
+    q_big = jnp.einsum("pgif,gG->pgiGf",
+                       q_head.reshape(nprog, group, h, hd_tot),
+                       eye_g).reshape(nprog, group * h, group * hd_tot)
+
+    out_full = pl.pallas_call(
+        functools.partial(_decode_grouped_kernel, scale=scale,
+                          block_k=block_k, h=h, hd_tot=hd_tot,
+                          group=group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # lengths
+            grid=(nprog,),
+            in_specs=[
+                pl.BlockSpec((1, group * h, group * hd_tot),
+                             lambda pp, lens: (pp, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # kv stays in HBM
+            ],
+            out_specs=pl.BlockSpec((1, group * h, group * hd_tot),
+                                   lambda pp, lens: (pp, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nprog, group * h, group * hd_tot), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * group * h * s_max * hd_tot,
+            bytes_accessed=kv.size * kv.dtype.itemsize,
+            transcendentals=b * h * s_max),
+        interpret=_interpret(),
+    )(jnp.asarray(lengths, jnp.int32), q_big, kv)
+    # Double diagonal extraction: group band, then head band.
+    out6 = out_full.reshape(nprog, group, h, group, kv_heads, d)
+    gdiag = out6.diagonal(axis1=1, axis2=3)        # [nprog, h, kvh, d, G]
+    gdiag = gdiag.transpose(0, 4, 1, 2, 3)         # [nprog, G, h, kvh, d]
+    out = jnp.einsum("pgikd,ik->pgid", gdiag,
+                     onehot.astype(out_full.dtype))
+    return out.reshape(b, h, d)
+
+
 def _chunk_reference(q, kv, lengths, kv_heads, scale):
     """jnp chunked-verify attention (fallback + test oracle): q
     [B, S, H, D] at absolute positions lengths..lengths+S-1 over the

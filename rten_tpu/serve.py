@@ -79,6 +79,13 @@ class EngineDriver:
         self._wake.set()
         return handle
 
+    def cancel(self, handle: StreamHandle):
+        """Thread-safe cancellation (e.g. the client disconnected
+        mid-stream): the driver thread aborts the engine request and
+        stops delivering to this handle."""
+        self._submit_q.put(("cancel", handle))
+        self._wake.set()
+
     def register_prefix(self, prompt_ids, timeout: float = 600.0):
         """Thread-safe prefix-cache registration (blocks until the
         driver thread has prefilled and pinned the fragment)."""
@@ -98,6 +105,12 @@ class EngineDriver:
                 entry = self._submit_q.get_nowait()
             except queue.Empty:
                 return
+            if entry[0] == "cancel":
+                _, handle = entry
+                if handle.request is not None:
+                    self.engine.cancel(handle.request)
+                self._live = [e for e in self._live if e[0] is not handle]
+                continue
             if entry[0] == "prefix":
                 _, reply, ids = entry
                 try:
@@ -287,20 +300,26 @@ def make_handler(driver: EngineDriver, tokenizer=None,
                 self.send_header("Cache-Control", "no-cache")
                 self.send_header("Connection", "close")
                 self.end_headers()
-                for kind, payload in handle.events():
-                    if kind == "tokens":
-                        text = ("".join(decoder.push(t) for t in payload)
-                                if decoder else "")
-                        _sse(self.wfile, chunk(payload, text))
-                    elif kind == "done":
-                        if decoder:
-                            tail = decoder.flush()
-                            if tail:
-                                _sse(self.wfile, chunk([], tail))
-                        _sse(self.wfile, chunk([], "", finish=payload))
-                        _sse(self.wfile, "[DONE]")
-                    else:  # error
-                        _sse(self.wfile, {"error": payload})
+                try:
+                    for kind, payload in handle.events():
+                        if kind == "tokens":
+                            text = ("".join(decoder.push(t)
+                                            for t in payload)
+                                    if decoder else "")
+                            _sse(self.wfile, chunk(payload, text))
+                        elif kind == "done":
+                            if decoder:
+                                tail = decoder.flush()
+                                if tail:
+                                    _sse(self.wfile, chunk([], tail))
+                            _sse(self.wfile, chunk([], "", finish=payload))
+                            _sse(self.wfile, "[DONE]")
+                        else:  # error
+                            _sse(self.wfile, {"error": payload})
+                except (BrokenPipeError, ConnectionResetError):
+                    # Client went away mid-stream: stop generating for it
+                    # so the slot goes back to the batch.
+                    driver.cancel(handle)
                 return
 
             tokens, reason = [], "length"

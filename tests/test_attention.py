@@ -234,3 +234,26 @@ def test_flash_decode_stream_bf16_cache():
     want = flash_decode_fused(q, kv, lengths, kvh, block_k=64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("group,kvh,h", [(2, 4, 4), (4, 2, 8)])
+def test_flash_decode_grouped_matches_reference(group, kvh, h):
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_grouped)
+    b, d, cap = 8, 16, 256
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b, h, d).astype(np.float32))
+    kv = jnp.asarray(rng.randn(b, cap, 2, kvh * d).astype(np.float32))
+    lengths = jnp.asarray([5, 128, 250, 64, 1, 200, 33, 77], jnp.int32)
+
+    got = flash_decode_grouped(q, kv, lengths, kvh, block_k=64,
+                               group=group)
+
+    k = kv[:, :, 0].reshape(b, cap, kvh, d).transpose(0, 2, 1, 3)
+    v = kv[:, :, 1].reshape(b, cap, kvh, d).transpose(0, 2, 1, 3)
+    k = jnp.repeat(k, h // kvh, axis=1)
+    v = jnp.repeat(v, h // kvh, axis=1)
+    want = _attn_reference(q[:, :, None, :], k, v, False,
+                           1.0 / np.sqrt(d), lengths)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

@@ -453,3 +453,30 @@ def test_engine_logprobs_off_by_default(model_and_params):
     req = eng.submit([1, 2], max_new_tokens=3)
     eng.run(burst=2)
     assert req.logprobs == []
+
+
+def test_engine_cancel_active_and_queued(model_and_params):
+    """cancel() frees a decoding slot (reused by the next admission) and
+    drops a queued request before it ever runs."""
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=1, capacity=64,
+                        prefill_buckets=(16,))
+    a = eng.submit([1, 2, 3], max_new_tokens=50)
+    b = eng.submit([4, 5], max_new_tokens=4)      # waits for the slot
+    eng.step()                                     # admits a, decodes once
+    assert not a.done and len(a.tokens) >= 1
+    assert eng.cancel(a)
+    assert a.done
+    assert not eng.cancel(a)                       # idempotent
+    eng.run(burst=2)                               # b takes the slot
+    assert b.done and len(b.tokens) == 4
+    assert b.tokens == ref_greedy(model, params, [4, 5], 4)
+    assert eng.stats()["cancelled"] == 1
+
+    c = eng.submit([6, 7], max_new_tokens=4)
+    d = eng.submit([8, 9], max_new_tokens=4)       # queued behind c
+    assert eng.cancel(d)
+    eng.run(burst=2)
+    assert c.done and len(c.tokens) == 4
+    assert d.tokens == []
+    assert eng.stats()["cancelled"] == 2

@@ -46,6 +46,7 @@ def main():
         pass
 
     from rten_tpu.kernels.attention import (flash_decode_fused,
+                                            flash_decode_grouped,
                                             flash_decode_stream)
 
     b, h, kvh, d = args.batch, args.heads, args.kv_heads, args.head_dim
@@ -98,6 +99,18 @@ def main():
         ("stream dma (block 512)",
          lambda q, kv, l, kvh: flash_decode_stream(q, kv, l, kvh,
                                                    block_k=512)),
+        ("grouped g=2 (block 128)",
+         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
+                                                    block_k=128, group=2)),
+        ("grouped g=4 (block 128)",
+         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
+                                                    block_k=128, group=4)),
+        ("grouped g=8 (block 128)",
+         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
+                                                    block_k=128, group=8)),
+        ("grouped g=4 (block 256)",
+         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
+                                                    block_k=256, group=4)),
     ]
     for name, fn in variants:
         try:
