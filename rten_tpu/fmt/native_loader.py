@@ -74,7 +74,7 @@ def graph_from_native(buf, parsed: dict):
     """Build a Graph IR from the native reader's output (the fast analog
     of ``ir.graph.graph_from_model_file``)."""
     from ..ir.graph import Graph
-    from . import container, flatbuf, schema
+    from . import container, schema
 
     raw = np.frombuffer(buf, dtype=np.uint8)
 

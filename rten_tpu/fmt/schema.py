@@ -12,7 +12,6 @@ slots in declaration order, and a union field consumes two slots
 
 from __future__ import annotations
 
-import numpy as np
 
 from . import flatbuf as fb
 

@@ -22,14 +22,12 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .kv_cache import KVCache
 from .metrics import Metrics
 from .sampler import (ArgMaxSampler, PerRequestSampler, Sampler,
                       SamplingParams)

@@ -43,7 +43,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Mosaic DMA slices must be 128-lane aligned on the last dim.
 _LANE = 128

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.registry import get_op
 from .graph import ConstantNode, Graph, OperatorNode, ValueNode
 
 

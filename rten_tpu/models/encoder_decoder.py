@@ -21,7 +21,7 @@ import numpy as np
 from ..generate.kv_cache import KVCache
 from ..kernels.attention import (_attn_reference, flash_attention,
                                  flash_decode_fused)
-from .transformer import _norm, _rope, linear
+from .transformer import _norm, linear
 
 
 @dataclass(frozen=True)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .common import static_ints
-from .registry import OpError, register
+from .registry import register
 
 
 @register("ConstantOfShape", static=(0,))

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import normalize_axis
-from .registry import OpError, register
+from .registry import register
 
 
 @register("BatchNormalization")

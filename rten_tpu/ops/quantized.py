@@ -19,7 +19,7 @@ import numpy as np
 
 from ..kernels import gemm as gemm_kernels
 from ..kernels import quant as q
-from .registry import OpError, register
+from .registry import register
 
 
 def _axis_scale(scale, zero_point, x_ndim, axis):

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fmt import schema
-from .registry import OpError, register
+from .registry import register
 
 _DIRECTIONS = schema.ENUMS["RNNDirection"]
 

@@ -28,7 +28,6 @@ for prefill. Decode steps pipeline the same way with S=1.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -20,14 +20,14 @@ Re-imagining of the reference's interpreter loop (``Graph::run_plan``,
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ir.graph import ConstantNode, Graph, OperatorNode, ValueNode
+from ..ir.graph import ConstantNode, Graph, OperatorNode
 from ..ops.registry import OpError, ensure_registered, get_op
 from .timing import RunTiming, Timer
 

@@ -8,14 +8,13 @@ onto the jit executor instead of an interpreter.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
-import numpy as np
 
 from ..fmt import container
 from ..ir import optimize as opt
-from ..ir.graph import ConstantNode, Graph, ValueNode, graph_from_model_file
+from ..ir.graph import Graph, ValueNode, graph_from_model_file
 from .executor import GraphExecutor, RunOptions
 
 
