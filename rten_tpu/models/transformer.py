@@ -57,6 +57,11 @@ class TransformerConfig:
     n_experts: int = 0                   # >0 → MoE MLP (models/moe.py)
     experts_per_token: int = 2
     moe_impl: str = "auto"               # "auto" | "dense" | "ragged"
+    decode_attn: str = "auto"            # decode-attention kernel for
+                                         # float caches: "auto" | "fused"
+                                         # (per-(seq, block) grid) |
+                                         # "stream" | "grouped"
+                                         # (kernels/attention.py)
 
     @property
     def head_dim(self):
@@ -413,10 +418,24 @@ class TransformerLM:
                 # layer_idx may be traced — create() forbids the combo).
                 scales = (cache.quant_scales[layer_idx]
                           if cache.quant_scales is not None else None)
-                out = flash_decode_fused(q[:, :, 0, :],
-                                         cache.fused_layer(layer_idx),
-                                         cache.lengths + 1, kvh,
-                                         kv_scales=scales)
+                kind = cfg.decode_attn
+                if kind == "auto" or scales is not None:
+                    kind = "fused"   # quantized caches: fused only
+                if kind == "grouped":
+                    from ..kernels.attention import flash_decode_grouped
+                    out = flash_decode_grouped(q[:, :, 0, :],
+                                               cache.fused_layer(layer_idx),
+                                               cache.lengths + 1, kvh)
+                elif kind == "stream":
+                    from ..kernels.attention import flash_decode_stream
+                    out = flash_decode_stream(q[:, :, 0, :],
+                                              cache.fused_layer(layer_idx),
+                                              cache.lengths + 1, kvh)
+                else:
+                    out = flash_decode_fused(q[:, :, 0, :],
+                                             cache.fused_layer(layer_idx),
+                                             cache.lengths + 1, kvh,
+                                             kv_scales=scales)
                 out = out[:, :, None, :]
             else:
                 from ..kernels.attention import _attn_reference

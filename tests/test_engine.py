@@ -480,3 +480,20 @@ def test_engine_cancel_active_and_queued(model_and_params):
     assert c.done and len(c.tokens) == 4
     assert d.tokens == []
     assert eng.stats()["cancelled"] == 2
+
+
+@pytest.mark.parametrize("kind", ["stream", "grouped"])
+def test_engine_decode_attn_variants(kind):
+    """The alternate decode-attention kernels produce engine outputs
+    identical to the default grid kernel."""
+    cfg = TransformerConfig.tiny_test(decode_attn=kind)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=4, capacity=64,
+                        prefill_buckets=(16,))
+    prompts = [[1, 2, 3], [4, 5, 6, 7], [8, 9], [10, 11, 12]]
+    outs = eng.generate(prompts, max_new_tokens=5)
+    base = TransformerLM(TransformerConfig.tiny_test(decode_attn="fused"))
+    ref_eng = ServingEngine(base, params, max_batch=4, capacity=64,
+                            prefill_buckets=(16,))
+    assert outs == ref_eng.generate(prompts, max_new_tokens=5)
