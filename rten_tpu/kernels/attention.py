@@ -550,18 +550,16 @@ def flash_decode_stream(q, kv, lengths, kv_heads, scale=None, block_k=256):
 
 def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
                            block_k, h, hd_tot, group):
-    """G sequences per program. v5e measurement: one-sequence programs
-    spend ~1.4 us/block in the DEPENDENT op chain (dot → max → exp →
-    dot with MXU/VPU issue latencies), leaving HBM at ~1/3 utilization.
-    Stacking G sequences into one set of ops amortizes that chain G×:
-    q is block-diagonal at BOTH levels ([G·H, G·F]: head bands inside
-    sequence bands), each sequence's cache block DMAs into its own
-    column band of a shared [block_k, 2, G·F] buffer, and the same
-    single dot/softmax/dot sequence serves the whole group (cross-
-    sequence products hit zero q rows / are discarded with the off-
-    diagonal bands)."""
+    """G sequences per program, kept as a leading BATCH dim. v5e
+    measurement: one-sequence programs spend ~1.4 us/block in the
+    dependent op chain (dot -> max -> exp -> dot issue latencies),
+    leaving HBM at ~1/3 utilization. The G per-sequence chains here are
+    mutually independent ([G, ...] batched dots / VPU ops), so the
+    compiler can interleave them and hide the issue latency — without
+    the G-times contraction waste of a cross-sequence block-diagonal
+    (measured 2x SLOWER: q [G*H, G*F] made every score element contract
+    G*F instead of F)."""
     p = pl.program_id(0)
-    gf = group * hd_tot
 
     def body(buf, sem, m_ref, l_ref, acc_ref):
         lens = [len_ref[p * group + g] for g in range(group)]
@@ -570,16 +568,13 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
             max_len = jnp.maximum(max_len, lens[g])
         n_blocks = pl.cdiv(max_len, block_k)
 
-        # Every member DMAs every group block (no per-member skip): a
-        # skipped DMA leaves its buffer band stale/uninitialized, and
-        # 0·NaN in the shared dot would poison OTHER sequences' rows.
-        # Past-length rows are real (zero-initialized) cache memory and
-        # are masked out of the softmax below.
+        # Every member DMAs every group block (skipping would leave its
+        # buffer slice stale/uninitialized). Past-length rows are real
+        # cache memory, masked out of the softmax below.
         def dma(slot, blk, g):
             return pltpu.make_async_copy(
                 kv_hbm.at[p * group + g, pl.ds(blk * block_k, block_k)],
-                buf.at[slot, :, :, pl.ds(g * hd_tot, hd_tot)],
-                sem.at[slot, g])
+                buf.at[slot, g], sem.at[slot, g])
 
         def start(slot, blk):
             for g in range(group):
@@ -593,14 +588,12 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        q = q_ref[0]                       # [G*H, G*F] doubly block-diag
-        rows = q.shape[0]
-        # Per-row length limit: row r belongs to sequence r // h.
-        g_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k),
-                                            0) // h
-        limit = jnp.zeros((rows, block_k), jnp.int32)
+        q = q_ref[0]                       # [G, H, F] head-block-diag
+        # Per-sequence length limits broadcast over [G, H, block_k].
+        g_of = jax.lax.broadcasted_iota(jnp.int32, (group, h, block_k), 0)
+        limit = jnp.zeros((group, h, block_k), jnp.int32)
         for g in range(group):
-            limit = jnp.where(g_of_row == g, lens[g], limit)
+            limit = jnp.where(g_of == g, lens[g], limit)
 
         def loop(i, _):
             slot = jax.lax.rem(i, 2)
@@ -610,24 +603,28 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
                 start(jax.lax.rem(i + 1, 2), i + 1)
 
             wait(slot, i)
-            kblk = buf[slot, :, 0, :]              # [block_k, G*F]
-            vblk = buf[slot, :, 1, :]
+            kblk = buf[slot, :, :, 0, :]           # [G, block_k, F]
+            vblk = buf[slot, :, :, 1, :]
+            # Batched dots: contraction F per element, batch over G —
+            # G independent MXU ops the scheduler can pipeline.
             s = jax.lax.dot_general(
-                q, kblk.astype(q.dtype), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                q, kblk.astype(q.dtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # [G, H, blk]
             k_pos = i * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (rows, block_k), 1)
+                jnp.int32, (group, h, block_k), 2)
             s = jnp.where(k_pos < limit, s, _NEG_INF)
             m_prev = m_ref[:]
             m_new = jnp.maximum(m_prev,
-                                jnp.max(s, axis=1, keepdims=True))
+                                jnp.max(s, axis=2, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
             pmat = jnp.exp(s - m_new)
             l_ref[:] = (l_ref[:] * alpha
-                        + jnp.sum(pmat, axis=1, keepdims=True))
+                        + jnp.sum(pmat, axis=2, keepdims=True))
             acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-                pmat, vblk.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                pmat, vblk.astype(jnp.float32),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # [G, H, F]
             m_ref[:] = m_new
             return 0
 
@@ -637,11 +634,11 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
 
     pl.run_scoped(
         body,
-        buf=pltpu.VMEM((2, block_k, 2, gf), kv_hbm.dtype),
+        buf=pltpu.VMEM((2, group, block_k, 2, hd_tot), kv_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, group)),
-        m_ref=pltpu.VMEM((group * h, 1), jnp.float32),
-        l_ref=pltpu.VMEM((group * h, 1), jnp.float32),
-        acc_ref=pltpu.VMEM((group * h, gf), jnp.float32),
+        m_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        l_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((group, h, hd_tot), jnp.float32),
     )
 
 
@@ -650,11 +647,11 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
                                     "group"))
 def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
                          block_k=128, group=4):
-    """Decode attention with G sequences per program (float caches).
-    Same contract as :func:`flash_decode_fused`; ``group`` must divide
-    the batch. Traffic note: a group reads up to its LONGEST member's
-    blocks for every member whose own length reaches them — sequences
-    are still skipped per-block past their own length."""
+    """Decode attention with G sequences per program, batched along a
+    leading G dim (float caches). Same contract as
+    :func:`flash_decode_fused`; ``group`` must divide the batch.
+    Traffic note: a group reads up to its LONGEST member\'s blocks for
+    every member — order the batch by length when it matters."""
     b, h, d = q.shape
     hd_tot = kv_heads * d
     _, s_max, planes, lanes = kv.shape
@@ -670,12 +667,7 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
 
     onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
     q_head = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
-              ).reshape(b, h, hd_tot)
-    # Group-level block diagonal: [nprog, G*H, G*F].
-    eye_g = jnp.eye(group, dtype=q.dtype)
-    q_big = jnp.einsum("pgif,gG->pgiGf",
-                       q_head.reshape(nprog, group, h, hd_tot),
-                       eye_g).reshape(nprog, group * h, group * hd_tot)
+              ).reshape(nprog, group, h, hd_tot)
 
     out_full = pl.pallas_call(
         functools.partial(_decode_grouped_kernel, scale=scale,
@@ -685,30 +677,25 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
             num_scalar_prefetch=1,   # lengths
             grid=(nprog,),
             in_specs=[
-                pl.BlockSpec((1, group * h, group * hd_tot),
-                             lambda pp, lens: (pp, 0, 0),
+                pl.BlockSpec((1, group, h, hd_tot),
+                             lambda pp, lens: (pp, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),   # kv stays in HBM
             ],
-            out_specs=pl.BlockSpec((1, group * h, group * hd_tot),
-                                   lambda pp, lens: (pp, 0, 0),
+            out_specs=pl.BlockSpec((1, group, h, hd_tot),
+                                   lambda pp, lens: (pp, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (nprog, group * h, group * hd_tot), q.dtype),
+            (nprog, group, h, hd_tot), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * group * h * s_max * hd_tot,
+            flops=4 * b * h * s_max * hd_tot,
             bytes_accessed=kv.size * kv.dtype.itemsize,
             transcendentals=b * h * s_max),
         interpret=_interpret(),
-    )(jnp.asarray(lengths, jnp.int32), q_big, kv)
-    # Double diagonal extraction: group band, then head band.
-    out6 = out_full.reshape(nprog, group, h, group, kv_heads, d)
-    gdiag = out6.diagonal(axis1=1, axis2=3)        # [nprog, h, kvh, d, G]
-    gdiag = gdiag.transpose(0, 4, 1, 2, 3)         # [nprog, G, h, kvh, d]
-    out = jnp.einsum("pgikd,ik->pgid", gdiag,
-                     onehot.astype(out_full.dtype))
-    return out.reshape(b, h, d)
+    )(jnp.asarray(lengths, jnp.int32), q_head, kv)
+    out4 = out_full.reshape(b, h, kv_heads, d)
+    return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
 
 def _chunk_reference(q, kv, lengths, kv_heads, scale):
