@@ -646,7 +646,7 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
                    static_argnames=("kv_heads", "scale", "block_k",
                                     "group"))
 def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
-                         block_k=128, group=4):
+                         block_k=64, group=8):
     """Decode attention with G sequences per program, batched along a
     leading G dim (float caches). Same contract as
     :func:`flash_decode_fused`; ``group`` must divide the batch.

@@ -419,8 +419,15 @@ class TransformerLM:
                 scales = (cache.quant_scales[layer_idx]
                           if cache.quant_scales is not None else None)
                 kind = cfg.decode_attn
-                if kind == "auto" or scales is not None:
+                if scales is not None:
                     kind = "fused"   # quantized caches: fused only
+                elif kind == "auto":
+                    # v5e A/B (BASELINE.md): batched-group g=8/block 64
+                    # is 1.8× the per-(seq, block) grid at batch 64 —
+                    # the per-block op-issue chain amortizes over 8
+                    # independent sequences. Internal fallback covers
+                    # batches not divisible by 8.
+                    kind = "grouped" if b >= 8 else "fused"
                 if kind == "grouped":
                     from ..kernels.attention import flash_decode_grouped
                     out = flash_decode_grouped(q[:, :, 0, :],

@@ -90,27 +90,21 @@ def main():
         ("fused grid (block 128)",
          lambda q, kv, l, kvh: flash_decode_fused(q, kv, l, kvh,
                                                   block_k=128)),
-        ("stream dma (block 128)",
-         lambda q, kv, l, kvh: flash_decode_stream(q, kv, l, kvh,
-                                                   block_k=128)),
-        ("stream dma (block 256)",
-         lambda q, kv, l, kvh: flash_decode_stream(q, kv, l, kvh,
-                                                   block_k=256)),
-        ("stream dma (block 512)",
-         lambda q, kv, l, kvh: flash_decode_stream(q, kv, l, kvh,
-                                                   block_k=512)),
-        ("grouped g=2 (block 128)",
-         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
-                                                    block_k=128, group=2)),
-        ("grouped g=4 (block 128)",
-         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
-                                                    block_k=128, group=4)),
         ("grouped g=8 (block 128)",
          lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
                                                     block_k=128, group=8)),
-        ("grouped g=4 (block 256)",
+        ("grouped g=16 (block 128)",
          lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
-                                                    block_k=256, group=4)),
+                                                    block_k=128, group=16)),
+        ("grouped g=8 (block 64)",
+         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
+                                                    block_k=64, group=8)),
+        ("grouped g=16 (block 64)",
+         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
+                                                    block_k=64, group=16)),
+        ("grouped g=32 (block 128)",
+         lambda q, kv, l, kvh: flash_decode_grouped(q, kv, l, kvh,
+                                                    block_k=128, group=32)),
     ]
     for name, fn in variants:
         try:
