@@ -45,13 +45,15 @@ def main():
     if on_tpu:
         # Saturated continuous batch: decode streams every weight once
         # per step regardless of batch, so tokens/s/chip rises with
-        # occupancy until KV bandwidth binds (tools/profile_batch_sweep:
-        # 9.4k tok/s at batch 8 → 20.1k at 64 → 22.2k at 128; 64 is the
-        # knee). Batched admission prefills all 64 same-bucket requests
-        # in ONE compiled program, so the compile count stays inside the
-        # driver's budget (4 programs total, seconds each warm).
+        # occupancy until KV bandwidth binds. Batch 128: the knee moved
+        # up with the batched-group decode-attention kernel
+        # (profile_batch_sweep round 4: 64 -> 31.4k, 128 -> 39.1k,
+        # 256 -> 42.6k bare-burst tok/s; 128 keeps admission prefill +
+        # TTFT sane inside the driver budget). Batched admission
+        # prefills all same-bucket requests in ONE compiled program, so
+        # the compile count stays inside the driver's budget.
         cfg = TransformerConfig.gpt2()
-        batch, prompt_len, decode_steps, capacity = 64, 64, 384, 512
+        batch, prompt_len, decode_steps, capacity = 128, 64, 384, 512
     else:
         # CPU smoke configuration (fast local check only).
         cfg = TransformerConfig.tiny_test()

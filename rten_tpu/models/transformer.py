@@ -407,11 +407,21 @@ class TransformerLM:
             # (kernels/attention.py::flash_decode_fused). int8 caches
             # dequantize on the MXU inside the kernel.
             if cfg.use_pallas and getattr(cache, "paged", False):
-                from ..kernels.attention import flash_decode_paged
-                out = flash_decode_paged(q[:, :, 0, :],
-                                         cache.fused_layer(layer_idx),
-                                         cache.page_table,
-                                         cache.lengths + 1, kvh)
+                group = next((g for g in (8, 4, 2) if b % g == 0 and
+                              b >= 2 * g), 0)
+                if group and cfg.decode_attn in ("auto", "grouped"):
+                    from ..kernels.attention import \
+                        flash_decode_paged_grouped
+                    out = flash_decode_paged_grouped(
+                        q[:, :, 0, :], cache.fused_layer(layer_idx),
+                        cache.page_table, cache.lengths + 1, kvh,
+                        group=group)
+                else:
+                    from ..kernels.attention import flash_decode_paged
+                    out = flash_decode_paged(q[:, :, 0, :],
+                                             cache.fused_layer(layer_idx),
+                                             cache.page_table,
+                                             cache.lengths + 1, kvh)
                 out = out[:, :, None, :]
             elif cfg.use_pallas:
                 # quant_scales is a per-layer list (never stacked, where
@@ -421,18 +431,20 @@ class TransformerLM:
                 kind = cfg.decode_attn
                 if scales is not None:
                     kind = "fused"   # quantized caches: fused only
-                elif kind == "auto":
+                group = next((g for g in (8, 4, 2) if b % g == 0 and
+                              b >= 2 * g), 0)
+                if kind == "auto":
                     # v5e A/B (BASELINE.md): batched-group g=8/block 64
                     # is 1.8× the per-(seq, block) grid at batch 64 —
-                    # the per-block op-issue chain amortizes over 8
-                    # independent sequences. Internal fallback covers
-                    # batches not divisible by 8.
-                    kind = "grouped" if b >= 8 else "fused"
+                    # the per-block op-issue chain amortizes over G
+                    # independent sequences per program.
+                    kind = "grouped" if group else "fused"
                 if kind == "grouped":
                     from ..kernels.attention import flash_decode_grouped
                     out = flash_decode_grouped(q[:, :, 0, :],
                                                cache.fused_layer(layer_idx),
-                                               cache.lengths + 1, kvh)
+                                               cache.lengths + 1, kvh,
+                                               group=group or 8)
                 elif kind == "stream":
                     from ..kernels.attention import flash_decode_stream
                     out = flash_decode_stream(q[:, :, 0, :],

@@ -171,3 +171,36 @@ def test_dead_slot_appends_go_to_garbage_page():
     solo.run(burst=4)
     eng.run(burst=4)
     assert r1.tokens == sr.tokens
+
+
+def test_paged_grouped_attention_matches_contiguous():
+    """flash_decode_paged_grouped (G sequences/program, in-kernel page
+    resolution) == dense attention over the same scattered pages."""
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_paged_grouped)
+    B, H, P = 4, 4, 4
+    cache = make_cache(batch=B, n_pages=32, max_pages=P)
+    alloc = PagedKVCache.make_allocator(cache.n_pages)
+    for _ in range(3):
+        alloc.alloc()
+    lengths = [PAGE + 2, 3 * PAGE - 1, 1, 2 * PAGE]
+    rng = np.random.RandomState(4)
+    for slot in range(B):
+        cache = alloc.ensure_capacity(cache, slot, lengths[slot])
+    S = 3 * PAGE
+    k = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32))
+    cache = cache.append(0, k, v, position=0).with_lengths(
+        jnp.asarray(lengths, jnp.int32))
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+
+    out = flash_decode_paged_grouped(q, cache.fused_layer(0),
+                                     cache.page_table, cache.lengths,
+                                     KVH, group=2)
+    kc, vc = cache.layer_kv(0)
+    kc = jnp.repeat(kc, H // KVH, axis=1)
+    vc = jnp.repeat(vc, H // KVH, axis=1)
+    ref = _attn_reference(q[:, :, None, :], kc, vc, False,
+                          1.0 / np.sqrt(D), cache.lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
