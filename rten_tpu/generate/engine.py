@@ -374,8 +374,17 @@ class ServingEngine:
                                  []).append((req, slot))
         for bucket, group_pairs in by_bucket.items():
             group = len(group_pairs)
-            tokens = np.zeros((group, bucket), np.int32)
-            lengths = np.zeros(group, np.int32)
+            # Pad the admission group to a power of two: the prefill
+            # program compiles per (bucket, group) signature, and
+            # arbitrary arrival patterns would otherwise compile one
+            # program per distinct group size (a compile storm through
+            # a minutes-per-compile link). Dummy rows prefill one pad
+            # token and are never scattered into a slot.
+            gpad = 1
+            while gpad < group:
+                gpad *= 2
+            tokens = np.zeros((gpad, bucket), np.int32)
+            lengths = np.ones(gpad, np.int32)
             for gi, (req, _) in enumerate(group_pairs):
                 tokens[gi, :len(req.prompt_ids)] = req.prompt_ids
                 lengths[gi] = len(req.prompt_ids)

@@ -497,3 +497,22 @@ def test_engine_decode_attn_variants(kind):
     ref_eng = ServingEngine(base, params, max_batch=4, capacity=64,
                             prefill_buckets=(16,))
     assert outs == ref_eng.generate(prompts, max_new_tokens=5)
+
+
+def test_admission_group_sizes_pad_to_pow2(model_and_params):
+    """Prefill compiles per (bucket, group) signature; odd arrival group
+    sizes pad to powers of two so the compile count stays logarithmic."""
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=8, capacity=64,
+                        prefill_buckets=(16,))
+    ref = {}
+    for size in (3, 5, 6, 7):
+        prompts = [[i + 1, i + 2] for i in range(size)]
+        outs = eng.generate(prompts, max_new_tokens=3)
+        for prompt, out in zip(prompts, outs):
+            key = tuple(prompt)
+            want = ref.setdefault(key,
+                                  ref_greedy(model, params, prompt, 3))
+            assert out == want
+    # Group sizes {3,5,6,7} pad to {4,8}: exactly two compiled prefills.
+    assert eng._prefill._cache_size() == 2
