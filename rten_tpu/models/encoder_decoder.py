@@ -184,10 +184,20 @@ class EncoderDecoderLM:
                 if cfg.use_pallas:
                     scales = (cache.quant_scales[i]
                               if cache.quant_scales is not None else None)
-                    out = flash_decode_fused(
-                        q[:, :, 0, :], cache.fused_layer(i),
-                        cache.lengths + 1, cfg.n_heads,
-                        kv_scales=scales)[:, :, None, :]
+                    group = next((g for g in (8, 4, 2)
+                                  if b % g == 0 and b >= 2 * g), 0)
+                    if scales is None and group:
+                        from ..kernels.attention import \
+                            flash_decode_grouped
+                        out = flash_decode_grouped(
+                            q[:, :, 0, :], cache.fused_layer(i),
+                            cache.lengths + 1, cfg.n_heads,
+                            group=group)[:, :, None, :]
+                    else:
+                        out = flash_decode_fused(
+                            q[:, :, 0, :], cache.fused_layer(i),
+                            cache.lengths + 1, cfg.n_heads,
+                            kv_scales=scales)[:, :, None, :]
                 else:
                     kc, vc = cache.layer_kv(i)
                     out = _attn_reference(q, kc, vc, False,
