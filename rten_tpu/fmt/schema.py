@@ -47,7 +47,7 @@ ENUMS: dict[str, list[str]] = {
         # ops) that the north star adds on top of the reference.
         "QuantizeLinear", "DequantizeLinear", "DynamicQuantizeLinear",
         "MatMulInteger", "QLinearMatMul", "QLinearConv", "Silu",
-        "ConvInteger",
+        "ConvInteger", "FusedSDPA",
     ],
     "RNNDirection": ["Forward", "Reverse", "Bidirectional"],
     "AutoPad": ["Same", "NotSet"],
@@ -87,7 +87,7 @@ UNIONS: dict[str, list[str]] = {
         "RandomNormalAttrs", "RandomNormalLikeAttrs", "GatherNDAttrs",
         "GeluAttrs", "EinsumAttrs", "IfAttrs",
         # rten_tpu extension attrs (appended).
-        "QuantizeLinearAttrs", "QLinearConvAttrs",
+        "QuantizeLinearAttrs", "QLinearConvAttrs", "FusedSDPAAttrs",
     ],
     "Scalar": ["IntScalar", "FloatScalar"],
     "NodeKind": ["OperatorNode", "ConstantNode", "ValueNode"],
@@ -187,6 +187,9 @@ TABLES: dict[str, list[tuple[str, str, object]]] = {
     "TriluAttrs": [("upper", "bool", False)],
     # rten_tpu extension attrs.
     "QuantizeLinearAttrs": [("axis", "i32", 1)],   # also for DequantizeLinear
+    # Fused scaled-dot-product attention (optimizer rewrite,
+    # ir/optimize.py::fuse_attention).
+    "FusedSDPAAttrs": [("scale", "f32", 1.0), ("causal", "i32", 0)],
     "QLinearConvAttrs": [
         ("auto_pad", "enum:AutoPad", 0), ("pads", "[u32]", None),
         ("groups", "u32", 0), ("strides", "[u32]", None),

@@ -208,6 +208,91 @@ def fuse_dequant_conv(graph: Graph) -> int:
     return fused
 
 
+def _is_causal_mask(arr) -> bool:
+    """True for an additive causal mask: zeros on/below the diagonal,
+    large negatives strictly above (any broadcast leading dims)."""
+    a = np.asarray(arr, np.float32)
+    if a.ndim < 2 or a.shape[-1] != a.shape[-2]:
+        return False
+    a = a.reshape(-1, a.shape[-2], a.shape[-1])
+    n = a.shape[-1]
+    tril = np.tril(np.ones((n, n), bool))
+    return bool(np.all(a[:, tril] == 0.0)
+                and (n < 2 or np.all(a[:, ~tril] <= -1e4)))
+
+
+def fuse_attention(graph: Graph) -> int:
+    """MatMul(Softmax(MatMul(q, kᵀ)·scale (+ mask)), v) → FusedSDPA.
+
+    The reference executes attention as the generic op chain its ONNX
+    graph spells out (materialized [S, S] scores — SURVEY.md §5); this
+    rewrite routes the whole pattern through one op whose lowering uses
+    the Pallas flash kernel for prefill-scale maskless shapes (VMEM
+    score tiles) and one fused XLA chain otherwise. A constant additive
+    causal mask is recognized and becomes ``causal=1`` (mask dropped),
+    which keeps the flash path available for decoder-style graphs."""
+    from .pattern import Op, Symbol, find_matches
+
+    qk = Op("MatMul", Symbol("q"), Symbol("kt"), bind="qk")
+    variants = [
+        ("div+mask", Op("MatMul", Op("Softmax", Op(
+            "Add", Op("Div", qk, Symbol("c")), Symbol("m"),
+            commutative=True), bind="sm"), Symbol("v"))),
+        ("mul+mask", Op("MatMul", Op("Softmax", Op(
+            "Add", Op("Mul", qk, Symbol("c"), commutative=True),
+            Symbol("m"), commutative=True), bind="sm"), Symbol("v"))),
+        ("div", Op("MatMul", Op("Softmax", Op("Div", qk, Symbol("c")),
+                                bind="sm"), Symbol("v"))),
+        ("mul", Op("MatMul", Op("Softmax", Op("Mul", qk, Symbol("c"),
+                                              commutative=True),
+                                bind="sm"), Symbol("v"))),
+        ("mask", Op("MatMul", Op("Softmax", Op(
+            "Add", qk, Symbol("m"), commutative=True), bind="sm"),
+            Symbol("v"))),
+        ("plain", Op("MatMul", Op("Softmax", qk, bind="sm"),
+                     Symbol("v"))),
+    ]
+
+    def const_scalar(vid):
+        node = graph.nodes[vid].data
+        if isinstance(node, ConstantNode) and np.asarray(
+                node.array).size == 1:
+            return float(np.asarray(node.array).reshape(()))
+        return None
+
+    fused = 0
+    done: set = set()
+    for kind, pattern in variants:
+        for value_id, b in find_matches(graph, pattern):
+            root = b["op:root"]
+            if root in done:
+                continue
+            sm_attrs = graph.nodes[b["op:sm"]].data.attrs or {}
+            if sm_attrs.get("axis", -1) not in (-1, 3):
+                continue   # softmax not over the key dim
+            scale = 1.0
+            if "c" in b:
+                c = const_scalar(b["c"])
+                if c is None or c == 0.0:
+                    continue
+                scale = 1.0 / c if kind.startswith("div") else c
+            mask_id = b.get("m")
+            causal = 0
+            if mask_id is not None:
+                m_node = graph.nodes[mask_id].data
+                if isinstance(m_node, ConstantNode) and \
+                        _is_causal_mask(m_node.array):
+                    causal, mask_id = 1, None
+            done.add(root)
+            out = graph.add_value(f"sdpa_{value_id}")
+            graph.add_operator(None, "FusedSDPA",
+                               [b["q"], b["kt"], b["v"], mask_id], [out],
+                               {"scale": scale, "causal": causal})
+            graph.replace_value_uses(value_id, out)
+            fused += 1
+    return fused
+
+
 def optimize(graph: Graph, int_conv: bool = True) -> Graph:
     # Dequant fusion must precede constant propagation: DQ(q_const, s_const)
     # would otherwise fold back into an f32 constant and the MatMulInteger
@@ -217,6 +302,7 @@ def optimize(graph: Graph, int_conv: bool = True) -> Graph:
         fuse_dequant_conv(graph)
     propagate_constants(graph)
     fuse_silu(graph)
+    fuse_attention(graph)
     prune_dead_nodes(graph)
     from .quantize_graph import strip_dead_constants
     strip_dead_constants(graph)

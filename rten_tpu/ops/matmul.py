@@ -48,3 +48,38 @@ def einsum(ctx, attrs, *xs):
         raise OpError("Einsum", "missing equation")
     return jnp.einsum(equation.replace(" ", ""), *xs,
                       preferred_element_type=_accum_dtype(xs[0]))
+
+
+@register("FusedSDPA")
+def fused_sdpa(ctx, attrs, q, kt, v, mask=None):
+    """Fused scaled-dot-product attention (optimizer rewrite of the
+    MatMul→scale→mask→Softmax→MatMul chain, ir/optimize.py).
+
+    q [..., S_q, D], kt [..., D, S_k] (the graph's already-transposed K),
+    v [..., S_k, Dv]; additive ``mask`` broadcastable over the scores.
+    4-D maskless shapes at prefill-scale sequence lengths route to the
+    Pallas flash kernel (VMEM score tiles — the [S, S] scores never hit
+    HBM, which generic MatMul/Softmax graph ops cannot avoid); everything
+    else is one fused XLA chain."""
+    scale = float(attrs.get("scale", 1.0))
+    causal = bool(attrs.get("causal", 0))
+    s_q, d = q.shape[-2], q.shape[-1]
+    s_k = kt.shape[-1]
+    if (mask is None and q.ndim == 4 and v.shape[-1] == d
+            and s_q == s_k and s_q >= 256 and s_q % 128 == 0
+            and jnp.issubdtype(q.dtype, jnp.floating)):
+        from ..kernels.attention import flash_attention
+        k = jnp.swapaxes(kt, -1, -2)
+        return flash_attention(q, k, v.astype(q.dtype), causal=causal,
+                               scale=scale).astype(q.dtype)
+    scores = jnp.matmul(q, kt, preferred_element_type=jnp.float32) * scale
+    if causal:
+        import numpy as np
+        cm = jnp.tril(jnp.ones((s_q, s_k), bool), s_k - s_q)
+        scores = jnp.where(cm, scores, np.float32(-1e30))
+    if mask is not None:
+        scores = scores + mask
+    import jax
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.matmul(probs.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -155,6 +155,11 @@ case("ConvInteger",
       rng.randint(-8, 8, (2, 1, 3, 3)).astype(np.int8)],
      {"auto_pad": 1, "pads": [1, 1, 1, 1], "strides": [1, 1], "groups": 1,
       "dilations": [1, 1]})
+case("FusedSDPA",
+     [rng.randn(1, 2, 4, 3).astype(np.float32),
+      rng.randn(1, 2, 3, 4).astype(np.float32),
+      rng.randn(1, 2, 4, 3).astype(np.float32)],
+     {"scale": 0.5, "causal": 1})
 case("QLinearConv",
      [rng.randint(-8, 8, (1, 1, 4, 4)).astype(np.int8), scalar(0.1),
       np.int8(0).reshape(()), rng.randint(-8, 8, (2, 1, 3, 3)).astype(np.int8),
