@@ -642,32 +642,193 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
     )
 
 
+def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
+                                 o_ref, *, scale, block_k, h, hd_tot,
+                                 group, scale_lanes):
+    """Byte-planar int8 sibling of :func:`_decode_grouped_kernel`: the
+    packed int32 cache rows stream at 1 B/elt and dequantize in-VMEM —
+    shift+sign-extend unpack (VPU), per-(token, head) scale expansion on
+    the MXU via the padded one-hot (K's scale factors out of the score
+    dot; V's folds into P). The G-way batching matters MORE here than
+    for float caches: the unpack adds VPU work to each block's dependent
+    chain, and G independent chains hide its latency."""
+    p = pl.program_id(0)
+    half = hd_tot // 2
+
+    def body(buf, sbuf, sem, ssem, m_ref, l_ref, acc_ref):
+        lens = [len_ref[p * group + g] for g in range(group)]
+        max_len = lens[0]
+        for g in range(1, group):
+            max_len = jnp.maximum(max_len, lens[g])
+        n_blocks = pl.cdiv(max_len, block_k)
+
+        def dmas(slot, blk, g):
+            row = pl.ds(blk * block_k, block_k)
+            return (pltpu.make_async_copy(
+                        kv_hbm.at[p * group + g, row],
+                        buf.at[slot, g], sem.at[slot, g]),
+                    pltpu.make_async_copy(
+                        sc_hbm.at[p * group + g, row],
+                        sbuf.at[slot, g], ssem.at[slot, g]))
+
+        def start(slot, blk):
+            for g in range(group):
+                for c in dmas(slot, blk, g):
+                    c.start()
+
+        def wait(slot, blk):
+            for g in range(group):
+                for c in dmas(slot, blk, g):
+                    c.wait()
+
+        start(0, 0)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0]                       # [G, H, F] head-block-diag
+        oh = oh_ref[0]                     # [G, H, 2*SCALE_LANES]
+        g_of = jax.lax.broadcasted_iota(jnp.int32, (group, h, block_k), 0)
+        limit = jnp.zeros((group, h, block_k), jnp.int32)
+        for g in range(group):
+            limit = jnp.where(g_of == g, lens[g], limit)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start(jax.lax.rem(i + 1, 2), i + 1)
+
+            wait(slot, i)
+            x = buf[slot, :, :, 0, :]              # [G, block_k, F/2] i32
+            kblk = jnp.concatenate([(x << 24) >> 24, (x << 16) >> 24],
+                                   axis=-1)        # [G, block_k, F]
+            vblk = jnp.concatenate([(x << 8) >> 24, x >> 24], axis=-1)
+            srow = sbuf[slot, :, :, 0, :]          # [G, block_k, SL]
+            s = jax.lax.dot_general(
+                q, kblk.astype(q.dtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # [G, H, blk]
+            ks = jax.lax.dot_general(
+                oh[:, :, :scale_lanes], srow,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s = s * ks
+            k_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (group, h, block_k), 2)
+            s = jnp.where(k_pos < limit, s, _NEG_INF)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pmat = jnp.exp(s - m_new)
+            l_ref[:] = (l_ref[:] * alpha
+                        + jnp.sum(pmat, axis=2, keepdims=True))
+            vs = jax.lax.dot_general(
+                oh[:, :, scale_lanes:], srow,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            pmat = pmat * vs
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                pmat, vblk.astype(jnp.float32),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # [G, H, F]
+            m_ref[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((2, group, block_k, 1, half), jnp.int32),
+        sbuf=pltpu.VMEM((2, group, block_k, 1, scale_lanes), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2, group)),
+        ssem=pltpu.SemaphoreType.DMA((2, group)),
+        m_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        l_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((group, h, hd_tot), jnp.float32),
+    )
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
                                     "group"))
 def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
-                         block_k=64, group=8):
+                         block_k=64, group=8, kv_scales=None):
     """Decode attention with G sequences per program, batched along a
-    leading G dim (float caches). Same contract as
-    :func:`flash_decode_fused`; ``group`` must divide the batch.
+    leading G dim. Same contract as :func:`flash_decode_fused`,
+    including the byte-planar int8 cache via ``kv_scales``; ``group``
+    must divide the batch.
     Traffic note: a group reads up to its LONGEST member\'s blocks for
     every member — order the batch by length when it matters."""
     b, h, d = q.shape
     hd_tot = kv_heads * d
+    quant = kv_scales is not None
     _, s_max, planes, lanes = kv.shape
-    assert planes == 2 and lanes == hd_tot
+    if quant:
+        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+    else:
+        assert planes == 2 and lanes == hd_tot
     assert h % kv_heads == 0
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_k = min(block_k, s_max)
     if b % group or s_max % block_k:
-        return flash_decode_fused(q, kv, lengths, kv_heads, scale=scale)
+        return flash_decode_fused(q, kv, lengths, kv_heads, scale=scale,
+                                  kv_scales=kv_scales)
     q_per_kv = h // kv_heads
     nprog = b // group
 
     onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
     q_head = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
               ).reshape(nprog, group, h, hd_tot)
+
+    if quant:
+        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
+        # Padded per-head scale selector (see flash_decode_fused),
+        # broadcast over the group so the in-kernel expansion is one
+        # batched MXU dot per plane.
+        oh_s = jnp.concatenate([
+            jnp.pad(onehot, ((0, 0), (0, SCALE_LANES - kv_heads))),
+            jnp.pad(onehot, ((0, 0),
+                             (VSCALE_OFF,
+                              SCALE_LANES - VSCALE_OFF - kv_heads))),
+        ], axis=1)
+        oh_g = jnp.broadcast_to(oh_s[None, None],
+                                (nprog, group, h, 2 * SCALE_LANES))
+        out_full = pl.pallas_call(
+            functools.partial(_decode_grouped_quant_kernel, scale=scale,
+                              block_k=block_k, h=h, hd_tot=hd_tot,
+                              group=group, scale_lanes=SCALE_LANES),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,   # lengths
+                grid=(nprog,),
+                in_specs=[
+                    pl.BlockSpec((1, group, h, hd_tot),
+                                 lambda pp, lens: (pp, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, group, h, 2 * SCALE_LANES),
+                                 lambda pp, lens: (pp, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),   # packed kv, HBM
+                    pl.BlockSpec(memory_space=pl.ANY),   # scale rows, HBM
+                ],
+                out_specs=pl.BlockSpec((1, group, h, hd_tot),
+                                       lambda pp, lens: (pp, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nprog, group, h, hd_tot), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s_max * hd_tot,
+                bytes_accessed=(kv.size + kv_scales.size) * 4,
+                transcendentals=b * h * s_max),
+            interpret=_interpret(),
+        )(jnp.asarray(lengths, jnp.int32), q_head, oh_g, kv, kv_scales)
+        out4 = out_full.reshape(b, h, kv_heads, d)
+        return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
     out_full = pl.pallas_call(
         functools.partial(_decode_grouped_kernel, scale=scale,

@@ -57,11 +57,12 @@ class TransformerConfig:
     n_experts: int = 0                   # >0 → MoE MLP (models/moe.py)
     experts_per_token: int = 2
     moe_impl: str = "auto"               # "auto" | "dense" | "ragged"
-    decode_attn: str = "auto"            # decode-attention kernel for
-                                         # float caches: "auto" | "fused"
-                                         # (per-(seq, block) grid) |
-                                         # "stream" | "grouped"
-                                         # (kernels/attention.py)
+    decode_attn: str = "auto"            # decode-attention kernel:
+                                         # "auto" | "fused" (per-(seq,
+                                         # block) grid) | "stream" (float
+                                         # caches only) | "grouped"
+                                         # (kernels/attention.py; float
+                                         # + byte-planar int8 caches)
 
     @property
     def head_dim(self):
@@ -429,22 +430,25 @@ class TransformerLM:
                 scales = (cache.quant_scales[layer_idx]
                           if cache.quant_scales is not None else None)
                 kind = cfg.decode_attn
-                if scales is not None:
-                    kind = "fused"   # quantized caches: fused only
+                if scales is not None and kind == "stream":
+                    kind = "fused"   # no quantized stream variant
                 group = next((g for g in (8, 4, 2) if b % g == 0 and
                               b >= 2 * g), 0)
                 if kind == "auto":
                     # v5e A/B (BASELINE.md): batched-group g=8/block 64
                     # is 1.8× the per-(seq, block) grid at batch 64 —
                     # the per-block op-issue chain amortizes over G
-                    # independent sequences per program.
+                    # independent sequences per program. The int8 cache
+                    # gains even more (the in-kernel unpack adds VPU work
+                    # to each block's dependent chain).
                     kind = "grouped" if group else "fused"
                 if kind == "grouped":
                     from ..kernels.attention import flash_decode_grouped
                     out = flash_decode_grouped(q[:, :, 0, :],
                                                cache.fused_layer(layer_idx),
                                                cache.lengths + 1, kvh,
-                                               group=group or 8)
+                                               group=group or 8,
+                                               kv_scales=scales)
                 elif kind == "stream":
                     from ..kernels.attention import flash_decode_stream
                     out = flash_decode_stream(q[:, :, 0, :],

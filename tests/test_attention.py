@@ -257,3 +257,65 @@ def test_flash_decode_grouped_matches_reference(group, kvh, h):
                            1.0 / np.sqrt(d), lengths)[:, :, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_flash_decode_grouped_quantized_cache(group):
+    """Byte-planar int8 cache through the batched-group kernel must match
+    attention over the dequantized cache (same contract as the fused
+    quant kernel, G sequences per program)."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_planar)
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_grouped)
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    lengths = jnp.asarray([5, 127, 64, 1], jnp.int32)
+
+    got = flash_decode_grouped(q, kv_q, lengths, KVH, block_k=64,
+                               group=group,
+                               kv_scales=jnp.asarray(scales))
+
+    raw = {0: k_q, 1: v_q}
+
+    def plane(i):
+        x = jnp.asarray(raw[i]).reshape(B, cap, KVH, D).astype(jnp.float32)
+        x = x * s_np[:, :, i][..., None]
+        return jnp.repeat(x.transpose(0, 2, 1, 3), H // KVH, axis=1)
+
+    want = _attn_reference(q[:, :, None, :], plane(0), plane(1), False,
+                           1.0 / np.sqrt(D), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_grouped_quant_fallback_odd_batch():
+    """Batch not divisible by the group falls back to the fused quant
+    kernel with identical semantics."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_planar)
+    from rten_tpu.kernels.attention import (flash_decode_fused,
+                                            flash_decode_grouped)
+    B, H, KVH, D, cap = 3, 4, 2, 32, 64
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = 0.02
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = 0.03
+    scales = jnp.asarray(scales)
+    lengths = jnp.asarray([5, 40, 64], jnp.int32)
+    got = flash_decode_grouped(q, kv_q, lengths, KVH, group=2,
+                               kv_scales=scales)
+    want = flash_decode_fused(q, kv_q, lengths, KVH, kv_scales=scales)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
