@@ -59,6 +59,11 @@ def main():
         cfg = TransformerConfig.tiny_test()
         batch, prompt_len, decode_steps, capacity = 4, 8, 16, 64
 
+    # Tuning overrides (hardware experiments; defaults above are the
+    # recorded serving config).
+    batch = int(os.environ.get("RTEN_BENCH_BATCH", batch))
+    decode_steps = int(os.environ.get("RTEN_BENCH_STEPS", decode_steps))
+
     model = TransformerLM(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
@@ -67,7 +72,7 @@ def main():
 
     # Bursts amortize tunnel/dispatch latency on TPU; on CPU (smoke mode)
     # scan-unrolled interpret-mode kernels make bursts trace-slow.
-    burst = 64 if on_tpu else 1
+    burst = int(os.environ.get("RTEN_BENCH_BURST", 64 if on_tpu else 1))
 
     def measure(p, cache_dtype=None):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,

@@ -549,7 +549,7 @@ def flash_decode_stream(q, kv, lengths, kv_heads, scale=None, block_k=256):
 
 
 def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
-                           block_k, h, hd_tot, group):
+                           block_k, h, hd_tot, group, chunk_s=0):
     """G sequences per program, kept as a leading BATCH dim. v5e
     measurement: one-sequence programs spend ~1.4 us/block in the
     dependent op chain (dot -> max -> exp -> dot issue latencies),
@@ -558,7 +558,13 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
     compiler can interleave them and hide the issue latency — without
     the G-times contraction waste of a cross-sequence block-diagonal
     (measured 2x SLOWER: q [G*H, G*F] made every score element contract
-    G*F instead of F)."""
+    G*F instead of F).
+
+    ``chunk_s``: 0 = single-query decode; > 0 = chunked verify
+    (speculative decoding) with chunk_s queries per sequence — the q
+    block rows are then query-major [chunk_s*H] and row r's query sits
+    at absolute position lengths[g] + r//H (causal within the chunk,
+    which was appended at lengths before the call)."""
     p = pl.program_id(0)
 
     def body(buf, sem, m_ref, l_ref, acc_ref):
@@ -566,7 +572,7 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
         max_len = lens[0]
         for g in range(1, group):
             max_len = jnp.maximum(max_len, lens[g])
-        n_blocks = pl.cdiv(max_len, block_k)
+        n_blocks = pl.cdiv(max_len + chunk_s, block_k)
 
         # Every member DMAs every group block (skipping would leave its
         # buffer slice stale/uninitialized). Past-length rows are real
@@ -594,6 +600,13 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
         limit = jnp.zeros((group, h, block_k), jnp.int32)
         for g in range(group):
             limit = jnp.where(g_of == g, lens[g], limit)
+        if chunk_s:
+            # Per-row causal limit: row r is query r // heads at absolute
+            # position lengths[g] + r//heads (sees that row inclusive).
+            heads = h // chunk_s
+            qi = jax.lax.broadcasted_iota(jnp.int32, (group, h, block_k),
+                                          1) // heads
+            limit = limit + qi + 1
 
         def loop(i, _):
             slot = jax.lax.rem(i, 2)
@@ -644,14 +657,15 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
 
 def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                                  o_ref, *, scale, block_k, h, hd_tot,
-                                 group, scale_lanes):
+                                 group, scale_lanes, chunk_s=0):
     """Byte-planar int8 sibling of :func:`_decode_grouped_kernel`: the
     packed int32 cache rows stream at 1 B/elt and dequantize in-VMEM —
     shift+sign-extend unpack (VPU), per-(token, head) scale expansion on
     the MXU via the padded one-hot (K's scale factors out of the score
     dot; V's folds into P). The G-way batching matters MORE here than
     for float caches: the unpack adds VPU work to each block's dependent
-    chain, and G independent chains hide its latency."""
+    chain, and G independent chains hide its latency. ``chunk_s`` as in
+    :func:`_decode_grouped_kernel` (chunked verify)."""
     p = pl.program_id(0)
     half = hd_tot // 2
 
@@ -660,7 +674,7 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
         max_len = lens[0]
         for g in range(1, group):
             max_len = jnp.maximum(max_len, lens[g])
-        n_blocks = pl.cdiv(max_len, block_k)
+        n_blocks = pl.cdiv(max_len + chunk_s, block_k)
 
         def dmas(slot, blk, g):
             row = pl.ds(blk * block_k, block_k)
@@ -691,6 +705,11 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
         limit = jnp.zeros((group, h, block_k), jnp.int32)
         for g in range(group):
             limit = jnp.where(g_of == g, lens[g], limit)
+        if chunk_s:
+            heads = h // chunk_s
+            qi = jax.lax.broadcasted_iota(jnp.int32, (group, h, block_k),
+                                          1) // heads
+            limit = limit + qi + 1
 
         def loop(i, _):
             slot = jax.lax.rem(i, 2)
@@ -857,6 +876,120 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
     )(jnp.asarray(lengths, jnp.int32), q_head, kv)
     out4 = out_full.reshape(b, h, kv_heads, d)
     return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kv_heads", "scale", "block_k",
+                                    "group"))
+def flash_verify_grouped(q, kv, lengths, kv_heads, scale=None,
+                         block_k=64, group=8, kv_scales=None):
+    """Chunked-verify attention with G sequences per program (the
+    batched-group sibling of :func:`flash_verify_fused`, same G-chain
+    rationale as :func:`flash_decode_grouped` — on v5e the grouped form
+    was 1.8x the per-(seq, block) grid for single-query decode, and a
+    verify step has the same per-block dependent-chain structure with
+    S×H rows instead of H).
+
+    q: [B, S, H, D] — S verify queries per sequence, already appended at
+    positions lengths..lengths+S-1; lengths: [B] PRE-chunk counts;
+    kv / kv_scales as in :func:`flash_decode_fused` (float fused layout
+    or byte-planar int8). ``group`` must divide the batch (falls back to
+    the grid kernel otherwise)."""
+    b, s, h, d = q.shape
+    hd_tot = kv_heads * d
+    quant = kv_scales is not None
+    _, s_max, planes, lanes = kv.shape
+    if quant:
+        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+    else:
+        assert planes == 2 and lanes == hd_tot
+    assert h % kv_heads == 0
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_k = min(block_k, s_max)
+    if b % group or s_max % block_k:
+        return flash_verify_fused(q, kv, lengths, kv_heads, scale=scale,
+                                  kv_scales=kv_scales)
+    q_per_kv = h // kv_heads
+    nprog = b // group
+    rows = s * h
+
+    # Query-major block-diagonal rows (row r = query r//H, head r%H),
+    # grouped [nprog, G, S*H, F].
+    onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
+    q_rows = (q[:, :, :, None, :]
+              * onehot[None, None, :, :, None].astype(q.dtype)
+              ).reshape(nprog, group, rows, hd_tot)
+
+    if quant:
+        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
+        oh_rows = jnp.tile(onehot, (s, 1))
+        oh_s = jnp.concatenate([
+            jnp.pad(oh_rows, ((0, 0), (0, SCALE_LANES - kv_heads))),
+            jnp.pad(oh_rows, ((0, 0),
+                              (VSCALE_OFF,
+                               SCALE_LANES - VSCALE_OFF - kv_heads))),
+        ], axis=1)
+        oh_g = jnp.broadcast_to(oh_s[None, None],
+                                (nprog, group, rows, 2 * SCALE_LANES))
+        out_full = pl.pallas_call(
+            functools.partial(_decode_grouped_quant_kernel, scale=scale,
+                              block_k=block_k, h=rows, hd_tot=hd_tot,
+                              group=group, scale_lanes=SCALE_LANES,
+                              chunk_s=s),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,   # lengths
+                grid=(nprog,),
+                in_specs=[
+                    pl.BlockSpec((1, group, rows, hd_tot),
+                                 lambda pp, lens: (pp, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, group, rows, 2 * SCALE_LANES),
+                                 lambda pp, lens: (pp, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),   # packed kv, HBM
+                    pl.BlockSpec(memory_space=pl.ANY),   # scale rows, HBM
+                ],
+                out_specs=pl.BlockSpec((1, group, rows, hd_tot),
+                                       lambda pp, lens: (pp, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nprog, group, rows, hd_tot), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * rows * s_max * hd_tot,
+                bytes_accessed=(kv.size + kv_scales.size) * 4,
+                transcendentals=b * rows * s_max),
+            interpret=_interpret(),
+        )(jnp.asarray(lengths, jnp.int32), q_rows, oh_g, kv, kv_scales)
+    else:
+        out_full = pl.pallas_call(
+            functools.partial(_decode_grouped_kernel, scale=scale,
+                              block_k=block_k, h=rows, hd_tot=hd_tot,
+                              group=group, chunk_s=s),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,   # lengths
+                grid=(nprog,),
+                in_specs=[
+                    pl.BlockSpec((1, group, rows, hd_tot),
+                                 lambda pp, lens: (pp, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),   # kv stays in HBM
+                ],
+                out_specs=pl.BlockSpec((1, group, rows, hd_tot),
+                                       lambda pp, lens: (pp, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nprog, group, rows, hd_tot), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * rows * s_max * hd_tot,
+                bytes_accessed=kv.size * kv.dtype.itemsize,
+                transcendentals=b * rows * s_max),
+            interpret=_interpret(),
+        )(jnp.asarray(lengths, jnp.int32), q_rows, kv)
+    out5 = out_full.reshape(b, s, h, kv_heads, d)
+    return jnp.einsum("bshgd,hg->bshd", out5, onehot.astype(out5.dtype))
 
 
 def _decode_paged_grouped_kernel(tab_ref, len_ref, q_ref, kv_hbm, o_ref,

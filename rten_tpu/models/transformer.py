@@ -474,14 +474,27 @@ class TransformerLM:
             # tokens plus the just-appended chunk, causally within it.
             if cfg.use_pallas and not getattr(cache, "paged", False):
                 # Ragged Pallas kernel: cache reads scale with live
-                # length, not capacity (kernels/attention.py).
-                from ..kernels.attention import flash_verify_fused
+                # length, not capacity (kernels/attention.py). Grouped
+                # form for batch >= 2*G (same A/B rationale as decode:
+                # G independent per-sequence chains per program hide the
+                # per-block op-issue latency).
                 scales = (cache.quant_scales[layer_idx]
                           if cache.quant_scales is not None else None)
-                out = flash_verify_fused(q.transpose(0, 2, 1, 3),
-                                         cache.fused_layer(layer_idx),
-                                         cache.lengths, kvh,
-                                         kv_scales=scales)
+                group = next((g for g in (8, 4, 2) if b % g == 0 and
+                              b >= 2 * g), 0)
+                if group and cfg.decode_attn in ("auto", "grouped"):
+                    from ..kernels.attention import flash_verify_grouped
+                    out = flash_verify_grouped(q.transpose(0, 2, 1, 3),
+                                               cache.fused_layer(layer_idx),
+                                               cache.lengths, kvh,
+                                               group=group,
+                                               kv_scales=scales)
+                else:
+                    from ..kernels.attention import flash_verify_fused
+                    out = flash_verify_fused(q.transpose(0, 2, 1, 3),
+                                             cache.fused_layer(layer_idx),
+                                             cache.lengths, kvh,
+                                             kv_scales=scales)
                 out = out.astype(x.dtype).transpose(0, 2, 1, 3)
             else:
                 # XLA fallback: [B, H, s, cap] masked einsum (s is small

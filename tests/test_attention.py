@@ -200,6 +200,91 @@ def test_flash_verify_fused_quantized_cache():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("group,kvh,h", [(2, 4, 8), (4, 2, 4)])
+def test_flash_verify_grouped_matches_chunk_reference(group, kvh, h):
+    from rten_tpu.kernels.attention import (_chunk_reference,
+                                            flash_verify_grouped)
+    B, S, D, cap = 4, 3, 32, 128
+    r = np.random.RandomState(21)
+    q = jnp.asarray(r.randn(B, S, h, D).astype(np.float32))
+    kv = jnp.asarray(r.randn(B, cap, 2, kvh * D).astype(np.float32))
+    lengths = jnp.asarray([7, 100, 1, 64], jnp.int32)  # pre-chunk
+    out = flash_verify_grouped(q, kv, lengths, kvh, block_k=64,
+                               group=group)
+    want = _chunk_reference(q, kv, lengths, kvh, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_verify_grouped_per_query_causality():
+    """Query i must not see chunk rows > i, and garbage past the chunk
+    must not leak — per member of the group, even when another member
+    is longer (its blocks are DMA'd for everyone)."""
+    from rten_tpu.kernels.attention import flash_verify_grouped
+    B, S, H, D, cap = 2, 3, 2, 32, 128
+    r = np.random.RandomState(22)
+    q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
+    kv = r.randn(B, cap, 2, H * D).astype(np.float32)
+    lengths = jnp.asarray([10, 90], jnp.int32)
+    out1 = flash_verify_grouped(q, jnp.asarray(kv), lengths, H,
+                                block_k=64, group=2)
+    kv2 = kv.copy()
+    kv2[0, 10 + 2] = 1e3           # seq 0's LAST chunk row
+    kv2[0, 10 + S:] = 1e9          # garbage past seq 0's chunk
+    out2 = flash_verify_grouped(q, jnp.asarray(kv2), lengths, H,
+                                block_k=64, group=2)
+    np.testing.assert_allclose(np.asarray(out2[0, :2]),
+                               np.asarray(out1[0, :2]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(out1[1]),
+                               rtol=1e-6)
+    assert np.abs(np.asarray(out2[0, 2]) - np.asarray(out1[0, 2])).max() \
+        > 1e-3
+
+
+def test_flash_verify_grouped_quantized_cache():
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_planar)
+    from rten_tpu.kernels.attention import (_chunk_reference,
+                                            flash_verify_grouped)
+    B, S, H, KVH, D, cap = 4, 3, 8, 4, 32, 64
+    r = np.random.RandomState(23)
+    q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
+    k_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * r.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    lengths = jnp.asarray([7, 58, 1, 30], jnp.int32)
+
+    out = flash_verify_grouped(q, kv_q, lengths, KVH, block_k=64,
+                               group=2, kv_scales=jnp.asarray(scales))
+
+    kf = (jnp.asarray(k_q).reshape(B, cap, KVH, D).astype(jnp.float32)
+          * s_np[:, :, 0][..., None]).reshape(B, cap, KVH * D)
+    vf = (jnp.asarray(v_q).reshape(B, cap, KVH, D).astype(jnp.float32)
+          * s_np[:, :, 1][..., None]).reshape(B, cap, KVH * D)
+    kvf = jnp.stack([kf, vf], axis=2)
+    want = _chunk_reference(q, kvf, lengths, KVH, 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_verify_grouped_fallback_odd_batch():
+    from rten_tpu.kernels.attention import (flash_verify_fused,
+                                            flash_verify_grouped)
+    B, S, H, D, cap = 3, 2, 2, 32, 64
+    r = np.random.RandomState(24)
+    q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
+    kv = jnp.asarray(r.randn(B, cap, 2, H * D).astype(np.float32))
+    lengths = jnp.asarray([5, 40, 60], jnp.int32)
+    got = flash_verify_grouped(q, kv, lengths, H, group=2)
+    want = flash_verify_fused(q, kv, lengths, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("kvh,h", [(4, 4), (2, 8)])
 def test_flash_decode_stream_matches_reference(kvh, h):
     from rten_tpu.kernels.attention import (_attn_reference,

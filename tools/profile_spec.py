@@ -51,6 +51,11 @@ def main():
     parser.add_argument("--capacity", type=int, default=2048)
     parser.add_argument("--quantize", choices=["int8", "int4"],
                         default="int8")
+    parser.add_argument("--decode-attn", default="auto",
+                        choices=["auto", "fused", "stream", "grouped"],
+                        help="decode/verify attention kernel (A/B: 'fused'"
+                             " = per-(seq, block) grid; 'auto'/'grouped' ="
+                             " batched-group)")
     args = parser.parse_args()
 
     import jax
@@ -60,7 +65,7 @@ def main():
                                              TransformerLM,
                                              quantize_weights)
 
-    cfg = TransformerConfig.gpt2()
+    cfg = TransformerConfig.gpt2(decode_attn=args.decode_attn)
     model = TransformerLM(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     if args.quantize:
