@@ -18,7 +18,6 @@ rten-generate/src/generator.rs:507-521) — this is its TPU re-imagining.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ expand to ``<path>#q{kind,group,n}/data`` and ``.../scales``.
 
 from __future__ import annotations
 
-import io
 import re
 
 import numpy as np

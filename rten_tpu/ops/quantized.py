@@ -124,12 +124,10 @@ def qlinear_conv(ctx, attrs, x, x_scale, x_zp, w, w_scale, w_zp,
     """Quantized conv: int32 conv accumulation (implicit GEMM on the MXU)
     with scales applied at the output, then requantization. Bias is int32
     at scale x_scale*w_scale (ONNX spec)."""
-    from .conv import conv as conv_fp
-
     x32 = x.astype(jnp.int32) - jnp.asarray(x_zp).astype(jnp.int32)
     w32 = w.astype(jnp.int32) - jnp.asarray(w_zp).astype(jnp.int32)
-    # Reuse the float conv lowering's geometry by running in int32: XLA
-    # lowers integer conv_general_dilated fine. conv_fp adds bias after.
+    # Same geometry as the float conv lowering, run in int32: XLA
+    # lowers integer conv_general_dilated fine; bias adds in int32 after.
     import jax.lax as lax
     from .common import attr_ints, resolve_pads
     squeeze_h = x32.ndim == 3

@@ -23,8 +23,8 @@ Metadata per op:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from dataclasses import dataclass
+from typing import Callable
 
 
 @dataclass
