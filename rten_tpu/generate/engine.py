@@ -166,13 +166,20 @@ class ServingEngine:
                 cache = model.new_cache(group, capacity,
                                         quantized=quantized_cache,
                                         cache_dtype=self.cache_dtype)
-            logits, cache = model.forward(
-                params, tokens, cache,
-                lengths=jnp.zeros(group, jnp.int32))
             # The bucket may exceed each true length: the cache holds
-            # garbage past `lengths[g]`, which decode masks out; pick the
-            # logits at each request's last *real* token.
-            last = logits[jnp.arange(group), lengths - 1]
+            # garbage past `lengths[g]`, which decode masks out; only the
+            # logits at each request's last *real* token matter. Models
+            # exposing ``prefill_last`` never materialize the [G, bucket,
+            # vocab] logits (the largest prefill intermediate — it OOMed
+            # a [256, 64] GPT-2 admission group).
+            if hasattr(model, "prefill_last"):
+                last, cache = model.prefill_last(params, tokens, cache,
+                                                 lengths - 1)
+            else:
+                logits, cache = model.forward(
+                    params, tokens, cache,
+                    lengths=jnp.zeros(group, jnp.int32))
+                last = logits[jnp.arange(group), lengths - 1]
             cache = cache.with_lengths(lengths)
             return last, cache
 

@@ -623,6 +623,22 @@ class TransformerLM:
         return self.forward(params, tokens, cache,
                             lengths=jnp.zeros(tokens.shape[0], jnp.int32))
 
+    def prefill_last(self, params, tokens, cache, last_idx):
+        """Prefill that returns ONLY each sequence's last-token logits
+        ([B, V]); ``last_idx`` [B] is the index of the last real token
+        per row. The full [B, S, V] logits tensor — by far the largest
+        prefill intermediate (3.3 GB for a [256, 64] GPT-2 admission
+        group) — is never materialized: the LM head runs on the B
+        gathered hidden rows only."""
+        x, cache = self._hidden_states(params, tokens, cache)
+        xl = x[jnp.arange(x.shape[0]), last_idx]          # [B, D]
+        if self.config.tie_embeddings and "lm_head" not in params:
+            logits = jnp.matmul(xl, params["embed"].T.astype(xl.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            logits = linear(xl, params["lm_head"])
+        return logits.astype(jnp.float32), cache
+
     def decode_step(self, params, tokens, cache):
         """tokens: [B] int32 — one token per sequence."""
         logits, cache = self.forward(params, tokens[:, None], cache)

@@ -392,3 +392,34 @@ def test_encdec_burst_generate_matches_stepwise(encdec):
     got = model.generate(params, feats, start_token=1, max_tokens=7,
                          burst=3)
     assert got.tolist() == ref.tolist()
+
+
+def test_prefill_last_matches_forward_gather():
+    """prefill_last (engine prefill without the [B, S, V] logits tensor)
+    must equal forward() + per-row last-token gather, and advance the
+    cache identically — ragged lengths inside one padded bucket."""
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM)
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (3, 8)), jnp.int32)
+    lengths = jnp.asarray([8, 5, 2], jnp.int32)
+
+    cache_a = model.new_cache(3, capacity=16)
+    logits, cache_a = model.forward(params, tokens, cache_a,
+                                    lengths=jnp.zeros(3, jnp.int32))
+    ref = logits[jnp.arange(3), lengths - 1]
+
+    cache_b = model.new_cache(3, capacity=16)
+    got, cache_b = model.prefill_last(params, tokens, cache_b, lengths - 1)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+            [cache_a.layer_kv(i) for i in range(cfg.n_layers)],
+            [cache_b.layer_kv(i) for i in range(cfg.n_layers)]):
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    assert cache_a.lengths.tolist() == cache_b.lengths.tolist()
