@@ -149,10 +149,16 @@ class ServingEngine:
         self._log_every = log_stats_every
 
         # --- compiled programs ---
-        def prefill_fn(params, tokens, lengths):
+        def prefill_fn(params, tokens, lengths, cap):
             """Batched prefill: tokens [G, bucket], per-request lengths
-            [G]. One compile per (bucket, G) pair; admission batches all
-            same-bucket queued requests to amortize dispatch."""
+            [G]. One compile per (bucket, G, cap) triple; admission
+            batches all same-bucket queued requests to amortize
+            dispatch. ``cap`` (static) sizes the group cache: admission
+            passes the bucket (insert only copies rows [0, bucket), and
+            a full-capacity group cache doubles the persistent cache's
+            footprint — it OOMed a G=256/cap=512 f32 config); prefix
+            registration passes the engine capacity (the fragment is
+            extended in place by suffix chunks)."""
             group, bucket = tokens.shape
             if self.paged:
                 # Group cache with an identity page table: each prefilled
@@ -163,7 +169,7 @@ class ServingEngine:
                     group * (-(-bucket // self.page_size)),
                     identity_table=True)
             else:
-                cache = model.new_cache(group, capacity,
+                cache = model.new_cache(group, cap,
                                         quantized=quantized_cache,
                                         cache_dtype=self.cache_dtype)
             # The bucket may exceed each true length: the cache holds
@@ -183,7 +189,7 @@ class ServingEngine:
             cache = cache.with_lengths(lengths)
             return last, cache
 
-        self._prefill = jax.jit(prefill_fn)
+        self._prefill = jax.jit(prefill_fn, static_argnums=(3,))
 
         # Greedy sampling + an int8 head takes the fused LM-head+argmax
         # kernel (model.decode_step_argmax): no [B, vocab] logits, one
@@ -405,7 +411,8 @@ class ServingEngine:
                         self.cache, slot, pages * self.page_size + 1,
                         length=0)
             last_logits, prefilled = self._prefill(
-                self.params, jnp.asarray(tokens), jnp.asarray(lengths))
+                self.params, jnp.asarray(tokens), jnp.asarray(lengths),
+                min(bucket, self.capacity))
             self._finish_admission(group_pairs, lengths, last_logits,
                                    prefilled)
 
@@ -478,7 +485,8 @@ class ServingEngine:
         arr = np.zeros((1, bucket), np.int32)
         arr[0, :len(toks)] = toks
         _, frag = self._prefill(self.params, jnp.asarray(arr),
-                                jnp.asarray([len(toks)], np.int32))
+                                jnp.asarray([len(toks)], np.int32),
+                                self.capacity)
         self._prefixes.append((toks, frag))
         self._prefixes.sort(key=lambda kv: -len(kv[0]))
         return len(toks)

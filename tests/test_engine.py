@@ -516,3 +516,22 @@ def test_admission_group_sizes_pad_to_pow2(model_and_params):
             assert out == want
     # Group sizes {3,5,6,7} pad to {4,8}: exactly two compiled prefills.
     assert eng._prefill._cache_size() == 2
+
+
+def test_admission_group_cache_is_bucket_sized(model_and_params):
+    """The admission prefill's group cache only holds the prompt
+    (insert copies rows [0, bucket) into the persistent cache), so it
+    must be allocated at bucket capacity, not engine capacity — a
+    full-capacity group cache doubles the engine's KV footprint (it
+    OOMed a G=256/cap=512 f32 config on a 16 GB chip)."""
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,))
+    toks = jnp.zeros((2, 16), jnp.int32)
+    _, prefilled = eng._prefill(params, toks,
+                                jnp.asarray([3, 16], jnp.int32), 16)
+    kv = prefilled.kv if not prefilled.stacked else [prefilled.kv]
+    seq_axis = 2 if prefilled.stacked else 1
+    assert all(buf.shape[seq_axis] == 16 for buf in kv)
+    outs = eng.generate([[1, 2, 3], [4, 5] * 8], max_new_tokens=4)
+    assert all(len(o) == 4 for o in outs)
