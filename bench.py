@@ -45,15 +45,16 @@ def main():
     if on_tpu:
         # Saturated continuous batch: decode streams every weight once
         # per step regardless of batch, so tokens/s/chip rises with
-        # occupancy until KV bandwidth binds. Batch 128: the knee moved
-        # up with the batched-group decode-attention kernel
-        # (profile_batch_sweep round 4: 64 -> 31.4k, 128 -> 39.1k,
-        # 256 -> 42.6k bare-burst tok/s; 128 keeps admission prefill +
-        # TTFT sane inside the driver budget). Batched admission
-        # prefills all same-bucket requests in ONE compiled program, so
-        # the compile count stays inside the driver's budget.
+        # occupancy until KV bandwidth binds (bare-burst sweep round 4:
+        # 64 -> 31.4k, 128 -> 39.1k, 256 -> 42.6k tok/s). Batch 256
+        # became viable once prefill_last stopped materializing the
+        # [G, bucket, vocab] logits and the admission group cache was
+        # sized to the bucket (round 5): 30.8k full-bench vs 29.5k at
+        # batch 128, 6m15s warm (within the driver budget). Batched
+        # admission prefills all same-bucket requests in ONE compiled
+        # program, so the compile count stays bounded.
         cfg = TransformerConfig.gpt2()
-        batch, prompt_len, decode_steps, capacity = 128, 64, 384, 512
+        batch, prompt_len, decode_steps, capacity = 256, 64, 384, 512
     else:
         # CPU smoke configuration (fast local check only).
         cfg = TransformerConfig.tiny_test()
@@ -72,7 +73,7 @@ def main():
 
     # Bursts amortize tunnel/dispatch latency on TPU; on CPU (smoke mode)
     # scan-unrolled interpret-mode kernels make bursts trace-slow.
-    burst = int(os.environ.get("RTEN_BENCH_BURST", 64 if on_tpu else 1))
+    burst = int(os.environ.get("RTEN_BENCH_BURST", 128 if on_tpu else 1))
 
     def measure(p, cache_dtype=None):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
