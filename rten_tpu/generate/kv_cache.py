@@ -25,16 +25,24 @@ row. Chosen over the textbook ``[B, KVH, cap, D]`` pair because on TPU:
 sequences of one batch at different depths). Optional int8 quantized
 storage (per-token-per-head scales) halves cache bandwidth vs bf16.
 
-Quantized layout (byte-planar int32 packing): Mosaic rejects row DMAs of
-int8 buffers (sub-word sublane packing), so the int8 cache is stored as
-int32 ``[B, cap, 1, KVH*D/2]`` where lane ``j`` packs four int8 values —
-``K[j] | K[j+F/2]<<8 | V[j]<<16 | V[j+F/2]<<24`` (F = KVH*D). Unpacking
-is shift+sign-extend plus a lane-contiguous concat that restores
-canonical order (the same planar trick as the int4 GEMM's nibble tiles,
-kernels/gemm.py). Scales live in f32 ``[B, cap, 1, 128]`` rows (K scales
-at lanes [0, KVH), V at [64, 64+KVH)) so the decode append is ONE
-two-buffer DMA — the earlier int8 fallback to XLA's scatter cost more
-than the bandwidth the quantization saved (~2.3 ms/step at batch 64).
+Quantized layout (token-packed int32): Mosaic rejects row DMAs of int8
+buffers (sub-word sublane packing), so the int8 cache is stored as int32
+``[B, 2, cap/4, KVH*D]`` (plane 0 = K, 1 = V) where lane ``(r, j)``
+packs tokens ``4r..4r+3``'s feature ``j`` as bytes 0..3. This packing is
+chosen to be the exact inverse of Mosaic's sublane bitcast: inside a
+kernel, ``pltpu.bitcast(block_int32, int8)`` on a ``[block/4, F]`` tile
+yields the canonical token-major int8 ``[block, F]`` tile (byte b of
+sublane s lands at sublane 4s+b) with ZERO unpack arithmetic — the
+decode kernels then feed it straight into the score/PV dots (either via
+a single int8→compute-dtype convert, or as genuine int8×int8 MXU dots
+with a row-quantized q). The previous byte-planar-in-lanes packing
+needed 4 shifts + 2 concats per block in the kernel's dependent op
+chain, which on v5e cost more than the bandwidth the 1 B/elt stream
+saved. Scales live in f32 ``[B, cap, 1, 128]`` rows (K scales at lanes
+[0, KVH), V at [64, 64+KVH)). Decode appends read-modify-write one int32
+row per plane (the new token owns byte ``pos%4`` of row ``pos//4``) in
+one Pallas kernel (kernels/cache.py::cache_append_quant) — the int8
+fallback to XLA's scatter cost more than quantization saved.
 """
 
 from __future__ import annotations
@@ -51,30 +59,108 @@ SCALE_LANES = 128
 VSCALE_OFF = 64
 
 
-def pack_int8_planar(kq, vq):
-    """Byte-planar pack: ``kq``/``vq`` [..., F] int8-range ints →
-    [..., 1, F//2] int32 (lane j = K[j] | K[j+F/2]<<8 | V[j]<<16 |
-    V[j+F/2]<<24). Unpacks to canonical order with two lane-contiguous
-    concats (no shuffles)."""
-    f = kq.shape[-1]
-    h2 = f // 2
+def pack_int8_tokens(x):
+    """Token-packed int32 pack: ``x`` [..., T, F] int8-range ints
+    (T % 4 == 0) → [..., T/4, F] int32 where row r's lane j packs tokens
+    4r..4r+3's feature j as (little-endian) bytes 0..3. The inverse of
+    Mosaic's int32→int8 sublane bitcast, so kernels unpack for free."""
+    t, f = x.shape[-2:]
+    assert t % 4 == 0
+    g = x.astype(jnp.int32).reshape(*x.shape[:-2], t // 4, 4, f)
 
-    def byte(x):
-        return jnp.bitwise_and(x.astype(jnp.int32), 0xFF)
+    def byte(i):
+        return jnp.bitwise_and(g[..., i, :], 0xFF)
 
-    lane = (byte(kq[..., :h2]) | (byte(kq[..., h2:]) << 8)
-            | (byte(vq[..., :h2]) << 16)
-            | (vq[..., h2:].astype(jnp.int32) << 24))
-    return lane[..., None, :]
+    return (byte(0) | (byte(1) << 8) | (byte(2) << 16)
+            | (g[..., 3, :] << 24))
 
 
-def unpack_int8_planar(packed):
-    """Inverse of :func:`pack_int8_planar`: [..., 1, F//2] int32 →
-    (k [..., F], v [..., F]) int32, sign-extended."""
-    x = packed[..., 0, :]
-    k = jnp.concatenate([(x << 24) >> 24, (x << 16) >> 24], axis=-1)
-    v = jnp.concatenate([(x << 8) >> 24, x >> 24], axis=-1)
-    return k, v
+def unpack_int8_tokens(packed):
+    """Inverse of :func:`pack_int8_tokens`: [..., R, F] int32 →
+    [..., 4R, F] int32, sign-extended."""
+    r, f = packed.shape[-2:]
+    x = jnp.stack([(packed << 24) >> 24, (packed << 16) >> 24,
+                   (packed << 8) >> 24, packed >> 24], axis=-2)
+    return x.reshape(*packed.shape[:-2], 4 * r, f)
+
+
+def pack_int8_cache(kq, vq):
+    """Pack full K/V planes [..., cap, F] int8-range ints into the cache
+    layout [..., 2, cap/4, F] int32 (tests/tools convenience)."""
+    return jnp.stack([pack_int8_tokens(kq), pack_int8_tokens(vq)],
+                     axis=-3)
+
+
+def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
+    """Write quantized tokens into the token-packed cache.
+
+    buf:      [B, 2, cap/4, F] int32 (token-packed, see module doc);
+    sbuf:     [B, cap, 1, SCALE_LANES] f32 scale rows;
+    bytes_kv: [B, 2, T, F] int32 int8-range byte values;
+    srows:    [B, T, 1, SCALE_LANES] f32;
+    position: 4-aligned python int (prefill) or None (per-sequence
+              offsets from ``lengths``).
+    Returns (new_buf, new_sbuf)."""
+    b, _, t, f = bytes_kv.shape
+    cap4 = buf.shape[2]
+    cap = cap4 * 4
+
+    if position is not None:
+        assert isinstance(position, int) and position % 4 == 0, position
+        # Prefill: whole-row DUS; tokens padded to a row boundary write
+        # zero bytes past ``t`` — dead until a later append merges them.
+        pad = (-t) % 4
+        if pad:
+            bytes_kv = jnp.pad(bytes_kv, ((0, 0), (0, 0), (0, pad),
+                                          (0, 0)))
+        rows = pack_int8_tokens(bytes_kv)
+        new_buf = jax.lax.dynamic_update_slice(
+            buf, rows, (0, 0, position // 4, 0))
+        new_sbuf = jax.lax.dynamic_update_slice(
+            sbuf, srows, (0, position, 0, 0))
+        return new_buf, new_sbuf
+
+    if t == 1 and f % _LANE == 0:
+        # Decode: one Pallas kernel RMW-merges byte pos%4 of int32 row
+        # pos//4 per plane and appends the scale row (see
+        # kernels/cache.py::cache_append_quant). Positions clamp to the
+        # last token (finished slots keep advancing — see the float
+        # path's comment).
+        from ..kernels.cache import cache_append_quant
+        pos = jnp.minimum(lengths, cap - 1)
+        return cache_append_quant(pos, buf, sbuf, bytes_kv, srows)
+
+    # Chunked per-sequence append (speculative verify) or unaligned
+    # lanes: XLA read-modify-write over the covering row window.
+    w4 = min((t + 3) // 4 + 1, cap4)
+    offs = jnp.minimum(lengths, cap - t)
+    row0 = jnp.clip(offs // 4, 0, cap4 - w4)
+    shift = offs - row0 * 4                       # in [0, w4*4 - t]
+
+    placed = jax.vmap(
+        lambda xb, s: jax.lax.dynamic_update_slice(
+            jnp.zeros((2, w4 * 4, f), jnp.int32), xb, (0, s, 0))
+    )(bytes_kv, shift)
+    valid = jax.vmap(
+        lambda s: jax.lax.dynamic_update_slice(
+            jnp.zeros((w4 * 4, 1), jnp.int32),
+            jnp.full((t, 1), 0xFF, jnp.int32), (s, 0))
+    )(shift)
+    new_rows = pack_int8_tokens(placed)           # [B, 2, w4, F]
+    mask = pack_int8_tokens(valid)[:, None]       # [B, 1, w4, 1]
+
+    windows = jax.vmap(
+        lambda bb, r: jax.lax.dynamic_slice(bb, (0, r, 0), (2, w4, f))
+    )(buf, row0)
+    merged = (windows & ~mask) | (new_rows & mask)
+    new_buf = jax.vmap(
+        lambda bb, m, r: jax.lax.dynamic_update_slice(bb, m, (0, r, 0))
+    )(buf, merged, row0)
+    new_sbuf = jax.vmap(
+        lambda sb, srow, o: jax.lax.dynamic_update_slice(
+            sb, srow, (o, 0, 0))
+    )(sbuf, srows, offs)
+    return new_buf, new_sbuf
 
 
 def _quantize_tokens(x):
@@ -116,8 +202,8 @@ class KVCache:
         if quantized:
             assert not stacked, "quantized+stacked not supported yet"
             f = kv_heads * head_dim
-            assert f % 2 == 0 and kv_heads <= VSCALE_OFF
-            shape = (batch, capacity, 1, f // 2)          # byte-planar
+            assert capacity % 4 == 0 and kv_heads <= VSCALE_OFF
+            shape = (batch, 2, capacity // 4, f)          # token-packed
             kv = [jnp.zeros(shape, jnp.int32) for _ in range(n_layers)]
             sshape = (batch, capacity, 1, SCALE_LANES)
             scales = [jnp.ones(sshape, jnp.float32)
@@ -138,6 +224,8 @@ class KVCache:
 
     @property
     def capacity(self):
+        if self.quant_scales is not None:
+            return self.quant_scales[0].shape[1]
         return self.kv.shape[2] if self.stacked else self.kv[0].shape[1]
 
     @property
@@ -152,22 +240,24 @@ class KVCache:
 
     def _pack(self, k_new, v_new):
         """[B, KVH, T, D] k/v → token-major rows: float caches
-        [B, T, 2, KVH*D]; quantized caches byte-planar int32
-        [B, T, 1, KVH*D/2] + scale rows [B, T, 1, 128]."""
+        [B, T, 2, KVH*D]; quantized caches int8-range byte values
+        [B, 2, T, KVH*D] int32 (NOT yet token-packed — each append
+        branch packs/merges per its own alignment) + scale rows
+        [B, T, 1, 128]."""
         b, kvh, t, d = k_new.shape
         k_t = k_new.transpose(0, 2, 1, 3)           # [B, T, KVH, D]
         v_t = v_new.transpose(0, 2, 1, 3)
         if self.quant_scales is not None:
             k_q, k_s = _quantize_tokens(k_t)
             v_q, v_s = _quantize_tokens(v_t)
-            packed = pack_int8_planar(
-                k_q.astype(jnp.int32).reshape(b, t, kvh * d),
-                v_q.astype(jnp.int32).reshape(b, t, kvh * d))
+            bytes_kv = jnp.stack(
+                [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
+                 v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
             scales = jnp.ones((b, t, 1, SCALE_LANES), jnp.float32)
             scales = scales.at[..., 0, 0:kvh].set(k_s)
             scales = scales.at[..., 0,
                                VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
-            return packed, scales
+            return bytes_kv, scales
         packed = jnp.stack([k_t.reshape(b, t, kvh * d),
                             v_t.reshape(b, t, kvh * d)], axis=2)
         return packed, None
@@ -204,36 +294,35 @@ class KVCache:
                            self.kv_heads, self.head_dim)
 
         buf = self.kv[layer]
-        packed = packed.astype(buf.dtype)
         scales = self.quant_scales
-        quant = scales is not None
-        # The quantized row is [1, KVH*D/2] int32 (byte-planar); the
-        # float row is [1, 2, KVH*D]. Either way the Pallas DMA needs a
+        if scales is not None:
+            new_buf, s_new = _quant_append(buf, scales[layer], packed,
+                                           new_scales, position,
+                                           self.lengths)
+            kv = list(self.kv)
+            kv[layer] = new_buf
+            sc = list(scales)
+            sc[layer] = s_new
+            return KVCache(kv, self.lengths, sc, self.kv_heads,
+                           self.head_dim)
+
+        packed = packed.astype(buf.dtype)
+        # The float row is [1, 2, KVH*D]; the Pallas DMA needs a
         # 128-lane-aligned last dim.
         lanes_ok = (packed.shape[-1] % _LANE == 0
-                    and (quant or buf.dtype.itemsize >= 2))
-        scales_done = False
+                    and buf.dtype.itemsize >= 2)
 
         if position is None and t == 1 and lanes_ok:
             # Decode append at per-sequence depths: the Pallas in-place
             # kernel writes B contiguous row DMAs instead of XLA's
-            # scatter (see module docstring). Quantized caches append
-            # the kv row AND the scale row in the same kernel call.
-            # Positions clamp to the last row: the decode program runs
-            # for EVERY batch slot, including finished ones whose lengths
-            # keep advancing until the slot is reused — their writes must
-            # stay in bounds (DMA does not clamp the way
-            # dynamic_update_slice does).
+            # scatter (see module docstring). Positions clamp to the
+            # last row: the decode program runs for EVERY batch slot,
+            # including finished ones whose lengths keep advancing until
+            # the slot is reused — their writes must stay in bounds (DMA
+            # does not clamp the way dynamic_update_slice does).
             from ..kernels.cache import cache_append
             pos = jnp.minimum(self.lengths, buf.shape[1] - 1)
-            if quant:
-                new_buf, s_new = cache_append(
-                    pos, (buf, scales[layer]), (packed, new_scales))
-                scales = list(scales)
-                scales[layer] = s_new
-                scales_done = True
-            else:
-                (new_buf,) = cache_append(pos, (buf,), (packed,))
+            (new_buf,) = cache_append(pos, (buf,), (packed,))
         elif position is None:
             def upd(b_buf, new, pos):
                 return jax.lax.dynamic_update_slice(
@@ -245,23 +334,7 @@ class KVCache:
 
         kv = list(self.kv)
         kv[layer] = new_buf
-        if quant and not scales_done:
-            sbuf = scales[layer]
-            if position is None:
-                if t == 1:
-                    s_new = sbuf.at[jnp.arange(b), self.lengths].set(
-                        new_scales[:, 0])
-                else:
-                    def supd(bb, new, pos):
-                        return jax.lax.dynamic_update_slice(bb, new,
-                                                            (pos, 0, 0))
-                    s_new = jax.vmap(supd)(sbuf, new_scales, self.lengths)
-            else:
-                s_new = jax.lax.dynamic_update_slice(
-                    sbuf, new_scales, (0, position, 0, 0))
-            scales = list(scales)
-            scales[layer] = s_new
-        return KVCache(kv, self.lengths, scales, self.kv_heads,
+        return KVCache(kv, self.lengths, None, self.kv_heads,
                        self.head_dim)
 
     def insert_sequence(self, other: "KVCache", slot, length, src_slot=0):
@@ -310,11 +383,12 @@ class KVCache:
         folds them into the consuming dot. ``layer`` may be traced in
         stacked mode."""
         buf = self.fused_layer(layer)
-        b, cap = buf.shape[0], buf.shape[1]
+        b, cap = buf.shape[0], self.capacity
         kvh, d = self.kv_heads, self.head_dim
 
         if self.quant_scales is not None:
-            kq, vq = unpack_int8_planar(buf)           # [B, cap, KVH*D]
+            kq = unpack_int8_tokens(buf[:, 0])         # [B, cap, KVH*D]
+            vq = unpack_int8_tokens(buf[:, 1])
             s = self.quant_scales[layer][:, :, 0]      # [B, cap, 128]
 
             def deq(x, s_rows):

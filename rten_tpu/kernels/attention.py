@@ -215,14 +215,13 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
         q = q_ref[0]                       # [H, KVH*D] block-diag rows
         h = q.shape[0]
         if scales_ref is not None:
-            # Byte-planar int8 cache: one int32 row packs K|K|V|V bytes
-            # (generate/kv_cache.py::pack_int8_planar). Shift +
-            # sign-extend + lane-contiguous concat restores canonical
-            # column order — no cross-lane shuffles.
-            x = kv_ref[0, :, 0, :]                      # [block_k, L]
-            kblk = jnp.concatenate([(x << 24) >> 24, (x << 16) >> 24],
-                                   axis=-1)             # [block_k, 2L]
-            vblk = jnp.concatenate([(x << 8) >> 24, x >> 24], axis=-1)
+            # Token-packed int8 cache (generate/kv_cache.py): the
+            # sublane bitcast IS the unpack — byte b of int32 row r is
+            # token 4r+b, so one bitcast per plane yields the canonical
+            # [block_k, F] int8 tile with zero shift arithmetic.
+            x = kv_ref[0]                               # [2, blk/4, F]
+            kblk = pltpu.bitcast(x[0], jnp.int8)        # [block_k, F]
+            vblk = pltpu.bitcast(x[1], jnp.int8)
         else:
             kblk = kv_ref[0, :, 0, :]                   # [block_k, KVH*D]
             vblk = kv_ref[0, :, 1, :]
@@ -294,8 +293,8 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
 
     q: [B, H, D] (one query token per sequence);
     kv: [B, cap, 2, KVH*D] — the KVCache fused layout (plane 0 = K,
-    plane 1 = V). int8 storage: pass the byte-planar packed cache
-    (int32 [B, cap, 1, KVH*D/2], generate/kv_cache.py) with
+    plane 1 = V). int8 storage: pass the token-packed cache
+    (int32 [B, 2, cap/4, KVH*D], generate/kv_cache.py) with
     ``kv_scales`` f32 [B, cap, 1, 128] per-token scale rows —
     dequantization happens on the MXU (see kernel), so the cache
     streams at 1 B/elt;
@@ -313,24 +312,27 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     b, h, d = q.shape
     hd_tot = kv_heads * d
     quant = kv_scales is not None
-    _, s_max, planes, lanes = kv.shape
     if quant:
-        # Byte-planar int8 cache (generate/kv_cache.py): int32
-        # [B, cap, 1, hd_tot/2] + f32 scale rows [B, cap, 1, 128]
+        # Token-packed int8 cache (generate/kv_cache.py): int32
+        # [B, 2, cap/4, hd_tot] + f32 scale rows [B, cap, 1, 128]
         # (K scales at lanes [0, KVH), V at [VSCALE_OFF, +KVH)).
-        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+        _, planes, rows, lanes = kv.shape
+        s_max = rows * 4
+        assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
+        _, s_max, planes, lanes = kv.shape
         assert planes == 2 and lanes == hd_tot
     assert h % kv_heads == 0
     q_per_kv = h // kv_heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_k = min(block_k, s_max)
-    if s_max % block_k:
+    if s_max % block_k or block_k % 4:
         # Ragged capacities: jnp fallback with the same masking semantics.
-        from ..generate.kv_cache import VSCALE_OFF, unpack_int8_planar
+        from ..generate.kv_cache import VSCALE_OFF, unpack_int8_tokens
         if quant:
-            kq, vq = unpack_int8_planar(kv)
+            kq = unpack_int8_tokens(kv[:, 0])
+            vq = unpack_int8_tokens(kv[:, 1])
             s_rows = kv_scales[:, :, 0]
             raw = {0: (kq, s_rows[:, :, :kv_heads]),
                    1: (vq, s_rows[:, :, VSCALE_OFF:VSCALE_OFF + kv_heads])}
@@ -375,7 +377,11 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
                               SCALE_LANES - VSCALE_OFF - kv_heads))),
         ], axis=1)
         oh_arg, oh_block = oh_s, (h, 2 * SCALE_LANES)
-        kv_block = (1, block_k, 1, lanes)
+        kv_block = (1, 2, block_k // 4, hd_tot)
+
+        def kv_index(bb, kk, lens):          # noqa: F811 (quant layout)
+            last = jnp.maximum(pl.cdiv(lens[bb], block_k) - 1, 0)
+            return (bb, 0, jnp.minimum(kk, last), 0)
     else:
         oh_arg, oh_block = onehot, (h, kv_heads)
         kv_block = (1, block_k, 2, hd_tot)
@@ -394,9 +400,12 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     kernel = functools.partial(_decode_fused_kernel, scale=scale,
                                block_k=block_k, n_k=n_k)
     if quant:
+        def sc_index(bb, kk, lens):
+            last = jnp.maximum(pl.cdiv(lens[bb], block_k) - 1, 0)
+            return (bb, jnp.minimum(kk, last), 0, 0)
+
         in_specs.append(pl.BlockSpec(
-            (1, block_k, 1, SCALE_LANES),
-            lambda bb, kk, lens: kv_index(bb, kk, lens),
+            (1, block_k, 1, SCALE_LANES), sc_index,
             memory_space=pltpu.VMEM))
         args.append(kv_scales)
 
@@ -657,17 +666,23 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
 
 def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                                  o_ref, *, scale, block_k, h, hd_tot,
-                                 group, scale_lanes, chunk_s=0):
-    """Byte-planar int8 sibling of :func:`_decode_grouped_kernel`: the
-    packed int32 cache rows stream at 1 B/elt and dequantize in-VMEM —
-    shift+sign-extend unpack (VPU), per-(token, head) scale expansion on
-    the MXU via the padded one-hot (K's scale factors out of the score
-    dot; V's folds into P). The G-way batching matters MORE here than
-    for float caches: the unpack adds VPU work to each block's dependent
-    chain, and G independent chains hide its latency. ``chunk_s`` as in
+                                 group, scale_lanes, chunk_s=0,
+                                 qs_ref=None):
+    """Token-packed int8 sibling of :func:`_decode_grouped_kernel`: the
+    packed int32 cache rows stream at 1 B/elt and the sublane bitcast IS
+    the unpack (byte b of int32 row r = token 4r+b — the layout in
+    generate/kv_cache.py is the bitcast's exact inverse), so the block's
+    dependent op chain carries no shift arithmetic. Per-(token, head)
+    scale expansion runs on the MXU via the padded one-hot (K's scale
+    factors out of the score dot; V's folds into P). With ``qs_ref``
+    (per-row q scales), q arrives row-quantized int8 and the score dot
+    runs as a genuine int8×int8 MXU contraction (int32 accumulate) —
+    zero per-element VPU work on the K plane; otherwise K converts
+    int8→q.dtype (one op) and the math matches the float kernel
+    bit-for-bit given dequantized values. ``chunk_s`` as in
     :func:`_decode_grouped_kernel` (chunked verify)."""
     p = pl.program_id(0)
-    half = hd_tot // 2
+    blk4 = block_k // 4
 
     def body(buf, sbuf, sem, ssem, m_ref, l_ref, acc_ref):
         lens = [len_ref[p * group + g] for g in range(group)]
@@ -677,12 +692,13 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
         n_blocks = pl.cdiv(max_len + chunk_s, block_k)
 
         def dmas(slot, blk, g):
-            row = pl.ds(blk * block_k, block_k)
             return (pltpu.make_async_copy(
-                        kv_hbm.at[p * group + g, row],
+                        kv_hbm.at[p * group + g, :,
+                                  pl.ds(blk * blk4, blk4)],
                         buf.at[slot, g], sem.at[slot, g]),
                     pltpu.make_async_copy(
-                        sc_hbm.at[p * group + g, row],
+                        sc_hbm.at[p * group + g,
+                                  pl.ds(blk * block_k, block_k)],
                         sbuf.at[slot, g], ssem.at[slot, g]))
 
         def start(slot, blk):
@@ -719,15 +735,19 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                 start(jax.lax.rem(i + 1, 2), i + 1)
 
             wait(slot, i)
-            x = buf[slot, :, :, 0, :]              # [G, block_k, F/2] i32
-            kblk = jnp.concatenate([(x << 24) >> 24, (x << 16) >> 24],
-                                   axis=-1)        # [G, block_k, F]
-            vblk = jnp.concatenate([(x << 8) >> 24, x >> 24], axis=-1)
+            kblk = pltpu.bitcast(buf[slot, :, 0], jnp.int8)  # [G, blk, F]
+            vblk = pltpu.bitcast(buf[slot, :, 1], jnp.int8)
             srow = sbuf[slot, :, :, 0, :]          # [G, block_k, SL]
-            s = jax.lax.dot_general(
-                q, kblk.astype(q.dtype),
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale  # [G, H, blk]
+            if qs_ref is not None:
+                s = jax.lax.dot_general(
+                    q, kblk, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * (qs_ref[0] * scale)  # [G, H, blk]
+            else:
+                s = jax.lax.dot_general(
+                    q, kblk.astype(q.dtype),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) * scale
             ks = jax.lax.dot_general(
                 oh[:, :, :scale_lanes], srow,
                 (((2,), (2,)), ((0,), (0,))),
@@ -761,7 +781,7 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
 
     pl.run_scoped(
         body,
-        buf=pltpu.VMEM((2, group, block_k, 1, half), jnp.int32),
+        buf=pltpu.VMEM((2, group, 2, block_k // 4, hd_tot), jnp.int32),
         sbuf=pltpu.VMEM((2, group, block_k, 1, scale_lanes), jnp.float32),
         sem=pltpu.SemaphoreType.DMA((2, group)),
         ssem=pltpu.SemaphoreType.DMA((2, group)),
@@ -773,28 +793,31 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
-                                    "group"))
+                                    "group", "int8_scores"))
 def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
-                         block_k=64, group=8, kv_scales=None):
+                         block_k=64, group=8, kv_scales=None,
+                         int8_scores=False):
     """Decode attention with G sequences per program, batched along a
     leading G dim. Same contract as :func:`flash_decode_fused`,
-    including the byte-planar int8 cache via ``kv_scales``; ``group``
+    including the token-packed int8 cache via ``kv_scales``; ``group``
     must divide the batch.
     Traffic note: a group reads up to its LONGEST member\'s blocks for
     every member — order the batch by length when it matters."""
     b, h, d = q.shape
     hd_tot = kv_heads * d
     quant = kv_scales is not None
-    _, s_max, planes, lanes = kv.shape
     if quant:
-        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+        _, planes, rows, lanes = kv.shape
+        s_max = rows * 4
+        assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
+        _, s_max, planes, lanes = kv.shape
         assert planes == 2 and lanes == hd_tot
     assert h % kv_heads == 0
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_k = min(block_k, s_max)
-    if b % group or s_max % block_k:
+    if b % group or s_max % block_k or quant and block_k % 4:
         return flash_decode_fused(q, kv, lengths, kv_heads, scale=scale,
                                   kv_scales=kv_scales)
     q_per_kv = h // kv_heads
@@ -817,23 +840,51 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
         ], axis=1)
         oh_g = jnp.broadcast_to(oh_s[None, None],
                                 (nprog, group, h, 2 * SCALE_LANES))
+        in_specs = [
+            pl.BlockSpec((1, group, h, hd_tot),
+                         lambda pp, lens: (pp, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, h, 2 * SCALE_LANES),
+                         lambda pp, lens: (pp, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # packed kv, HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # scale rows, HBM
+        ]
+        kernel = functools.partial(_decode_grouped_quant_kernel,
+                                   scale=scale, block_k=block_k, h=h,
+                                   hd_tot=hd_tot, group=group,
+                                   scale_lanes=SCALE_LANES)
+        if int8_scores:
+            # Row-quantized q: the score dot becomes a genuine
+            # int8×int8 MXU contraction; per-row q scales fold into the
+            # f32 epilogue next to the K scales.
+            qsc = jnp.max(jnp.abs(q_head), axis=-1, keepdims=True)
+            qsc = jnp.where(qsc == 0, 1.0, qsc / 127.0
+                            ).astype(jnp.float32)
+            q_arg = jnp.clip(jnp.round(q_head / qsc), -127, 127
+                             ).astype(jnp.int8)
+            in_specs.insert(2, pl.BlockSpec(
+                (1, group, h, 1), lambda pp, lens: (pp, 0, 0, 0),
+                memory_space=pltpu.VMEM))
+
+            def kernel(len_ref, q_ref, oh_ref, qs, kv_hbm, sc_hbm,
+                       o_ref):
+                return _decode_grouped_quant_kernel(
+                    len_ref, q_ref, oh_ref, kv_hbm, sc_hbm, o_ref,
+                    scale=scale, block_k=block_k, h=h, hd_tot=hd_tot,
+                    group=group, scale_lanes=SCALE_LANES, qs_ref=qs)
+
+            args = (jnp.asarray(lengths, jnp.int32), q_arg, oh_g, qsc,
+                    kv, kv_scales)
+        else:
+            args = (jnp.asarray(lengths, jnp.int32), q_head, oh_g, kv,
+                    kv_scales)
         out_full = pl.pallas_call(
-            functools.partial(_decode_grouped_quant_kernel, scale=scale,
-                              block_k=block_k, h=h, hd_tot=hd_tot,
-                              group=group, scale_lanes=SCALE_LANES),
+            kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,   # lengths
                 grid=(nprog,),
-                in_specs=[
-                    pl.BlockSpec((1, group, h, hd_tot),
-                                 lambda pp, lens: (pp, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, group, h, 2 * SCALE_LANES),
-                                 lambda pp, lens: (pp, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pl.ANY),   # packed kv, HBM
-                    pl.BlockSpec(memory_space=pl.ANY),   # scale rows, HBM
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((1, group, h, hd_tot),
                                        lambda pp, lens: (pp, 0, 0, 0),
                                        memory_space=pltpu.VMEM),
@@ -845,7 +896,7 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
                 bytes_accessed=(kv.size + kv_scales.size) * 4,
                 transcendentals=b * h * s_max),
             interpret=_interpret(),
-        )(jnp.asarray(lengths, jnp.int32), q_head, oh_g, kv, kv_scales)
+        )(*args)
         out4 = out_full.reshape(b, h, kv_heads, d)
         return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
@@ -893,21 +944,23 @@ def flash_verify_grouped(q, kv, lengths, kv_heads, scale=None,
     q: [B, S, H, D] — S verify queries per sequence, already appended at
     positions lengths..lengths+S-1; lengths: [B] PRE-chunk counts;
     kv / kv_scales as in :func:`flash_decode_fused` (float fused layout
-    or byte-planar int8). ``group`` must divide the batch (falls back to
+    or token-packed int8). ``group`` must divide the batch (falls back to
     the grid kernel otherwise)."""
     b, s, h, d = q.shape
     hd_tot = kv_heads * d
     quant = kv_scales is not None
-    _, s_max, planes, lanes = kv.shape
     if quant:
-        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+        _, planes, rows, lanes = kv.shape
+        s_max = rows * 4
+        assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
+        _, s_max, planes, lanes = kv.shape
         assert planes == 2 and lanes == hd_tot
     assert h % kv_heads == 0
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_k = min(block_k, s_max)
-    if b % group or s_max % block_k:
+    if b % group or s_max % block_k or quant and block_k % 4:
         return flash_verify_fused(q, kv, lengths, kv_heads, scale=scale,
                                   kv_scales=kv_scales)
     q_per_kv = h // kv_heads
@@ -1173,20 +1226,23 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     b, s, h, d = q.shape
     hd_tot = kv_heads * d
     quant = kv_scales is not None
-    _, s_max, planes, lanes = kv.shape
     if quant:
-        assert planes == 1 and lanes * 2 == hd_tot and kv.dtype == jnp.int32
+        _, planes, rows, lanes = kv.shape
+        s_max = rows * 4
+        assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
+        _, s_max, planes, lanes = kv.shape
         assert planes == 2 and lanes == hd_tot
     assert h % kv_heads == 0
     q_per_kv = h // kv_heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_k = min(block_k, s_max)
-    if s_max % block_k or quant is False and s_max < 8:
+    if s_max % block_k or block_k % 4 or quant is False and s_max < 8:
         if quant:
-            from ..generate.kv_cache import VSCALE_OFF, unpack_int8_planar
-            kq, vq = unpack_int8_planar(kv)
+            from ..generate.kv_cache import VSCALE_OFF, unpack_int8_tokens
+            kq = unpack_int8_tokens(kv[:, 0])
+            vq = unpack_int8_tokens(kv[:, 1])
             s_rows = kv_scales[:, :, 0]
             kf = (kq.reshape(b, s_max, kv_heads, d).astype(jnp.float32)
                   * s_rows[:, :, :kv_heads, None])
@@ -1218,7 +1274,11 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
                                SCALE_LANES - VSCALE_OFF - kv_heads))),
         ], axis=1)
         oh_arg, oh_block = oh_s, (s * h, 2 * SCALE_LANES)
-        kv_block = (1, block_k, 1, lanes)
+        kv_block = (1, 2, block_k // 4, hd_tot)
+
+        def kv_index(bb, kk, lens):      # noqa: F811 (quant layout)
+            last = jnp.maximum(pl.cdiv(lens[bb] + s, block_k) - 1, 0)
+            return (bb, 0, jnp.minimum(kk, last), 0)
     else:
         oh_arg, oh_block = oh_rows, (s * h, kv_heads)
         kv_block = (1, block_k, 2, hd_tot)
@@ -1234,9 +1294,12 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     kernel = functools.partial(_decode_fused_kernel, scale=scale,
                                block_k=block_k, n_k=n_k, chunk_s=s)
     if quant:
+        def sc_index(bb, kk, lens):
+            last = jnp.maximum(pl.cdiv(lens[bb] + s, block_k) - 1, 0)
+            return (bb, jnp.minimum(kk, last), 0, 0)
+
         in_specs.append(pl.BlockSpec(
-            (1, block_k, 1, SCALE_LANES),
-            lambda bb, kk, lens: kv_index(bb, kk, lens),
+            (1, block_k, 1, SCALE_LANES), sc_index,
             memory_space=pltpu.VMEM))
         args.append(kv_scales)
 

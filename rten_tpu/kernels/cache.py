@@ -143,3 +143,79 @@ def paged_append(rows, offsets, caches, news):
     )(jnp.asarray(rows, jnp.int32), jnp.asarray(offsets, jnp.int32),
       *news, *caches)
     return tuple(out) if isinstance(out, (list, tuple)) else (out,)
+
+
+def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
+    """Decode append into the token-packed int8 cache
+    (generate/kv_cache.py): the new token owns byte ``pos%4`` of int32
+    row ``pos//4`` in each plane, so the kernel read-modify-writes one
+    row per (sequence, plane) — DMA the rows in, merge the byte on the
+    VPU (one vectorized [B, 2, 1, F] op), DMA them back — and appends
+    the scale row as a plain HBM→HBM copy.
+
+    pos:      [B] int32, caller-clamped to < capacity;
+    kv:       [B, 2, cap/4, F] int32 token-packed cache (aliased);
+    sbuf:     [B, cap, 1, SL] f32 scale rows (aliased);
+    bytes_kv: [B, 2, 1, F] int32 int8-range byte values;
+    srows:    [B, 1, 1, SL] f32 new scale rows.
+    Returns (kv, sbuf) updated in place under donation."""
+    batch = bytes_kv.shape[0]
+    posv = jnp.asarray(pos, jnp.int32)[:, None]
+
+    def kernel(pos_ref, posv_ref, bytes_ref, srows_ref, _kv_in, _s_in,
+               kv_out, s_out, old_ref, sem, wsem, ssem):
+        reads = []
+        for b in range(batch):
+            row = pos_ref[b] >> 2
+            dma = pltpu.make_async_copy(
+                kv_out.at[b, :, pl.ds(row, 1)], old_ref.at[b],
+                sem.at[b])
+            dma.start()
+            reads.append(dma)
+            sdma = pltpu.make_async_copy(
+                srows_ref.at[b], s_out.at[b, pl.ds(pos_ref[b], 1)],
+                ssem.at[b])
+            sdma.start()
+            reads.append(sdma)
+        for dma in reads:
+            dma.wait()
+        sh = ((posv_ref[:] & 3) * 8)[:, :, None, None]   # [B, 1, 1, 1]
+        mask = jnp.left_shift(jnp.int32(0xFF), sh)
+        old_ref[:] = ((old_ref[:] & ~mask)
+                      | jnp.left_shift(bytes_ref[:] & 0xFF, sh))
+        writes = []
+        for b in range(batch):
+            row = pos_ref[b] >> 2
+            dma = pltpu.make_async_copy(
+                old_ref.at[b], kv_out.at[b, :, pl.ds(row, 1)],
+                wsem.at[b])
+            dma.start()
+            writes.append(dma)
+        for dma in writes:
+            dma.wait()
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # pos
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # posv
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # bytes
+            pl.BlockSpec(memory_space=pltpu.HBM),        # scale rows
+            pl.BlockSpec(memory_space=pltpu.HBM),        # kv (alias 0)
+            pl.BlockSpec(memory_space=pltpu.HBM),        # sbuf (alias 1)
+        ),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        out_shape=(jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+                   jax.ShapeDtypeStruct(sbuf.shape, sbuf.dtype)),
+        input_output_aliases={4: 0, 5: 1},
+        scratch_shapes=[
+            pltpu.VMEM(bytes_kv.shape, jnp.int32),
+            pltpu.SemaphoreType.DMA((batch,)),
+            pltpu.SemaphoreType.DMA((batch,)),
+            pltpu.SemaphoreType.DMA((batch,)),
+        ],
+        interpret=_interpret(),
+    )(jnp.asarray(pos, jnp.int32), posv, jnp.asarray(bytes_kv, jnp.int32),
+      srows, kv, sbuf)
+    return out

@@ -62,7 +62,7 @@ class TransformerConfig:
                                          # block) grid) | "stream" (float
                                          # caches only) | "grouped"
                                          # (kernels/attention.py; float
-                                         # + byte-planar int8 caches)
+                                         # + token-packed int8 caches)
 
     @property
     def head_dim(self):

@@ -117,12 +117,14 @@ def cache_shardings(cache, mesh: Mesh):
     from ..generate.kv_cache import KVCache
     scales = None
     if cache.quant_scales is not None:
-        # Byte-planar packed int8 cache: one int32 lane interleaves two
-        # heads' bytes, so the lane dim cannot shard over `model` —
-        # quantized caches shard over batch only (per-head-local packing
-        # would restore head sharding; deferred).
-        kv = NamedSharding(mesh, P(batch_axes, None, None, None))
-        scales = [NamedSharding(mesh, P(batch_axes, None, None, None))
+        # Token-packed int8 cache [B, 2, cap/4, F]: lanes are canonical
+        # per-head features (each int32 packs 4 TOKENS of one feature),
+        # so the lane dim shards over `model` exactly like the float
+        # cache, and the row dim (4 tokens per row) shards over `seq`.
+        # Scale rows [B, cap, 1, 128] shard over batch/seq; their 128
+        # per-head lanes stay replicated (tiny).
+        kv = NamedSharding(mesh, P(batch_axes, None, seq_ax, "model"))
+        scales = [NamedSharding(mesh, P(batch_axes, seq_ax, None, None))
                   for _ in cache.quant_scales]
     return KVCache([kv] * cache.n_layers, lengths, scales,
                    cache.kv_heads, cache.head_dim)

@@ -82,14 +82,14 @@ def test_flash_decode_fused_quantized_cache():
     from rten_tpu.kernels.attention import (_attn_reference,
                                             flash_decode_fused)
     from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
-                                            pack_int8_planar)
+                                            pack_int8_cache)
 
     B, H, KVH, D, cap = 2, 8, 4, 32, 64
     rng = np.random.RandomState(3)
     q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
     k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
     v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
-    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
     s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
     scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
     scales[:, :, 0, :KVH] = s_np[:, :, 0]
@@ -172,7 +172,7 @@ def test_flash_verify_fused_per_query_causality():
 
 def test_flash_verify_fused_quantized_cache():
     from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
-                                            pack_int8_planar)
+                                            pack_int8_cache)
     from rten_tpu.kernels.attention import (_chunk_reference,
                                             flash_verify_fused)
     B, S, H, KVH, D, cap = 2, 3, 8, 4, 32, 64
@@ -180,7 +180,7 @@ def test_flash_verify_fused_quantized_cache():
     q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
     k_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
     v_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
-    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
     s_np = 0.01 + 0.05 * r.rand(B, cap, 2, KVH).astype(np.float32)
     scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
     scales[:, :, 0, :KVH] = s_np[:, :, 0]
@@ -243,7 +243,7 @@ def test_flash_verify_grouped_per_query_causality():
 
 def test_flash_verify_grouped_quantized_cache():
     from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
-                                            pack_int8_planar)
+                                            pack_int8_cache)
     from rten_tpu.kernels.attention import (_chunk_reference,
                                             flash_verify_grouped)
     B, S, H, KVH, D, cap = 4, 3, 8, 4, 32, 64
@@ -251,7 +251,7 @@ def test_flash_verify_grouped_quantized_cache():
     q = jnp.asarray(r.randn(B, S, H, D).astype(np.float32))
     k_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
     v_q = r.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
-    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
     s_np = 0.01 + 0.05 * r.rand(B, cap, 2, KVH).astype(np.float32)
     scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
     scales[:, :, 0, :KVH] = s_np[:, :, 0]
@@ -349,7 +349,7 @@ def test_flash_decode_grouped_quantized_cache(group):
     attention over the dequantized cache (same contract as the fused
     quant kernel, G sequences per program)."""
     from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
-                                            pack_int8_planar)
+                                            pack_int8_cache)
     from rten_tpu.kernels.attention import (_attn_reference,
                                             flash_decode_grouped)
     B, H, KVH, D, cap = 4, 8, 4, 32, 128
@@ -357,7 +357,7 @@ def test_flash_decode_grouped_quantized_cache(group):
     q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
     k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
     v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
-    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
     s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
     scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
     scales[:, :, 0, :KVH] = s_np[:, :, 0]
@@ -385,7 +385,7 @@ def test_flash_decode_grouped_quant_fallback_odd_batch():
     """Batch not divisible by the group falls back to the fused quant
     kernel with identical semantics."""
     from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
-                                            pack_int8_planar)
+                                            pack_int8_cache)
     from rten_tpu.kernels.attention import (flash_decode_fused,
                                             flash_decode_grouped)
     B, H, KVH, D, cap = 3, 4, 2, 32, 64
@@ -393,7 +393,7 @@ def test_flash_decode_grouped_quant_fallback_odd_batch():
     q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
     k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
     v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
-    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
     scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
     scales[:, :, 0, :KVH] = 0.02
     scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = 0.03
@@ -404,3 +404,34 @@ def test_flash_decode_grouped_quant_fallback_odd_batch():
     want = flash_decode_fused(q, kv_q, lengths, KVH, kv_scales=scales)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_decode_grouped_int8_scores():
+    """int8_scores=True row-quantizes q and runs the score dot as an
+    int8x8 MXU contraction — results must match the exact-q kernel
+    within the q-quantization error (|q| <= absmax/254 per element →
+    small relative error on the attention output)."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import flash_decode_grouped
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    scales = jnp.asarray(scales)
+    lengths = jnp.asarray([5, 127, 64, 1], jnp.int32)
+
+    exact = flash_decode_grouped(q, kv_q, lengths, KVH, block_k=64,
+                                 group=2, kv_scales=scales)
+    got = flash_decode_grouped(q, kv_q, lengths, KVH, block_k=64,
+                               group=2, kv_scales=scales,
+                               int8_scores=True)
+    ref = np.abs(np.asarray(exact)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                               atol=0.05 * ref)

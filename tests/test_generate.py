@@ -263,3 +263,50 @@ def test_generator_constant_inputs_passed_through():
     next(gen)
     for step in model.steps:
         np.testing.assert_array_equal(step["encoder_hidden_states"], enc)
+
+
+def test_pack_int8_tokens_roundtrip():
+    from rten_tpu.generate.kv_cache import (pack_int8_tokens,
+                                            unpack_int8_tokens)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(-128, 128, (3, 8, 16)), jnp.int32)
+    packed = pack_int8_tokens(x)
+    assert packed.shape == (3, 2, 16)
+    np.testing.assert_array_equal(np.asarray(unpack_int8_tokens(packed)),
+                                  np.asarray(x))
+
+
+def test_quant_append_chunk_matches_stepwise():
+    """Chunked per-sequence appends (speculative verify) merge bytes
+    into the token-packed rows via the XLA read-modify-write window;
+    the result must be byte-identical to appending the same tokens one
+    at a time through the Pallas RMW kernel — at ragged depths that
+    straddle int32 row boundaries."""
+    t = 5
+    rng = np.random.RandomState(1)
+    k = jnp.asarray(rng.randn(3, 2, t, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(3, 2, t, 8).astype(np.float32))
+    depths = [0, 3, 6]   # aligned, mid-row, straddling two rows
+
+    # pre-fill junk below the depths so the merge must preserve it
+    kj = jnp.asarray(rng.randn(3, 2, 8, 8).astype(np.float32))
+
+    def fresh():
+        c = KVCache.create(batch=3, n_layers=1, kv_heads=2, capacity=16,
+                           head_dim=8, quantized=True)
+        c = c.append(0, kj, kj, position=0)
+        return c.with_lengths(jnp.asarray(depths, jnp.int32))
+
+    chunk = fresh().append(0, k, v)                     # one RMW window
+    step = fresh()
+    for i in range(t):                                   # t Pallas RMWs
+        step = step.append(0, k[:, :, i:i + 1], v[:, :, i:i + 1])
+        step = step.with_lengths(step.lengths + 1)
+    step = step.with_lengths(jnp.asarray(depths, jnp.int32))
+
+    np.testing.assert_array_equal(np.asarray(chunk.kv[0]),
+                                  np.asarray(step.kv[0]))
+    got_s, want_s = chunk.quant_scales[0], step.quant_scales[0]
+    for b, d0 in enumerate(depths):
+        np.testing.assert_array_equal(np.asarray(got_s[b, d0:d0 + t]),
+                                      np.asarray(want_s[b, d0:d0 + t]))

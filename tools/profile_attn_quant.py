@@ -47,7 +47,7 @@ def main():
         pass
 
     from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
-                                            pack_int8_planar)
+                                            pack_int8_cache)
     from rten_tpu.kernels.attention import (flash_decode_fused,
                                             flash_decode_grouped)
 
@@ -62,7 +62,7 @@ def main():
         jnp.bfloat16)
     k_q = rng.randint(-127, 128, (b, cap, kvh * d)).astype(np.int32)
     v_q = rng.randint(-127, 128, (b, cap, kvh * d)).astype(np.int32)
-    kv_q = pack_int8_planar(jnp.asarray(k_q), jnp.asarray(v_q))
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
     sc = np.ones((b, cap, 1, SCALE_LANES), np.float32)
     sc[:, :, 0, :kvh] = 0.02
     sc[:, :, 0, VSCALE_OFF:VSCALE_OFF + kvh] = 0.03
@@ -120,6 +120,15 @@ def main():
          lambda q: flash_decode_grouped(q, kv_q, lengths, kvh,
                                         block_k=128, group=16,
                                         kv_scales=scales), bytes_q),
+        ("int8 grouped g=8 b64 int8-scores",
+         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh, block_k=64,
+                                        group=8, kv_scales=scales,
+                                        int8_scores=True), bytes_q),
+        ("int8 grouped g=8 b128 int8-scores",
+         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh,
+                                        block_k=128, group=8,
+                                        kv_scales=scales,
+                                        int8_scores=True), bytes_q),
     ]
     for name, fn, nbytes in variants:
         try:
