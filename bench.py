@@ -64,6 +64,9 @@ def main():
     # recorded serving config).
     batch = int(os.environ.get("RTEN_BENCH_BATCH", batch))
     decode_steps = int(os.environ.get("RTEN_BENCH_STEPS", decode_steps))
+    if os.environ.get("RTEN_BENCH_DTYPE"):
+        cfg = cfg.__class__(**{**cfg.__dict__,
+                               "dtype": os.environ["RTEN_BENCH_DTYPE"]})
 
     model = TransformerLM(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -75,10 +78,11 @@ def main():
     # scan-unrolled interpret-mode kernels make bursts trace-slow.
     burst = int(os.environ.get("RTEN_BENCH_BURST", 128 if on_tpu else 1))
 
-    def measure(p, cache_dtype=None):
+    def measure(p, cache_dtype=None, quantized_cache=False):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
                             prefill_buckets=(prompt_len,),
-                            cache_dtype=cache_dtype)
+                            cache_dtype=cache_dtype,
+                            quantized_cache=quantized_cache)
         reqs = [eng.submit(pr, max_new_tokens=decode_steps)
                 for pr in prompts]
         eng._admit()
@@ -105,8 +109,12 @@ def main():
             # The int8 serving config: int8 weights (Pallas 1 B/elt GEMM
             # for large weights incl. the LM head, loop-hoisted bf16 for
             # small ones) + bf16 KV cache via the fused decode kernel.
-            int8_tps, int8_ttft = measure(quantize_weights(params, "int8"),
-                                          cache_dtype="bfloat16")
+            # RTEN_BENCH_CACHE=int8 trials the token-packed int8 cache.
+            qcache = os.environ.get("RTEN_BENCH_CACHE") == "int8"
+            int8_tps, int8_ttft = measure(
+                quantize_weights(params, "int8"),
+                cache_dtype=None if qcache else "bfloat16",
+                quantized_cache=qcache)
             metric = "gpt2_int8_decode_tokens_s_chip"
             value = int8_tps
             vs = int8_tps / f32_tps

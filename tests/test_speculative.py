@@ -179,3 +179,29 @@ def test_spec_acceptance_on_repetitive_prompt(model_and_params):
     # decode_steps counts spec steps; with acceptance it must be fewer
     # than the tokens emitted (minus the prefill-sampled first token).
     assert spec.counters["decode_steps"] < len(req.tokens) - 1
+
+
+def test_verify_step_quantized_cache_close(model_and_params):
+    """Chunked verify over the token-packed int8 cache: the chunk's RMW
+    append must land the drafted tokens at ragged depths (straddling
+    int32 row boundaries) and the verify logits must track the float
+    cache within quantization error."""
+    model, params = model_and_params
+    cfg = model.config
+    B, S = 2, 4
+    rng = np.random.RandomState(4)
+    prompts = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, 7)),
+                          jnp.int32)
+    extra = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, S)), jnp.int32)
+
+    outs = {}
+    for quant in (False, True):
+        cache = model.new_cache(B, 64, quantized=quant)
+        _, cache = model.prefill(params, prompts, cache)
+        # ragged depths: row-aligned and mid-row
+        cache = cache.with_lengths(jnp.asarray([4, 7], jnp.int32))
+        vlog, _ = model.verify_step(params, extra, cache)
+        outs[quant] = np.asarray(vlog)
+    ref = outs[False]
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(outs[True], ref, atol=0.12 * scale)

@@ -69,9 +69,9 @@ def main():
     scales = jnp.asarray(sc)
     lengths = jnp.full((b,), live, jnp.int32)
 
-    # Traffic model per call: live rows × bytes (packed kv + scale rows
-    # for int8; K+V bf16 for float).
-    bytes_q = b * live * (kv_q.shape[-1] * 4 + SCALE_LANES * 4)
+    # Traffic model per call: live rows × bytes (packed kv: 1 B/elt for
+    # K+V, + f32 scale rows; K+V bf16 for float).
+    bytes_q = b * live * (2 * kvh * d + SCALE_LANES * 4)
     bytes_f = b * live * 2 * kvh * d * 2
 
     def bench(name, fn, nbytes, iters=args.iters):
