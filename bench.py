@@ -77,6 +77,10 @@ def main():
     # Bursts amortize tunnel/dispatch latency on TPU; on CPU (smoke mode)
     # scan-unrolled interpret-mode kernels make bursts trace-slow.
     burst = int(os.environ.get("RTEN_BENCH_BURST", 128 if on_tpu else 1))
+    if decode_steps <= burst:
+        # The compile-warmup burst must not exhaust max_new_tokens, or
+        # the measured run() emits zero tokens (div-by-zero).
+        burst = max(1, decode_steps // 3)
 
     def measure(p, cache_dtype=None, quantized_cache=False):
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
