@@ -558,7 +558,8 @@ def flash_decode_stream(q, kv, lengths, kv_heads, scale=None, block_k=256):
 
 
 def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
-                           block_k, h, hd_tot, group, chunk_s=0):
+                           block_k, h, hd_tot, group, chunk_s=0,
+                           native_dots=False):
     """G sequences per program, kept as a leading BATCH dim. v5e
     measurement: one-sequence programs spend ~1.4 us/block in the
     dependent op chain (dot -> max -> exp -> dot issue latencies),
@@ -628,7 +629,13 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
             kblk = buf[slot, :, :, 0, :]           # [G, block_k, F]
             vblk = buf[slot, :, :, 1, :]
             # Batched dots: contraction F per element, batch over G —
-            # G independent MXU ops the scheduler can pipeline.
+            # G independent MXU ops the scheduler can pipeline. With
+            # ``native_dots`` (wrapper pre-cast q to the cache dtype),
+            # kblk.astype is a no-op and the PV dot runs in the cache
+            # dtype too — for bf16 caches under f32 compute this drops
+            # the two [G, blk, F] upconverts from the dependent chain
+            # and turns multi-pass f32 MXU dots into native bf16 ones
+            # (f32 accumulation either way).
             s = jax.lax.dot_general(
                 q, kblk.astype(q.dtype),
                 (((2,), (2,)), ((0,), (0,))),
@@ -643,8 +650,9 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
             pmat = jnp.exp(s - m_new)
             l_ref[:] = (l_ref[:] * alpha
                         + jnp.sum(pmat, axis=2, keepdims=True))
+            pv = pmat.astype(vblk.dtype) if native_dots else pmat
             acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-                pmat, vblk.astype(jnp.float32),
+                pv, vblk if native_dots else vblk.astype(jnp.float32),
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)            # [G, H, F]
             m_ref[:] = m_new
@@ -793,10 +801,11 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
-                                    "group", "int8_scores"))
+                                    "group", "int8_scores",
+                                    "native_dots"))
 def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
                          block_k=64, group=8, kv_scales=None,
-                         int8_scores=False):
+                         int8_scores=False, native_dots=False):
     """Decode attention with G sequences per program, batched along a
     leading G dim. Same contract as :func:`flash_decode_fused`,
     including the token-packed int8 cache via ``kv_scales``; ``group``
@@ -900,10 +909,11 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
         out4 = out_full.reshape(b, h, kv_heads, d)
         return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
+    q_arg = q_head.astype(kv.dtype) if native_dots else q_head
     out_full = pl.pallas_call(
         functools.partial(_decode_grouped_kernel, scale=scale,
                           block_k=block_k, h=h, hd_tot=hd_tot,
-                          group=group),
+                          group=group, native_dots=native_dots),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,   # lengths
             grid=(nprog,),
@@ -924,7 +934,7 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
             bytes_accessed=kv.size * kv.dtype.itemsize,
             transcendentals=b * h * s_max),
         interpret=_interpret(),
-    )(jnp.asarray(lengths, jnp.int32), q_head, kv)
+    )(jnp.asarray(lengths, jnp.int32), q_arg, kv)
     out4 = out_full.reshape(b, h, kv_heads, d)
     return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 

@@ -63,6 +63,13 @@ class TransformerConfig:
                                          # caches only) | "grouped"
                                          # (kernels/attention.py; float
                                          # + token-packed int8 caches)
+    quant_int8_scores: bool = True       # int8 caches: row-quantize q
+                                         # and run the grouped decode
+                                         # score dot int8×int8 on the
+                                         # MXU (v5e A/B: 102 vs 112 us
+                                         # at batch 64 — BASELINE.md
+                                         # round 5); False → exact-q
+                                         # int8→f32 convert
 
     @property
     def head_dim(self):
@@ -448,7 +455,10 @@ class TransformerLM:
                                                cache.fused_layer(layer_idx),
                                                cache.lengths + 1, kvh,
                                                group=group or 8,
-                                               kv_scales=scales)
+                                               kv_scales=scales,
+                                               int8_scores=(
+                                                   scales is not None
+                                                   and cfg.quant_int8_scores))
                 elif kind == "stream":
                     from ..kernels.attention import flash_decode_stream
                     out = flash_decode_stream(q[:, :, 0, :],

@@ -435,3 +435,22 @@ def test_flash_decode_grouped_int8_scores():
     ref = np.abs(np.asarray(exact)).max()
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
                                atol=0.05 * ref)
+
+
+def test_flash_decode_grouped_native_dots_close():
+    """native_dots=True runs the score/PV dots in the CACHE dtype (q
+    pre-cast): for a bf16 cache under f32 q this removes the two
+    [G, blk, F] upconverts from the per-block chain. Output must track
+    the f32-dot kernel within bf16 rounding."""
+    from rten_tpu.kernels.attention import flash_decode_grouped
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(13)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    kv = jnp.asarray(rng.randn(B, cap, 2, KVH * D)).astype(jnp.bfloat16)
+    lengths = jnp.asarray([5, 127, 64, 1], jnp.int32)
+    exact = flash_decode_grouped(q, kv, lengths, KVH, block_k=64, group=2)
+    got = flash_decode_grouped(q, kv, lengths, KVH, block_k=64, group=2,
+                               native_dots=True)
+    ref = np.abs(np.asarray(exact)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                               atol=0.02 * ref)

@@ -101,6 +101,18 @@ def main():
         ("bf16 grouped g=8 (block 64)",
          lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
                                         block_k=64, group=8), bytes_f),
+        ("bf16 grouped g=8 b64 native-dots",
+         lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
+                                        block_k=64, group=8,
+                                        native_dots=True), bytes_f),
+        ("bf16 grouped g=8 b128 native-dots",
+         lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
+                                        block_k=128, group=8,
+                                        native_dots=True), bytes_f),
+        ("bf16 grouped g=16 b64 native-dots",
+         lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
+                                        block_k=64, group=16,
+                                        native_dots=True), bytes_f),
         ("int8 fused grid (block 128)",
          lambda q: flash_decode_fused(q, kv_q, lengths, kvh, block_k=128,
                                       kv_scales=scales), bytes_q),
