@@ -27,8 +27,10 @@ storage (per-token-per-head scales) halves cache bandwidth vs bf16.
 
 Quantized layout (token-packed int32): Mosaic rejects row DMAs of int8
 buffers (sub-word sublane packing), so the int8 cache is stored as int32
-``[B, 2, cap/4, KVH*D]`` (plane 0 = K, 1 = V) where lane ``(r, j)``
-packs tokens ``4r..4r+3``'s feature ``j`` as bytes 0..3. This packing is
+``[B, cap/4, 2, KVH*D]`` (plane 0 = K, 1 = V — the row dim stays OUTSIDE
+the (8, 128)-tiled trailing pair, like the float cache, so single-row
+DMAs at arbitrary offsets are legal) where lane ``(r, plane, j)`` packs
+tokens ``4r..4r+3``'s feature ``j`` as bytes 0..3. This packing is
 chosen to be the exact inverse of Mosaic's sublane bitcast: inside a
 kernel, ``pltpu.bitcast(block_int32, int8)`` on a ``[block/4, F]`` tile
 yields the canonical token-major int8 ``[block, F]`` tile (byte b of
@@ -86,15 +88,15 @@ def unpack_int8_tokens(packed):
 
 def pack_int8_cache(kq, vq):
     """Pack full K/V planes [..., cap, F] int8-range ints into the cache
-    layout [..., 2, cap/4, F] int32 (tests/tools convenience)."""
+    layout [..., cap/4, 2, F] int32 (tests/tools convenience)."""
     return jnp.stack([pack_int8_tokens(kq), pack_int8_tokens(vq)],
-                     axis=-3)
+                     axis=-2)
 
 
 def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
     """Write quantized tokens into the token-packed cache.
 
-    buf:      [B, 2, cap/4, F] int32 (token-packed, see module doc);
+    buf:      [B, cap/4, 2, F] int32 (token-packed, see module doc);
     sbuf:     [B, cap, 1, SCALE_LANES] f32 scale rows;
     bytes_kv: [B, 2, T, F] int32 int8-range byte values;
     srows:    [B, T, 1, SCALE_LANES] f32;
@@ -102,7 +104,7 @@ def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
               offsets from ``lengths``).
     Returns (new_buf, new_sbuf)."""
     b, _, t, f = bytes_kv.shape
-    cap4 = buf.shape[2]
+    cap4 = buf.shape[1]
     cap = cap4 * 4
 
     if position is not None:
@@ -113,9 +115,9 @@ def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
         if pad:
             bytes_kv = jnp.pad(bytes_kv, ((0, 0), (0, 0), (0, pad),
                                           (0, 0)))
-        rows = pack_int8_tokens(bytes_kv)
+        rows = pack_int8_tokens(bytes_kv).swapaxes(1, 2)  # [B,T/4,2,F]
         new_buf = jax.lax.dynamic_update_slice(
-            buf, rows, (0, 0, position // 4, 0))
+            buf, rows, (0, position // 4, 0, 0))
         new_sbuf = jax.lax.dynamic_update_slice(
             sbuf, srows, (0, position, 0, 0))
         return new_buf, new_sbuf
@@ -146,15 +148,15 @@ def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
             jnp.zeros((w4 * 4, 1), jnp.int32),
             jnp.full((t, 1), 0xFF, jnp.int32), (s, 0))
     )(shift)
-    new_rows = pack_int8_tokens(placed)           # [B, 2, w4, F]
-    mask = pack_int8_tokens(valid)[:, None]       # [B, 1, w4, 1]
+    new_rows = pack_int8_tokens(placed).swapaxes(1, 2)  # [B, w4, 2, F]
+    mask = pack_int8_tokens(valid)[:, :, None]          # [B, w4, 1, 1]
 
     windows = jax.vmap(
-        lambda bb, r: jax.lax.dynamic_slice(bb, (0, r, 0), (2, w4, f))
+        lambda bb, r: jax.lax.dynamic_slice(bb, (r, 0, 0), (w4, 2, f))
     )(buf, row0)
     merged = (windows & ~mask) | (new_rows & mask)
     new_buf = jax.vmap(
-        lambda bb, m, r: jax.lax.dynamic_update_slice(bb, m, (0, r, 0))
+        lambda bb, m, r: jax.lax.dynamic_update_slice(bb, m, (r, 0, 0))
     )(buf, merged, row0)
     new_sbuf = jax.vmap(
         lambda sb, srow, o: jax.lax.dynamic_update_slice(
@@ -203,7 +205,7 @@ class KVCache:
             assert not stacked, "quantized+stacked not supported yet"
             f = kv_heads * head_dim
             assert capacity % 4 == 0 and kv_heads <= VSCALE_OFF
-            shape = (batch, 2, capacity // 4, f)          # token-packed
+            shape = (batch, capacity // 4, 2, f)          # token-packed
             kv = [jnp.zeros(shape, jnp.int32) for _ in range(n_layers)]
             sshape = (batch, capacity, 1, SCALE_LANES)
             scales = [jnp.ones(sshape, jnp.float32)
@@ -387,8 +389,8 @@ class KVCache:
         kvh, d = self.kv_heads, self.head_dim
 
         if self.quant_scales is not None:
-            kq = unpack_int8_tokens(buf[:, 0])         # [B, cap, KVH*D]
-            vq = unpack_int8_tokens(buf[:, 1])
+            kq = unpack_int8_tokens(buf[:, :, 0])      # [B, cap, KVH*D]
+            vq = unpack_int8_tokens(buf[:, :, 1])
             s = self.quant_scales[layer][:, :, 0]      # [B, cap, 128]
 
             def deq(x, s_rows):

@@ -219,9 +219,9 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
             # sublane bitcast IS the unpack — byte b of int32 row r is
             # token 4r+b, so one bitcast per plane yields the canonical
             # [block_k, F] int8 tile with zero shift arithmetic.
-            x = kv_ref[0]                               # [2, blk/4, F]
-            kblk = pltpu.bitcast(x[0], jnp.int8)        # [block_k, F]
-            vblk = pltpu.bitcast(x[1], jnp.int8)
+            x = kv_ref[0]                               # [blk/4, 2, F]
+            kblk = pltpu.bitcast(x[:, 0], jnp.int8)     # [block_k, F]
+            vblk = pltpu.bitcast(x[:, 1], jnp.int8)
         else:
             kblk = kv_ref[0, :, 0, :]                   # [block_k, KVH*D]
             vblk = kv_ref[0, :, 1, :]
@@ -314,9 +314,9 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     quant = kv_scales is not None
     if quant:
         # Token-packed int8 cache (generate/kv_cache.py): int32
-        # [B, 2, cap/4, hd_tot] + f32 scale rows [B, cap, 1, 128]
+        # [B, cap/4, 2, hd_tot] + f32 scale rows [B, cap, 1, 128]
         # (K scales at lanes [0, KVH), V at [VSCALE_OFF, +KVH)).
-        _, planes, rows, lanes = kv.shape
+        _, rows, planes, lanes = kv.shape
         s_max = rows * 4
         assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
@@ -331,8 +331,8 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
         # Ragged capacities: jnp fallback with the same masking semantics.
         from ..generate.kv_cache import VSCALE_OFF, unpack_int8_tokens
         if quant:
-            kq = unpack_int8_tokens(kv[:, 0])
-            vq = unpack_int8_tokens(kv[:, 1])
+            kq = unpack_int8_tokens(kv[:, :, 0])
+            vq = unpack_int8_tokens(kv[:, :, 1])
             s_rows = kv_scales[:, :, 0]
             raw = {0: (kq, s_rows[:, :, :kv_heads]),
                    1: (vq, s_rows[:, :, VSCALE_OFF:VSCALE_OFF + kv_heads])}
@@ -377,11 +377,11 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
                               SCALE_LANES - VSCALE_OFF - kv_heads))),
         ], axis=1)
         oh_arg, oh_block = oh_s, (h, 2 * SCALE_LANES)
-        kv_block = (1, 2, block_k // 4, hd_tot)
+        kv_block = (1, block_k // 4, 2, hd_tot)
 
         def kv_index(bb, kk, lens):          # noqa: F811 (quant layout)
             last = jnp.maximum(pl.cdiv(lens[bb], block_k) - 1, 0)
-            return (bb, 0, jnp.minimum(kk, last), 0)
+            return (bb, jnp.minimum(kk, last), 0, 0)
     else:
         oh_arg, oh_block = onehot, (h, kv_heads)
         kv_block = (1, block_k, 2, hd_tot)
@@ -701,7 +701,7 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
 
         def dmas(slot, blk, g):
             return (pltpu.make_async_copy(
-                        kv_hbm.at[p * group + g, :,
+                        kv_hbm.at[p * group + g,
                                   pl.ds(blk * blk4, blk4)],
                         buf.at[slot, g], sem.at[slot, g]),
                     pltpu.make_async_copy(
@@ -743,8 +743,8 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                 start(jax.lax.rem(i + 1, 2), i + 1)
 
             wait(slot, i)
-            kblk = pltpu.bitcast(buf[slot, :, 0], jnp.int8)  # [G, blk, F]
-            vblk = pltpu.bitcast(buf[slot, :, 1], jnp.int8)
+            kblk = pltpu.bitcast(buf[slot, :, :, 0], jnp.int8)  # [G,blk,F]
+            vblk = pltpu.bitcast(buf[slot, :, :, 1], jnp.int8)
             srow = sbuf[slot, :, :, 0, :]          # [G, block_k, SL]
             if qs_ref is not None:
                 s = jax.lax.dot_general(
@@ -789,7 +789,7 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
 
     pl.run_scoped(
         body,
-        buf=pltpu.VMEM((2, group, 2, block_k // 4, hd_tot), jnp.int32),
+        buf=pltpu.VMEM((2, group, block_k // 4, 2, hd_tot), jnp.int32),
         sbuf=pltpu.VMEM((2, group, block_k, 1, scale_lanes), jnp.float32),
         sem=pltpu.SemaphoreType.DMA((2, group)),
         ssem=pltpu.SemaphoreType.DMA((2, group)),
@@ -816,7 +816,7 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
     hd_tot = kv_heads * d
     quant = kv_scales is not None
     if quant:
-        _, planes, rows, lanes = kv.shape
+        _, rows, planes, lanes = kv.shape
         s_max = rows * 4
         assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
@@ -960,7 +960,7 @@ def flash_verify_grouped(q, kv, lengths, kv_heads, scale=None,
     hd_tot = kv_heads * d
     quant = kv_scales is not None
     if quant:
-        _, planes, rows, lanes = kv.shape
+        _, rows, planes, lanes = kv.shape
         s_max = rows * 4
         assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
@@ -1237,7 +1237,7 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     hd_tot = kv_heads * d
     quant = kv_scales is not None
     if quant:
-        _, planes, rows, lanes = kv.shape
+        _, rows, planes, lanes = kv.shape
         s_max = rows * 4
         assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
     else:
@@ -1251,8 +1251,8 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     if s_max % block_k or block_k % 4 or quant is False and s_max < 8:
         if quant:
             from ..generate.kv_cache import VSCALE_OFF, unpack_int8_tokens
-            kq = unpack_int8_tokens(kv[:, 0])
-            vq = unpack_int8_tokens(kv[:, 1])
+            kq = unpack_int8_tokens(kv[:, :, 0])
+            vq = unpack_int8_tokens(kv[:, :, 1])
             s_rows = kv_scales[:, :, 0]
             kf = (kq.reshape(b, s_max, kv_heads, d).astype(jnp.float32)
                   * s_rows[:, :, :kv_heads, None])
@@ -1284,11 +1284,11 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
                                SCALE_LANES - VSCALE_OFF - kv_heads))),
         ], axis=1)
         oh_arg, oh_block = oh_s, (s * h, 2 * SCALE_LANES)
-        kv_block = (1, 2, block_k // 4, hd_tot)
+        kv_block = (1, block_k // 4, 2, hd_tot)
 
         def kv_index(bb, kk, lens):      # noqa: F811 (quant layout)
             last = jnp.maximum(pl.cdiv(lens[bb] + s, block_k) - 1, 0)
-            return (bb, 0, jnp.minimum(kk, last), 0)
+            return (bb, jnp.minimum(kk, last), 0, 0)
     else:
         oh_arg, oh_block = oh_rows, (s * h, kv_heads)
         kv_block = (1, block_k, 2, hd_tot)

@@ -149,18 +149,21 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
     """Decode append into the token-packed int8 cache
     (generate/kv_cache.py): the new token owns byte ``pos%4`` of int32
     row ``pos//4`` in each plane, so the kernel read-modify-writes one
-    row per (sequence, plane) — DMA the rows in, merge the byte on the
-    VPU (one vectorized [B, 2, 1, F] op), DMA them back — and appends
-    the scale row as a plain HBM→HBM copy.
+    row per sequence (both planes in one DMA — the row dim sits outside
+    the tiled trailing [2, F] pair, so single-row slices at arbitrary
+    offsets are legal Mosaic DMAs), merges the byte on the VPU (one
+    vectorized [B, 1, 2, F] op), DMAs the rows back, and appends the
+    scale row as a plain HBM→HBM copy.
 
     pos:      [B] int32, caller-clamped to < capacity;
-    kv:       [B, 2, cap/4, F] int32 token-packed cache (aliased);
+    kv:       [B, cap/4, 2, F] int32 token-packed cache (aliased);
     sbuf:     [B, cap, 1, SL] f32 scale rows (aliased);
     bytes_kv: [B, 2, 1, F] int32 int8-range byte values;
     srows:    [B, 1, 1, SL] f32 new scale rows.
     Returns (kv, sbuf) updated in place under donation."""
     batch = bytes_kv.shape[0]
     posv = jnp.asarray(pos, jnp.int32)[:, None]
+    bytes_kv = jnp.asarray(bytes_kv, jnp.int32).swapaxes(1, 2)
 
     def kernel(pos_ref, posv_ref, bytes_ref, srows_ref, _kv_in, _s_in,
                kv_out, s_out, old_ref, sem, wsem, ssem):
@@ -168,7 +171,7 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
         for b in range(batch):
             row = pos_ref[b] >> 2
             dma = pltpu.make_async_copy(
-                kv_out.at[b, :, pl.ds(row, 1)], old_ref.at[b],
+                kv_out.at[b, pl.ds(row, 1)], old_ref.at[b],
                 sem.at[b])
             dma.start()
             reads.append(dma)
@@ -187,7 +190,7 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
         for b in range(batch):
             row = pos_ref[b] >> 2
             dma = pltpu.make_async_copy(
-                old_ref.at[b], kv_out.at[b, :, pl.ds(row, 1)],
+                old_ref.at[b], kv_out.at[b, pl.ds(row, 1)],
                 wsem.at[b])
             dma.start()
             writes.append(dma)

@@ -184,15 +184,22 @@ class EncoderDecoderLM:
                 if cfg.use_pallas:
                     scales = (cache.quant_scales[i]
                               if cache.quant_scales is not None else None)
-                    group = next((g for g in (8, 4, 2)
+                    # Same grouped-kernel selection as TransformerLM:
+                    # token-packed int8 caches support g=16 (half the
+                    # block bytes) and int8-scores below g=16.
+                    groups = ((16, 8, 4, 2) if scales is not None
+                              else (8, 4, 2))
+                    group = next((g for g in groups
                                   if b % g == 0 and b >= 2 * g), 0)
-                    if scales is None and group:
+                    if group:
                         from ..kernels.attention import \
                             flash_decode_grouped
                         out = flash_decode_grouped(
                             q[:, :, 0, :], cache.fused_layer(i),
                             cache.lengths + 1, cfg.n_heads,
-                            group=group)[:, :, None, :]
+                            group=group, kv_scales=scales,
+                            int8_scores=(scales is not None
+                                         and group < 16))[:, :, None, :]
                     else:
                         out = flash_decode_fused(
                             q[:, :, 0, :], cache.fused_layer(i),

@@ -439,15 +439,20 @@ class TransformerLM:
                 kind = cfg.decode_attn
                 if scales is not None and kind == "stream":
                     kind = "fused"   # no quantized stream variant
-                group = next((g for g in (8, 4, 2) if b % g == 0 and
+                # v5e A/B (BASELINE.md round 5): the token-packed int8
+                # cache supports g=16 (half the block bytes of bf16 fit
+                # VMEM) and wins there — 102.9 us vs bf16 g=8's 108.3
+                # same-run at batch 64/live 256; float caches stay at
+                # g=8 (g=16 measured slower). int8-scores only pays at
+                # g=8 (110 vs 123 us); at g=16 the G chains already hide
+                # the convert and its epilogue multiply costs.
+                groups = (16, 8, 4, 2) if scales is not None else (8, 4, 2)
+                group = next((g for g in groups if b % g == 0 and
                               b >= 2 * g), 0)
                 if kind == "auto":
-                    # v5e A/B (BASELINE.md): batched-group g=8/block 64
-                    # is 1.8× the per-(seq, block) grid at batch 64 —
-                    # the per-block op-issue chain amortizes over G
-                    # independent sequences per program. The int8 cache
-                    # gains even more (the in-kernel unpack adds VPU work
-                    # to each block's dependent chain).
+                    # Batched-group g=8/block 64 is 1.8x the per-(seq,
+                    # block) grid at batch 64 — the per-block op-issue
+                    # chain amortizes over G independent sequences.
                     kind = "grouped" if group else "fused"
                 if kind == "grouped":
                     from ..kernels.attention import flash_decode_grouped
@@ -458,6 +463,7 @@ class TransformerLM:
                                                kv_scales=scales,
                                                int8_scores=(
                                                    scales is not None
+                                                   and group < 16
                                                    and cfg.quant_int8_scores))
                 elif kind == "stream":
                     from ..kernels.attention import flash_decode_stream
