@@ -166,7 +166,11 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
     bytes_kv = jnp.asarray(bytes_kv, jnp.int32).swapaxes(1, 2)
 
     def kernel(pos_ref, posv_ref, bytes_ref, srows_ref, _kv_in, _s_in,
-               kv_out, s_out, old_ref, sem, wsem, ssem):
+               kv_out, s_out, old_ref, sem):
+        # One counting semaphore per sequence, shared by the row read,
+        # the scale-row copy, and the row write-back: DMA semaphore
+        # space ('sflag') is ~2K entries on v5e — three per-batch arrays
+        # blew it at batch 256 (3.1K used).
         reads = []
         for b in range(batch):
             row = pos_ref[b] >> 2
@@ -177,7 +181,7 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
             reads.append(dma)
             sdma = pltpu.make_async_copy(
                 srows_ref.at[b], s_out.at[b, pl.ds(pos_ref[b], 1)],
-                ssem.at[b])
+                sem.at[b])
             sdma.start()
             reads.append(sdma)
         for dma in reads:
@@ -191,7 +195,7 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
             row = pos_ref[b] >> 2
             dma = pltpu.make_async_copy(
                 old_ref.at[b], kv_out.at[b, pl.ds(row, 1)],
-                wsem.at[b])
+                sem.at[b])
             dma.start()
             writes.append(dma)
         for dma in writes:
@@ -214,8 +218,6 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
         input_output_aliases={4: 0, 5: 1},
         scratch_shapes=[
             pltpu.VMEM(bytes_kv.shape, jnp.int32),
-            pltpu.SemaphoreType.DMA((batch,)),
-            pltpu.SemaphoreType.DMA((batch,)),
             pltpu.SemaphoreType.DMA((batch,)),
         ],
         interpret=_interpret(),
