@@ -141,6 +141,10 @@ def main():
                                         block_k=128, group=8,
                                         kv_scales=scales,
                                         int8_scores=True), bytes_q),
+        ("int8 grouped g=16 b64 int8-scores",
+         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh, block_k=64,
+                                        group=16, kv_scales=scales,
+                                        int8_scores=True), bytes_q),
     ]
     for name, fn, nbytes in variants:
         try:
