@@ -445,10 +445,18 @@ class TransformerLM:
                 # same-run at batch 64/live 256; float caches stay at
                 # g=8 (g=16 measured slower). int8-scores only pays at
                 # g=8 (110 vs 123 us); at g=16 the G chains already hide
-                # the convert and its epilogue multiply costs.
-                groups = (16, 8, 4, 2) if scales is not None else (8, 4, 2)
+                # the convert and its epilogue multiply costs. LONG
+                # caches (cap >= 2048) flip the tradeoff: block 128
+                # amortizes the per-block chain over more bytes (bf16
+                # 572 vs 649 us at live 3968 — 682 GB/s, bandwidth
+                # bound) and int8 prefers g=8/b128 (641 vs g=16/b64's
+                # 711 — VMEM pressure at g=16/b128 fails to compile).
+                long_ctx = cache.capacity >= 2048
+                groups = ((8, 4, 2) if long_ctx or scales is None
+                          else (16, 8, 4, 2))
                 group = next((g for g in groups if b % g == 0 and
                               b >= 2 * g), 0)
+                blk = 128 if long_ctx else 64
                 if kind == "auto":
                     # Batched-group g=8/block 64 is 1.8x the per-(seq,
                     # block) grid at batch 64 — the per-block op-issue
@@ -460,10 +468,12 @@ class TransformerLM:
                                                cache.fused_layer(layer_idx),
                                                cache.lengths + 1, kvh,
                                                group=group or 8,
+                                               block_k=blk,
                                                kv_scales=scales,
                                                int8_scores=(
                                                    scales is not None
                                                    and group < 16
+                                                   and not long_ctx
                                                    and cfg.quant_int8_scores))
                 elif kind == "stream":
                     from ..kernels.attention import flash_decode_stream
