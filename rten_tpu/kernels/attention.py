@@ -675,7 +675,7 @@ def _decode_grouped_kernel(len_ref, q_ref, kv_hbm, o_ref, *, scale,
 def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                                  o_ref, *, scale, block_k, h, hd_tot,
                                  group, scale_lanes, chunk_s=0,
-                                 qs_ref=None):
+                                 qs_ref=None, pv_int8=False):
     """Token-packed int8 sibling of :func:`_decode_grouped_kernel`: the
     packed int32 cache rows stream at 1 B/elt and the sublane bitcast IS
     the unpack (byte b of int32 row r = token 4r+b — the layout in
@@ -776,10 +776,25 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             pmat = pmat * vs
-            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-                pmat, vblk.astype(jnp.float32),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)            # [G, H, F]
+            if pv_int8:
+                # Row-quantize the scale-folded probabilities so the PV
+                # dot runs int8×int8 on the MXU: the [G, blk, F] V
+                # upconvert — the block's largest VPU op — disappears;
+                # the dequant multiply moves to the [G, H, F] result.
+                # pmat >= 0, so the row scale is just rowmax/127.
+                rmax = jnp.max(pmat, axis=2, keepdims=True)
+                pq = jnp.maximum(rmax, 1e-30) / 127.0
+                p8 = jnp.round(pmat / pq).astype(jnp.int8)
+                pv32 = jax.lax.dot_general(
+                    p8, vblk, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)          # [G, H, F]
+                acc_ref[:] = (acc_ref[:] * alpha
+                              + pv32.astype(jnp.float32) * pq)
+            else:
+                acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                    pmat, vblk.astype(jnp.float32),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)        # [G, H, F]
             m_ref[:] = m_new
             return 0
 
@@ -802,10 +817,11 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
                                     "group", "int8_scores",
-                                    "native_dots"))
+                                    "native_dots", "pv_int8"))
 def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
                          block_k=64, group=8, kv_scales=None,
-                         int8_scores=False, native_dots=False):
+                         int8_scores=False, native_dots=False,
+                         pv_int8=False):
     """Decode attention with G sequences per program, batched along a
     leading G dim. Same contract as :func:`flash_decode_fused`,
     including the token-packed int8 cache via ``kv_scales``; ``group``
@@ -862,7 +878,8 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
         kernel = functools.partial(_decode_grouped_quant_kernel,
                                    scale=scale, block_k=block_k, h=h,
                                    hd_tot=hd_tot, group=group,
-                                   scale_lanes=SCALE_LANES)
+                                   scale_lanes=SCALE_LANES,
+                                   pv_int8=pv_int8)
         if int8_scores:
             # Row-quantized q: the score dot becomes a genuine
             # int8×int8 MXU contraction; per-row q scales fold into the
@@ -881,7 +898,8 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
                 return _decode_grouped_quant_kernel(
                     len_ref, q_ref, oh_ref, kv_hbm, sc_hbm, o_ref,
                     scale=scale, block_k=block_k, h=h, hd_tot=hd_tot,
-                    group=group, scale_lanes=SCALE_LANES, qs_ref=qs)
+                    group=group, scale_lanes=SCALE_LANES, qs_ref=qs,
+                    pv_int8=pv_int8)
 
             args = (jnp.asarray(lengths, jnp.int32), q_arg, oh_g, qsc,
                     kv, kv_scales)

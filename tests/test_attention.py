@@ -454,3 +454,32 @@ def test_flash_decode_grouped_native_dots_close():
     ref = np.abs(np.asarray(exact)).max()
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
                                atol=0.02 * ref)
+
+
+def test_flash_decode_grouped_pv_int8_close():
+    """pv_int8=True row-quantizes the scale-folded probabilities and
+    runs the PV dot int8x8 on the MXU (the [G, blk, F] V upconvert
+    disappears). Output must track the exact-PV kernel within the
+    8-bit probability rounding."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import flash_decode_grouped
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(17)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    scales = jnp.asarray(scales)
+    lengths = jnp.asarray([5, 127, 64, 1], jnp.int32)
+    exact = flash_decode_grouped(q, kv_q, lengths, KVH, block_k=64,
+                                 group=2, kv_scales=scales)
+    got = flash_decode_grouped(q, kv_q, lengths, KVH, block_k=64,
+                               group=2, kv_scales=scales, pv_int8=True)
+    ref = np.abs(np.asarray(exact)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                               atol=0.03 * ref)
