@@ -103,12 +103,12 @@ class ServingEngine:
         self.logprobs = bool(logprobs)
 
         if paged:
-            assert mesh is None and not quantized_cache, \
-                "paged mode is single-mesh, float-cache for now"
+            assert mesh is None, "paged mode is single-mesh for now"
             from .paged_cache import PagedKVCache
             n_pages = pool_pages or max_batch * (-(-capacity // page_size))
             self.cache = model.new_paged_cache(max_batch, capacity,
-                                               page_size, n_pages)
+                                               page_size, n_pages,
+                                               quantized=quantized_cache)
             self.allocator = PagedKVCache.make_allocator(n_pages)
         else:
             self.cache = model.new_cache(max_batch, capacity,
@@ -167,7 +167,7 @@ class ServingEngine:
                 cache = model.new_paged_cache(
                     group, bucket, self.page_size,
                     group * (-(-bucket // self.page_size)),
-                    identity_table=True)
+                    identity_table=True, quantized=quantized_cache)
             else:
                 cache = model.new_cache(group, cap,
                                         quantized=quantized_cache,

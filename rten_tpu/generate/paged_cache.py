@@ -12,6 +12,14 @@ Layout (per layer):
   * page table — [B, max_pages_per_seq] int32 page ids (-1 = unmapped)
   * lengths    — [B] tokens written per sequence
 
+Quantized pools (``quantized=True``) use KVCache's token-packed int8
+format per page: int32 [n_pages, page/4, 2, KVH*D] (4 consecutive
+tokens per int32 lane — the exact inverse of Mosaic's sublane bitcast,
+see generate/kv_cache.py) plus f32 scale pages
+[n_pages, page, 1, SCALE_LANES]. Decode appends read-modify-write one
+int32 row per sequence through the page table
+(kernels/cache.py::paged_append_quant).
+
 Device ops are Pallas kernels sharing KVCache's machinery:
   * decode append — :func:`rten_tpu.kernels.cache.paged_append` (one
     in-place row DMA per sequence, page resolved through the table);
@@ -45,29 +53,42 @@ class PagedKVCache:
     page_size: int
     kv_heads: int = 1
     head_dim: int = 1
+    quant_scales: object = None   # per layer [n_pages, page, 1, SL] f32
 
     # KVCache-protocol marker: models check this to pick the paged
     # attention kernel.
     paged = True
-    quant_scales = None
     stacked = False
 
     def tree_flatten(self):
-        return ((self.pools, self.page_table, self.lengths),
+        return ((self.pools, self.page_table, self.lengths,
+                 self.quant_scales),
                 (self.page_size, self.kv_heads, self.head_dim))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        pools, table, lengths, scales = children
+        return cls(pools, table, lengths, *aux, quant_scales=scales)
 
     # -- construction ------------------------------------------------------
 
     @staticmethod
     def create(n_layers, n_pages, page_size, kv_heads, head_dim, batch,
-               max_pages_per_seq, dtype=jnp.float32):
+               max_pages_per_seq, dtype=jnp.float32, quantized=False):
+        table = jnp.full((batch, max_pages_per_seq), -1, jnp.int32)
+        if quantized:
+            from .kv_cache import SCALE_LANES, VSCALE_OFF
+            f = kv_heads * head_dim
+            assert page_size % 4 == 0 and kv_heads <= VSCALE_OFF
+            pools = [jnp.zeros((n_pages, page_size // 4, 2, f), jnp.int32)
+                     for _ in range(n_layers)]
+            scales = [jnp.ones((n_pages, page_size, 1, SCALE_LANES),
+                               jnp.float32) for _ in range(n_layers)]
+            return PagedKVCache(pools, table, jnp.zeros(batch, jnp.int32),
+                                page_size, kv_heads, head_dim,
+                                quant_scales=scales)
         pools = [jnp.zeros((n_pages, page_size, 2, kv_heads * head_dim),
                            dtype) for _ in range(n_layers)]
-        table = jnp.full((batch, max_pages_per_seq), -1, jnp.int32)
         return PagedKVCache(pools, table, jnp.zeros(batch, jnp.int32),
                             page_size, kv_heads, head_dim)
 
@@ -90,26 +111,46 @@ class PagedKVCache:
     def with_lengths(self, lengths):
         return PagedKVCache(self.pools, self.page_table,
                             jnp.asarray(lengths, jnp.int32),
-                            self.page_size, self.kv_heads, self.head_dim)
+                            self.page_size, self.kv_heads, self.head_dim,
+                            quant_scales=self.quant_scales)
 
     # -- device ops --------------------------------------------------------
 
     def _pack(self, k_new, v_new):
-        """[B, KVH, T, D] k/v → token-major [B, T, 2, KVH*D]."""
+        """[B, KVH, T, D] k/v → token-major [B, T, 2, KVH*D]; quantized
+        pools get int8-range byte values [B, 2, T, KVH*D] + scale rows
+        [B, T, 1, SCALE_LANES] (KVCache's format)."""
         b, kvh, t, d = k_new.shape
+        if self.quant_scales is not None:
+            from .kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                   _quantize_tokens)
+            k_t = k_new.transpose(0, 2, 1, 3)
+            v_t = v_new.transpose(0, 2, 1, 3)
+            k_q, k_s = _quantize_tokens(k_t)
+            v_q, v_s = _quantize_tokens(v_t)
+            bytes_kv = jnp.stack(
+                [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
+                 v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
+            scales = jnp.ones((b, t, 1, SCALE_LANES), jnp.float32)
+            scales = scales.at[..., 0, 0:kvh].set(k_s)
+            scales = scales.at[..., 0,
+                               VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
+            return bytes_kv, scales
         return jnp.stack(
             [k_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d),
-             v_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d)], axis=2)
+             v_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d)],
+            axis=2), None
 
     def append(self, layer, k_new, v_new, position=None):
         """KVCache-protocol append. Decode (T == 1, position None) is an
         in-place page-row DMA; prefill (scalar position) scatters whole
         pages into the mapped table entries (once per request)."""
         b, kvh, t, d = k_new.shape
-        packed = self._pack(k_new, v_new)
+        packed, srows = self._pack(k_new, v_new)
         pool = self.pools[layer]
-        packed = packed.astype(pool.dtype)
         page = self.page_size
+        scales = self.quant_scales
+        quant = scales is not None
 
         if position is None and t == 1:
             page_idx = jnp.minimum(self.lengths // page,
@@ -122,10 +163,45 @@ class PagedKVCache:
             # finished slot keeps appending until reused — those writes
             # must land somewhere no live sequence owns.
             rows = jnp.maximum(rows, 0)
-            if (kvh * d) % _LANE == 0 and pool.dtype.itemsize >= 2:
+            if quant:
+                spool = scales[layer]
+                if (kvh * d) % _LANE == 0:
+                    from ..kernels.cache import paged_append_quant
+                    pool, spool = paged_append_quant(
+                        rows, offs, pool, spool, packed, srows)
+                else:
+                    # XLA fallback (unaligned lanes): per-sequence
+                    # single-row read-modify-write.
+                    f = kvh * d
+                    o4 = offs // 4
+                    sh = (offs % 4) * 8
+                    byte_row = packed.swapaxes(1, 2)   # [B, 1, 2, F]
+
+                    def body(i, carry):
+                        pl_, sp_ = carry
+                        old = jax.lax.dynamic_slice(
+                            pl_, (rows[i], o4[i], 0, 0), (1, 1, 2, f))
+                        mask = jnp.left_shift(jnp.int32(0xFF), sh[i])
+                        merged = ((old & ~mask)
+                                  | jnp.left_shift(
+                                      byte_row[i][None] & 0xFF, sh[i]))
+                        pl_ = jax.lax.dynamic_update_slice(
+                            pl_, merged, (rows[i], o4[i], 0, 0))
+                        sp_ = jax.lax.dynamic_update_slice(
+                            sp_, srows[i][None],
+                            (rows[i], offs[i], 0, 0))
+                        return pl_, sp_
+                    pool, spool = jax.lax.fori_loop(0, b, body,
+                                                    (pool, spool))
+                scales = list(scales)
+                scales[layer] = spool
+            elif (kvh * d) % _LANE == 0 and pool.dtype.itemsize >= 2:
+                packed = packed.astype(pool.dtype)
                 from ..kernels.cache import paged_append
                 (pool,) = paged_append(rows, offs, (pool,), (packed,))
             else:
+                packed = packed.astype(pool.dtype)
+
                 def body(i, pl_):
                     return jax.lax.dynamic_update_slice(
                         pl_, packed[i][None], (rows[i], offs[i], 0, 0))
@@ -138,16 +214,35 @@ class PagedKVCache:
             assert position == 0, "paged prefill writes from position 0"
             n_p = -(-t // page)
             pad = n_p * page - t
-            if pad:
-                packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            pages = packed.reshape(b, n_p, page, 2, kvh * d)
             rows = jnp.maximum(self.page_table[:, :n_p], 0)  # [B, n_p]
-            pool = pool.at[rows.reshape(-1)].set(
-                pages.reshape(b * n_p, page, 2, kvh * d))
+            if quant:
+                from .kv_cache import pack_int8_tokens
+                if pad:
+                    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad),
+                                              (0, 0)))
+                    srows = jnp.pad(srows, ((0, 0), (0, pad), (0, 0),
+                                            (0, 0)),
+                                    constant_values=1.0)
+                prows = pack_int8_tokens(packed).swapaxes(1, 2)
+                pages = prows.reshape(b * n_p, page // 4, 2, kvh * d)
+                pool = pool.at[rows.reshape(-1)].set(pages)
+                spool = scales[layer].at[rows.reshape(-1)].set(
+                    srows.reshape(b * n_p, page, 1, srows.shape[-1]))
+                scales = list(scales)
+                scales[layer] = spool
+            else:
+                packed = packed.astype(pool.dtype)
+                if pad:
+                    packed = jnp.pad(packed,
+                                     ((0, 0), (0, pad), (0, 0), (0, 0)))
+                pages = packed.reshape(b, n_p, page, 2, kvh * d)
+                pool = pool.at[rows.reshape(-1)].set(
+                    pages.reshape(b * n_p, page, 2, kvh * d))
         pools = list(self.pools)
         pools[layer] = pool
         return PagedKVCache(pools, self.page_table, self.lengths,
-                            self.page_size, self.kv_heads, self.head_dim)
+                            self.page_size, self.kv_heads, self.head_dim,
+                            quant_scales=scales)
 
     def fused_layer(self, layer):
         return self.pools[layer]
@@ -158,9 +253,26 @@ class PagedKVCache:
         directly)."""
         pool = self.pools[layer]
         safe = jnp.maximum(self.page_table, 0)          # [B, P]
-        pages = pool[safe]          # [B, P, page, 2, KVH*D]
-        b, p, ps, _, r = pages.shape
+        pages = pool[safe]          # [B, P, page(/4), 2, KVH*D]
         kvh, d = self.kv_heads, self.head_dim
+        if self.quant_scales is not None:
+            from .kv_cache import VSCALE_OFF, unpack_int8_tokens
+            b, p = safe.shape
+            rows = pages.transpose(0, 1, 3, 2, 4)  # [B, P, 2, page/4, F]
+            kq = unpack_int8_tokens(rows[:, :, 0]).reshape(
+                b, p * self.page_size, kvh, d)
+            vq = unpack_int8_tokens(rows[:, :, 1]).reshape(
+                b, p * self.page_size, kvh, d)
+            srows = self.quant_scales[layer][safe][:, :, :, 0]
+            s = srows.reshape(b, p * self.page_size, -1)  # [B, cap, SL]
+
+            def deq(x, sr):
+                return (x.astype(jnp.float32)
+                        * sr[..., None]).transpose(0, 2, 1, 3)
+
+            return (deq(kq, s[:, :, :kvh]),
+                    deq(vq, s[:, :, VSCALE_OFF:VSCALE_OFF + kvh]))
+        b, p, ps, _, r = pages.shape
         seq = pages.reshape(b, p * ps, 2, kvh, d)
         k = seq[:, :, 0].transpose(0, 2, 1, 3)
         v = seq[:, :, 1].transpose(0, 2, 1, 3)
@@ -179,13 +291,19 @@ class PagedKVCache:
             0)
         pools = [pool.at[dst_rows].set(src.astype(pool.dtype)[src_rows])
                  for pool, src in zip(self.pools, other.pools)]
+        scales = self.quant_scales
+        if scales is not None:
+            scales = [sp.at[dst_rows].set(osp[src_rows])
+                      for sp, osp in zip(scales, other.quant_scales)]
         lengths = self.lengths.at[slot].set(length)
         return PagedKVCache(pools, self.page_table, lengths,
-                            self.page_size, self.kv_heads, self.head_dim)
+                            self.page_size, self.kv_heads, self.head_dim,
+                            quant_scales=scales)
 
     def advance(self, n=1):
         return PagedKVCache(self.pools, self.page_table, self.lengths + n,
-                            self.page_size, self.kv_heads, self.head_dim)
+                            self.page_size, self.kv_heads, self.head_dim,
+                            quant_scales=self.quant_scales)
 
     # -- host-side page allocator -----------------------------------------
 
@@ -235,7 +353,8 @@ class _PageAllocator:
             new_table[slot, i] = self.alloc()
         return PagedKVCache(cache.pools, jnp.asarray(new_table),
                             cache.lengths, cache.page_size, cache.kv_heads,
-                            cache.head_dim)
+                            cache.head_dim,
+                            quant_scales=cache.quant_scales)
 
     def release_slot(self, cache: PagedKVCache, slot: int) -> PagedKVCache:
         table = np.asarray(cache.page_table)
@@ -246,4 +365,5 @@ class _PageAllocator:
         lengths[slot] = 0
         return PagedKVCache(cache.pools, jnp.asarray(new_table),
                             jnp.asarray(lengths), cache.page_size,
-                            cache.kv_heads, cache.head_dim)
+                            cache.kv_heads, cache.head_dim,
+                            quant_scales=cache.quant_scales)

@@ -1163,17 +1163,135 @@ def _decode_paged_grouped_kernel(tab_ref, len_ref, q_ref, kv_hbm, o_ref,
     )
 
 
+def _decode_paged_grouped_quant_kernel(tab_ref, len_ref, q_ref, oh_ref,
+                                       kv_hbm, sc_hbm, o_ref, *, scale,
+                                       page_size, h, hd_tot, group,
+                                       scale_lanes):
+    """Token-packed int8 sibling of :func:`_decode_paged_grouped_kernel`
+    (same bitcast unpack + MXU scale expansion as
+    :func:`_decode_grouped_quant_kernel`, page ids resolved in-kernel)."""
+    p = pl.program_id(0)
+    page4 = page_size // 4
+
+    def body(buf, sbuf, sem, ssem, m_ref, l_ref, acc_ref):
+        lens = [len_ref[p * group + g] for g in range(group)]
+        max_len = lens[0]
+        for g in range(1, group):
+            max_len = jnp.maximum(max_len, lens[g])
+        n_blocks = pl.cdiv(max_len, page_size)
+
+        def pid(g, i):
+            last = jnp.maximum(pl.cdiv(lens[g], page_size) - 1, 0)
+            return jnp.maximum(
+                tab_ref[p * group + g, jnp.minimum(i, last)], 0)
+
+        def dmas(slot, i, g):
+            return (pltpu.make_async_copy(kv_hbm.at[pid(g, i)],
+                                          buf.at[slot, g],
+                                          sem.at[slot, g]),
+                    pltpu.make_async_copy(sc_hbm.at[pid(g, i)],
+                                          sbuf.at[slot, g],
+                                          ssem.at[slot, g]))
+
+        def start(slot, i):
+            for g in range(group):
+                for c in dmas(slot, i, g):
+                    c.start()
+
+        def wait(slot, i):
+            for g in range(group):
+                for c in dmas(slot, i, g):
+                    c.wait()
+
+        start(0, 0)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0]                       # [G, H, F]
+        oh = oh_ref[0]                     # [G, H, 2*SL]
+        g_of = jax.lax.broadcasted_iota(jnp.int32, (group, h, page_size),
+                                        0)
+        limit = jnp.zeros((group, h, page_size), jnp.int32)
+        for g in range(group):
+            limit = jnp.where(g_of == g, lens[g], limit)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start(jax.lax.rem(i + 1, 2), i + 1)
+
+            wait(slot, i)
+            kblk = pltpu.bitcast(buf[slot, :, :, 0], jnp.int8)
+            vblk = pltpu.bitcast(buf[slot, :, :, 1], jnp.int8)
+            srow = sbuf[slot, :, :, 0, :]          # [G, page, SL]
+            s = jax.lax.dot_general(
+                q, kblk.astype(q.dtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            ks = jax.lax.dot_general(
+                oh[:, :, :scale_lanes], srow,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s = s * ks
+            k_pos = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (group, h, page_size), 2)
+            s = jnp.where(k_pos < limit, s, _NEG_INF)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pmat = jnp.exp(s - m_new)
+            l_ref[:] = (l_ref[:] * alpha
+                        + jnp.sum(pmat, axis=2, keepdims=True))
+            vs = jax.lax.dot_general(
+                oh[:, :, scale_lanes:], srow,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            pmat = pmat * vs
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                pmat, vblk.astype(jnp.float32),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((2, group, page4, 2, hd_tot), jnp.int32),
+        sbuf=pltpu.VMEM((2, group, page_size, 1, scale_lanes),
+                        jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2, group)),
+        ssem=pltpu.SemaphoreType.DMA((2, group)),
+        m_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        l_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((group, h, hd_tot), jnp.float32),
+    )
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "group"))
 def flash_decode_paged_grouped(q, pool, page_table, lengths, kv_heads,
-                               scale=None, group=8):
+                               scale=None, group=8, kv_scales=None):
     """Grouped sibling of :func:`flash_decode_paged`: G sequences per
     program, page ids resolved in-kernel. Falls back to the per-(seq,
     page) grid kernel when the batch doesn't divide by ``group``."""
     b, h, d = q.shape
-    n_pages, page_size, two, hd_tot = pool.shape
+    quant = kv_scales is not None
+    if quant:
+        n_pages, page4, two, hd_tot = pool.shape
+        page_size = page4 * 4
+        assert pool.dtype == jnp.int32
+    else:
+        n_pages, page_size, two, hd_tot = pool.shape
     assert two == 2 and hd_tot == kv_heads * d and h % kv_heads == 0
     if b % group:
+        assert not quant, "quant paged attention requires group | batch"
         return flash_decode_paged(q, pool, page_table, lengths, kv_heads,
                                   scale=scale)
     q_per_kv = h // kv_heads
@@ -1184,6 +1302,51 @@ def flash_decode_paged_grouped(q, pool, page_table, lengths, kv_heads,
     onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
     q_head = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
               ).reshape(nprog, group, h, hd_tot)
+
+    if quant:
+        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
+        oh_s = jnp.concatenate([
+            jnp.pad(onehot, ((0, 0), (0, SCALE_LANES - kv_heads))),
+            jnp.pad(onehot, ((0, 0),
+                             (VSCALE_OFF,
+                              SCALE_LANES - VSCALE_OFF - kv_heads))),
+        ], axis=1)
+        oh_g = jnp.broadcast_to(oh_s[None, None],
+                                (nprog, group, h, 2 * SCALE_LANES))
+        out_full = pl.pallas_call(
+            functools.partial(_decode_paged_grouped_quant_kernel,
+                              scale=scale, page_size=page_size, h=h,
+                              hd_tot=hd_tot, group=group,
+                              scale_lanes=SCALE_LANES),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,   # page_table, lengths
+                grid=(nprog,),
+                in_specs=[
+                    pl.BlockSpec((1, group, h, hd_tot),
+                                 lambda pp, tab, lens: (pp, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, group, h, 2 * SCALE_LANES),
+                                 lambda pp, tab, lens: (pp, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),   # packed pool
+                    pl.BlockSpec(memory_space=pl.ANY),   # scale pool
+                ],
+                out_specs=pl.BlockSpec((1, group, h, hd_tot),
+                                       lambda pp, tab, lens: (pp, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nprog, group, h, hd_tot), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * page_table.shape[1] * page_size * hd_tot,
+                bytes_accessed=(b * page_table.shape[1] * page_size
+                                * (2 * hd_tot + 4 * SCALE_LANES)),
+                transcendentals=b * h * page_table.shape[1] * page_size),
+            interpret=_interpret(),
+        )(jnp.asarray(page_table, jnp.int32),
+          jnp.asarray(lengths, jnp.int32), q_head, oh_g, pool, kv_scales)
+        out4 = out_full.reshape(b, h, kv_heads, d)
+        return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
     out_full = pl.pallas_call(
         functools.partial(_decode_paged_grouped_kernel, scale=scale,

@@ -224,3 +224,78 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
     )(jnp.asarray(pos, jnp.int32), posv, jnp.asarray(bytes_kv, jnp.int32),
       srows, kv, sbuf)
     return out
+
+
+def paged_append_quant(rows, offs, pool, spool, bytes_kv, srows):
+    """Paged sibling of :func:`cache_append_quant`: the new token lands
+    in pool page ``rows[b]`` at in-page offset ``offs[b]`` — byte
+    ``offs%4`` of int32 row ``offs//4`` per plane. Same two-phase RMW
+    (read rows in, one vectorized merge, write back) + scale-row copy,
+    one counting semaphore per sequence.
+
+    rows/offs: [B] int32 (page id resolved through the table on host or
+               in XLA; offs < page_size);
+    pool:      [n_pages, page/4, 2, F] int32 (aliased);
+    spool:     [n_pages, page, 1, SL] f32 (aliased);
+    bytes_kv:  [B, 2, 1, F] int32 int8-range byte values;
+    srows:     [B, 1, 1, SL] f32."""
+    batch = bytes_kv.shape[0]
+    offv = jnp.asarray(offs, jnp.int32)[:, None]
+    bytes_kv = jnp.asarray(bytes_kv, jnp.int32).swapaxes(1, 2)
+
+    def kernel(rows_ref, offs_ref, offv_ref, bytes_ref, srows_ref,
+               _p_in, _s_in, p_out, s_out, old_ref, sem):
+        reads = []
+        for b in range(batch):
+            r4 = offs_ref[b] >> 2
+            dma = pltpu.make_async_copy(
+                p_out.at[rows_ref[b], pl.ds(r4, 1)], old_ref.at[b],
+                sem.at[b])
+            dma.start()
+            reads.append(dma)
+            sdma = pltpu.make_async_copy(
+                srows_ref.at[b],
+                s_out.at[rows_ref[b], pl.ds(offs_ref[b], 1)],
+                sem.at[b])
+            sdma.start()
+            reads.append(sdma)
+        for dma in reads:
+            dma.wait()
+        sh = ((offv_ref[:] & 3) * 8)[:, :, None, None]
+        mask = jnp.left_shift(jnp.int32(0xFF), sh)
+        old_ref[:] = ((old_ref[:] & ~mask)
+                      | jnp.left_shift(bytes_ref[:] & 0xFF, sh))
+        writes = []
+        for b in range(batch):
+            r4 = offs_ref[b] >> 2
+            dma = pltpu.make_async_copy(
+                old_ref.at[b], p_out.at[rows_ref[b], pl.ds(r4, 1)],
+                sem.at[b])
+            dma.start()
+            writes.append(dma)
+        for dma in writes:
+            dma.wait()
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # rows
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # offs
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # offv
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # bytes
+            pl.BlockSpec(memory_space=pltpu.HBM),        # scale rows
+            pl.BlockSpec(memory_space=pltpu.HBM),        # pool (alias 0)
+            pl.BlockSpec(memory_space=pltpu.HBM),        # spool (alias 1)
+        ),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        out_shape=(jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+                   jax.ShapeDtypeStruct(spool.shape, spool.dtype)),
+        input_output_aliases={5: 0, 6: 1},
+        scratch_shapes=[
+            pltpu.VMEM(bytes_kv.shape, jnp.int32),
+            pltpu.SemaphoreType.DMA((batch,)),
+        ],
+        interpret=_interpret(),
+    )(jnp.asarray(rows, jnp.int32), jnp.asarray(offs, jnp.int32), offv,
+      bytes_kv, srows, pool, spool)

@@ -415,6 +415,8 @@ class TransformerLM:
             # (kernels/attention.py::flash_decode_fused). int8 caches
             # dequantize on the MXU inside the kernel.
             if cfg.use_pallas and getattr(cache, "paged", False):
+                pscales = (cache.quant_scales[layer_idx]
+                           if cache.quant_scales is not None else None)
                 group = next((g for g in (8, 4, 2) if b % g == 0 and
                               b >= 2 * g), 0)
                 if group and cfg.decode_attn in ("auto", "grouped"):
@@ -423,7 +425,19 @@ class TransformerLM:
                     out = flash_decode_paged_grouped(
                         q[:, :, 0, :], cache.fused_layer(layer_idx),
                         cache.page_table, cache.lengths + 1, kvh,
-                        group=group)
+                        group=group, kv_scales=pscales)
+                elif pscales is not None:
+                    # No viable group (tiny batch): dequantized-gather
+                    # reference path (the grid paged kernel is
+                    # float-only).
+                    from ..kernels.attention import _attn_reference
+                    kc, vc = cache.layer_kv(layer_idx)
+                    if kvh != h:
+                        kc = jnp.repeat(kc, h // kvh, axis=1)
+                        vc = jnp.repeat(vc, h // kvh, axis=1)
+                    out = _attn_reference(q, kc, vc, False,
+                                          1.0 / math.sqrt(hd),
+                                          cache.lengths + 1)[:, :, 0]
                 else:
                     from ..kernels.attention import flash_decode_paged
                     out = flash_decode_paged(q[:, :, 0, :],
@@ -712,7 +726,7 @@ class TransformerLM:
                               stacked=cfg.scan_layers)
 
     def new_paged_cache(self, batch, capacity, page_size, n_pages,
-                        identity_table=False):
+                        identity_table=False, quantized=False):
         """Block-paged cache (generate/paged_cache.py). With
         ``identity_table`` the table is pre-mapped 0..B*P-1 — used for
         prefill group caches, where every sequence owns its pages."""
@@ -722,11 +736,13 @@ class TransformerLM:
         max_pages = -(-capacity // page_size)
         cache = PagedKVCache.create(cfg.n_layers, n_pages, page_size,
                                     cfg.n_kv_heads, cfg.head_dim, batch,
-                                    max_pages, dtype=dtype)
+                                    max_pages, dtype=dtype,
+                                    quantized=quantized)
         if identity_table:
             assert n_pages >= batch * max_pages
             table = jnp.arange(batch * max_pages,
                                dtype=jnp.int32).reshape(batch, max_pages)
             cache = PagedKVCache(cache.pools, table, cache.lengths,
-                                 page_size, cfg.n_kv_heads, cfg.head_dim)
+                                 page_size, cfg.n_kv_heads, cfg.head_dim,
+                                 quant_scales=cache.quant_scales)
         return cache

@@ -204,3 +204,90 @@ def test_paged_grouped_attention_matches_contiguous():
                           1.0 / np.sqrt(D), cache.lengths)[:, :, 0, :]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_paged_quantized_roundtrip():
+    """Quantized paged pool: prefill pages + decode RMW appends must
+    dequantize back within int8 error at ragged depths."""
+    cache = PagedKVCache.create(1, n_pages=8, page_size=PAGE, kv_heads=KVH,
+                                head_dim=D, batch=2, max_pages_per_seq=3,
+                                quantized=True)
+    table = jnp.asarray([[0, 1, -1], [2, 3, 4]], jnp.int32)
+    cache = PagedKVCache(cache.pools, table, cache.lengths, PAGE, KVH, D,
+                         quant_scales=cache.quant_scales)
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(2, KVH, 10, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, KVH, 10, D).astype(np.float32))
+    cache = cache.append(0, k, v, position=0).with_lengths(
+        jnp.asarray([10, 7], jnp.int32))
+    # decode append lands mid-page (token 10 / 7)
+    k1 = jnp.asarray(rng.randn(2, KVH, 1, D).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(2, KVH, 1, D).astype(np.float32))
+    cache = cache.append(0, k1, v1)
+    kk, vv = cache.layer_kv(0)     # [B, KVH, cap, D] dequantized
+    tol = np.abs(np.asarray(k)).max() / 50
+    np.testing.assert_allclose(np.asarray(kk[0, :, :10]),
+                               np.asarray(k[0]), atol=tol)
+    np.testing.assert_allclose(np.asarray(vv[1, :, :7]),
+                               np.asarray(v[1, :, :7]), atol=tol)
+    np.testing.assert_allclose(np.asarray(kk[0, :, 10]),
+                               np.asarray(k1[0, :, 0]), atol=tol)
+    np.testing.assert_allclose(np.asarray(vv[1, :, 7]),
+                               np.asarray(v1[1, :, 0]), atol=tol)
+
+
+def test_paged_quantized_grouped_attention_matches_reference():
+    """flash_decode_paged_grouped over a quantized pool must match jnp
+    attention over the dequantized gathered pages."""
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_paged_grouped)
+    B, H, S = 4, 4, 21
+    rng = np.random.RandomState(3)
+    cache = PagedKVCache.create(1, n_pages=16, page_size=PAGE,
+                                kv_heads=KVH, head_dim=D, batch=B,
+                                max_pages_per_seq=4, quantized=True)
+    table = jnp.asarray(np.arange(16).reshape(B, 4), jnp.int32)
+    cache = PagedKVCache(cache.pools, table, cache.lengths, PAGE, KVH, D,
+                         quant_scales=cache.quant_scales)
+    k = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, KVH, S, D).astype(np.float32))
+    cache = cache.append(0, k, v, position=0)
+    lengths = jnp.asarray([21, 5, 16, 1], jnp.int32)
+    cache = cache.with_lengths(lengths)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+
+    got = flash_decode_paged_grouped(q, cache.fused_layer(0),
+                                     cache.page_table, lengths, KVH,
+                                     group=2,
+                                     kv_scales=cache.quant_scales[0])
+    kc, vc = cache.layer_kv(0)
+    kc = jnp.repeat(kc, H // KVH, axis=1)
+    vc = jnp.repeat(vc, H // KVH, axis=1)
+    want = _attn_reference(q[:, :, None, :], kc, vc, False,
+                           1.0 / np.sqrt(D), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_paged_quantized_generates():
+    """End-to-end: paged engine with the quantized pool (paged prefill,
+    RMW decode appends through the page table, grouped quant paged
+    attention) completes generation with the right counts."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    cfg = TransformerConfig.tiny_test(n_heads=2, d_model=128)  # KVH*D=128
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = ServingEngine(model, params, max_batch=4, capacity=32,
+                        prefill_buckets=(8,), paged=True, page_size=8,
+                        quantized_cache=True)
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10], [11] * 7]
+    outs = eng.generate(prompts, max_new_tokens=6)
+    assert all(len(o) == 6 for o in outs)
+    # sanity vs the unpaged quantized engine (same tolerance philosophy
+    # as test_engine_quantized_kv_cache_close: counts, not tokens)
+    ref = ServingEngine(model, params, max_batch=4, capacity=32,
+                        prefill_buckets=(8,),
+                        quantized_cache=True).generate(
+                            prompts, max_new_tokens=6)
+    assert all(len(o) == 6 for o in ref)
