@@ -407,8 +407,13 @@ class ServingEngine:
                 # token's page.
                 pages = -(-bucket // self.page_size)
                 for req, slot in group_pairs:
+                    # Clamp to capacity: bucket == capacity would ask
+                    # for one page past the table (the +1 decode-token
+                    # page); appends past capacity clamp like the
+                    # contiguous cache's.
                     self.cache = self.allocator.ensure_capacity(
-                        self.cache, slot, pages * self.page_size + 1,
+                        self.cache, slot,
+                        min(pages * self.page_size + 1, self.capacity),
                         length=0)
             last_logits, prefilled = self._prefill(
                 self.params, jnp.asarray(tokens), jnp.asarray(lengths),

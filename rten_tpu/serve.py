@@ -391,6 +391,14 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
     parser.add_argument("--weights", help="HF GPT-2 weights file")
     parser.add_argument("--tokenizer", help="HF tokenizer.json")
     parser.add_argument("--quantize", choices=["int8", "int4"])
+    parser.add_argument("--kv-cache", choices=["bf16", "int8", "f32"],
+                        help="KV cache storage: bf16 (throughput "
+                        "default under --quantize), int8 (token-packed "
+                        "— half the memory, ~4%% slower), f32")
+    parser.add_argument("--paged", action="store_true",
+                        help="block-paged KV pool (vLLM-style; composes "
+                        "with --kv-cache int8)")
+    parser.add_argument("--page-size", type=int, default=64)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--capacity", type=int, default=1024)
     parser.add_argument("--burst", type=int, default=8)
@@ -437,9 +445,12 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
 
     sampler = (ArgMaxSampler() if args.fixed_greedy or args.spec_draft
                else PerRequestSampler())
+    kv = args.kv_cache or ("bf16" if args.quantize else "f32")
     engine = ServingEngine(model, params, max_batch=args.max_batch,
                            capacity=args.capacity, sampler=sampler,
-                           cache_dtype="bfloat16" if args.quantize else None,
+                           cache_dtype="bfloat16" if kv == "bf16" else None,
+                           quantized_cache=kv == "int8",
+                           paged=args.paged, page_size=args.page_size,
                            spec_draft=args.spec_draft,
                            logprobs=args.logprobs)
     server, driver = serve(engine, tok, args.host, args.port,
