@@ -36,7 +36,7 @@ def build(cfg_kw, ablate=()):
 
     class Ablated(TransformerLM):
         def _attention(self, layer_params, x, positions, cache, layer_idx,
-                       lengths):
+                       lengths, chunk=False):
             if "attn" in ablate:
                 # Keep the QKV projection (it is a matmul we still want to
                 # count) but skip scores/softmax/PV and the cache append.
@@ -53,11 +53,12 @@ def build(cfg_kw, ablate=()):
                 cache.append = lambda *a, **k: cache  # type: ignore
                 try:
                     return super()._attention(layer_params, x, positions,
-                                              cache, layer_idx, lengths)
+                                              cache, layer_idx, lengths,
+                                              chunk)
                 finally:
                     cache.append = saved_append
             return super()._attention(layer_params, x, positions, cache,
-                                      layer_idx, lengths)
+                                      layer_idx, lengths, chunk)
 
         def _mlp(self, layer_params, x):
             if "mlp" in ablate:
