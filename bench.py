@@ -67,6 +67,8 @@ def main():
     if os.environ.get("RTEN_BENCH_DTYPE"):
         cfg = cfg.__class__(**{**cfg.__dict__,
                                "dtype": os.environ["RTEN_BENCH_DTYPE"]})
+    if os.environ.get("RTEN_BENCH_FUSED_APPEND"):
+        cfg = cfg.__class__(**{**cfg.__dict__, "fused_append": True})
 
     model = TransformerLM(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

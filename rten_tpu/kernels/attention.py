@@ -814,6 +814,168 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
     )
 
 
+def _decode_grouped_append_kernel(len_ref, q_ref, new_ref, kv_hbm,
+                                  o_ref, kv_out, *, scale, block_k, h,
+                                  hd_tot, group):
+    """:func:`_decode_grouped_kernel` with the decode cache append fused
+    in: each program first DMAs its G sequences' new K/V rows into the
+    cache (aliased in place) at position lengths-1, waits, then streams
+    blocks as usual — the standalone per-layer append kernel (its
+    launch + dispatch cost ~40 us/layer at batch 256, profile_decode
+    round 5) disappears. ``lengths`` are live counts INCLUDING the new
+    token (the write position is lengths-1)."""
+    p = pl.program_id(0)
+    cap = kv_out.shape[1]
+
+    def body(buf, sem, wsem, m_ref, l_ref, acc_ref):
+        lens = [len_ref[p * group + g] for g in range(group)]
+        writes = []
+        for g in range(group):
+            pos = jnp.clip(lens[g] - 1, 0, cap - 1)
+            dma = pltpu.make_async_copy(
+                new_ref.at[p * group + g],
+                kv_out.at[p * group + g, pl.ds(pos, 1)], wsem.at[g])
+            dma.start()
+            writes.append(dma)
+        for dma in writes:
+            dma.wait()
+
+        max_len = lens[0]
+        for g in range(1, group):
+            max_len = jnp.maximum(max_len, lens[g])
+        n_blocks = pl.cdiv(max_len, block_k)
+
+        def dma(slot, blk, g):
+            return pltpu.make_async_copy(
+                kv_out.at[p * group + g, pl.ds(blk * block_k, block_k)],
+                buf.at[slot, g], sem.at[slot, g])
+
+        def start(slot, blk):
+            for g in range(group):
+                dma(slot, blk, g).start()
+
+        def wait(slot, blk):
+            for g in range(group):
+                dma(slot, blk, g).wait()
+
+        start(0, 0)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0]                       # [G, H, F] head-block-diag
+        g_of = jax.lax.broadcasted_iota(jnp.int32, (group, h, block_k), 0)
+        limit = jnp.zeros((group, h, block_k), jnp.int32)
+        for g in range(group):
+            limit = jnp.where(g_of == g, lens[g], limit)
+
+        def loop(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start(jax.lax.rem(i + 1, 2), i + 1)
+
+            wait(slot, i)
+            kblk = buf[slot, :, :, 0, :]           # [G, block_k, F]
+            vblk = buf[slot, :, :, 1, :]
+            s = jax.lax.dot_general(
+                q, kblk.astype(q.dtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # [G, H, blk]
+            k_pos = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (group, h, block_k), 2)
+            s = jnp.where(k_pos < limit, s, _NEG_INF)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pmat = jnp.exp(s - m_new)
+            l_ref[:] = (l_ref[:] * alpha
+                        + jnp.sum(pmat, axis=2, keepdims=True))
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                pmat, vblk.astype(jnp.float32),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # [G, H, F]
+            m_ref[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, loop, 0)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((2, group, block_k, 2, hd_tot), kv_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2, group)),
+        wsem=pltpu.SemaphoreType.DMA((group,)),
+        m_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        l_ref=pltpu.VMEM((group, h, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((group, h, hd_tot), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(1,),
+                   static_argnames=("kv_heads", "scale", "block_k",
+                                    "group"))
+def flash_decode_grouped_append(q, kv, new_rows, lengths, kv_heads,
+                                scale=None, block_k=64, group=8):
+    """Fused decode attention + cache append (float caches, grouped
+    path): writes ``new_rows`` [B, 1, 2, KVH*D] into ``kv`` at position
+    lengths-1 in place (kv donated/aliased), then computes decode
+    attention over the updated cache. Returns (out [B, H, D], kv).
+    Callers must ensure batch %% group == 0 and capacity %% block_k == 0
+    (the model's selection logic guarantees it)."""
+    b, h, d = q.shape
+    hd_tot = kv_heads * d
+    _, s_max, planes, lanes = kv.shape
+    assert planes == 2 and lanes == hd_tot and h % kv_heads == 0
+    block_k = min(block_k, s_max)
+    assert b % group == 0 and s_max % block_k == 0
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    q_per_kv = h // kv_heads
+    nprog = b // group
+
+    onehot = jnp.eye(kv_heads, dtype=jnp.float32).repeat(q_per_kv, axis=0)
+    q_head = (q[:, :, None, :] * onehot[None, :, :, None].astype(q.dtype)
+              ).reshape(nprog, group, h, hd_tot)
+
+    out_full, kv = pl.pallas_call(
+        functools.partial(_decode_grouped_append_kernel, scale=scale,
+                          block_k=block_k, h=h, hd_tot=hd_tot,
+                          group=group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # lengths
+            grid=(nprog,),
+            in_specs=[
+                pl.BlockSpec((1, group, h, hd_tot),
+                             lambda pp, lens: (pp, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # new rows, HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # kv (aliased out 1)
+            ],
+            out_specs=(pl.BlockSpec((1, group, h, hd_tot),
+                                    lambda pp, lens: (pp, 0, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pl.ANY)),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((nprog, group, h, hd_tot),
+                                        q.dtype),
+                   jax.ShapeDtypeStruct(kv.shape, kv.dtype)),
+        # args: lengths(prefetch), q, new, kv -> kv is input index 3
+        input_output_aliases={3: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_max * hd_tot,
+            bytes_accessed=kv.size * kv.dtype.itemsize,
+            transcendentals=b * h * s_max),
+        interpret=_interpret(),
+    )(jnp.asarray(lengths, jnp.int32), q_head,
+      new_rows.astype(kv.dtype), kv)
+    out4 = out_full.reshape(b, h, kv_heads, d)
+    return jnp.einsum("bhgd,hg->bhd", out4,
+                      onehot.astype(out4.dtype)), kv
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
                                     "group", "int8_scores",

@@ -63,6 +63,12 @@ class TransformerConfig:
                                          # caches only) | "grouped"
                                          # (kernels/attention.py; float
                                          # + token-packed int8 caches)
+    fused_append: bool = False           # decode: fuse the KV-cache
+                                         # append into the grouped
+                                         # attention kernel (float
+                                         # caches; one kernel per layer
+                                         # instead of two — hardware
+                                         # A/B pending)
     quant_int8_scores: bool = True       # int8 caches: row-quantize q
                                          # and run the grouped decode
                                          # score dot int8×int8 on the
@@ -401,7 +407,19 @@ class TransformerLM:
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
 
-        if cache is not None:
+        # Fused-append eligibility (cfg.fused_append): the grouped
+        # decode kernel writes the new K/V row itself — conditions must
+        # exactly mirror the grouped path's selection below, because a
+        # fallback kernel would read a cache missing the new token.
+        fuse_app = (cfg.fused_append and s == 1 and cache is not None
+                    and not chunk and cfg.use_pallas
+                    and not getattr(cache, "paged", False)
+                    and not cache.stacked
+                    and cache.quant_scales is None
+                    and cfg.decode_attn in ("auto", "grouped")
+                    and any(b % g == 0 and b >= 2 * g for g in (8, 4, 2))
+                    and (kvh * hd) % 128 == 0)
+        if cache is not None and not fuse_app:
             # Prefill writes from 0; decode appends at each sequence's own
             # depth (continuous batching: depths differ per slot); chunked
             # verify (speculative decoding) appends a multi-token chunk at
@@ -476,7 +494,19 @@ class TransformerLM:
                     # block) grid at batch 64 — the per-block op-issue
                     # chain amortizes over G independent sequences.
                     kind = "grouped" if group else "fused"
-                if kind == "grouped":
+                if kind == "grouped" and fuse_app:
+                    from ..kernels.attention import \
+                        flash_decode_grouped_append
+                    packed, _ = cache._pack(k, v)
+                    out, new_buf = flash_decode_grouped_append(
+                        q[:, :, 0, :], cache.fused_layer(layer_idx),
+                        packed, cache.lengths + 1, kvh,
+                        block_k=blk, group=group)
+                    kv_bufs = list(cache.kv)
+                    kv_bufs[layer_idx] = new_buf
+                    cache = KVCache(kv_bufs, cache.lengths, None,
+                                    cache.kv_heads, cache.head_dim)
+                elif kind == "grouped":
                     from ..kernels.attention import flash_decode_grouped
                     out = flash_decode_grouped(q[:, :, 0, :],
                                                cache.fused_layer(layer_idx),

@@ -535,3 +535,24 @@ def test_admission_group_cache_is_bucket_sized(model_and_params):
     assert all(buf.shape[seq_axis] == 16 for buf in kv)
     outs = eng.generate([[1, 2, 3], [4, 5] * 8], max_new_tokens=4)
     assert all(len(o) == 4 for o in outs)
+
+
+def test_fused_append_matches_default(model_and_params):
+    """cfg.fused_append=True (decode append fused into the grouped
+    attention kernel) must emit exactly the same greedy tokens as the
+    default two-kernel path — continuous batching at ragged depths."""
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    cfg = TransformerConfig.tiny_test(n_heads=2, d_model=128)  # F=128
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10], [11] * 7]
+
+    ref = ServingEngine(model, params, max_batch=4, capacity=64,
+                        prefill_buckets=(8,)).generate(
+                            prompts, max_new_tokens=6)
+    fused_model = TransformerLM(TransformerConfig.tiny_test(
+        n_heads=2, d_model=128, fused_append=True))
+    got = ServingEngine(fused_model, params, max_batch=4, capacity=64,
+                        prefill_buckets=(8,)).generate(
+                            prompts, max_new_tokens=6)
+    assert got == ref
