@@ -483,3 +483,29 @@ def test_flash_decode_grouped_pv_int8_close():
     ref = np.abs(np.asarray(exact)).max()
     np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
                                atol=0.03 * ref)
+
+
+def test_flash_decode_grouped_append_matches_manual_write():
+    """Fused append+attention: output and cache must equal manually
+    writing the new rows then running the plain grouped kernel — at
+    depths hitting block 0, a middle block, and the capacity clamp."""
+    from rten_tpu.kernels.attention import (flash_decode_grouped,
+                                            flash_decode_grouped_append)
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    kv = jnp.asarray(rng.randn(B, cap, 2, KVH * D).astype(np.float32))
+    new = jnp.asarray(rng.randn(B, 1, 2, KVH * D).astype(np.float32))
+    lengths = jnp.asarray([6, 128, 64, 1], jnp.int32)  # live INCL new
+
+    pos = np.clip(np.asarray(lengths) - 1, 0, cap - 1)
+    kv_ref = np.asarray(kv).copy()
+    for b in range(B):
+        kv_ref[b, pos[b]] = np.asarray(new)[b, 0]
+    want = flash_decode_grouped(q, jnp.asarray(kv_ref), lengths, KVH,
+                                block_k=64, group=2)
+    got, kv_new = flash_decode_grouped_append(q, kv, new, lengths, KVH,
+                                              block_k=64, group=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(kv_new), kv_ref)
