@@ -294,7 +294,7 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     q: [B, H, D] (one query token per sequence);
     kv: [B, cap, 2, KVH*D] — the KVCache fused layout (plane 0 = K,
     plane 1 = V). int8 storage: pass the token-packed cache
-    (int32 [B, 2, cap/4, KVH*D], generate/kv_cache.py) with
+    (int32 [B, cap/4, 2, KVH*D], generate/kv_cache.py) with
     ``kv_scales`` f32 [B, cap, 1, 128] per-token scale rows —
     dequantization happens on the MXU (see kernel), so the cache
     streams at 1 B/elt;

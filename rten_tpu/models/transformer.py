@@ -418,7 +418,13 @@ class TransformerLM:
                     and cache.quant_scales is None
                     and cfg.decode_attn in ("auto", "grouped")
                     and any(b % g == 0 and b >= 2 * g for g in (8, 4, 2))
-                    and (kvh * hd) % 128 == 0)
+                    and (kvh * hd) % 128 == 0
+                    # flash_decode_grouped_append has no internal fallback
+                    # (it asserts): capacity must divide by the block the
+                    # grouped path below selects (after its min() clamp).
+                    and cache.capacity % min(
+                        128 if cache.capacity >= 2048 else 64,
+                        cache.capacity) == 0)
         if cache is not None and not fuse_app:
             # Prefill writes from 0; decode appends at each sequence's own
             # depth (continuous batching: depths differ per slot); chunked

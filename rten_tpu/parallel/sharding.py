@@ -117,13 +117,14 @@ def cache_shardings(cache, mesh: Mesh):
     from ..generate.kv_cache import KVCache
     scales = None
     if cache.quant_scales is not None:
-        # Token-packed int8 cache [B, 2, cap/4, F]: lanes are canonical
+        # Token-packed int8 cache [B, cap/4, 2, F]: lanes are canonical
         # per-head features (each int32 packs 4 TOKENS of one feature),
         # so the lane dim shards over `model` exactly like the float
-        # cache, and the row dim (4 tokens per row) shards over `seq`.
-        # Scale rows [B, cap, 1, 128] shard over batch/seq; their 128
-        # per-head lanes stay replicated (tiny).
-        kv = NamedSharding(mesh, P(batch_axes, None, seq_ax, "model"))
+        # cache, and the capacity-row dim (dim 1: 4 tokens per row)
+        # shards over `seq`; the size-2 K/V plane dim (dim 2) stays
+        # replicated. Scale rows [B, cap, 1, 128] shard over batch/seq;
+        # their 128 per-head lanes stay replicated (tiny).
+        kv = NamedSharding(mesh, P(batch_axes, seq_ax, None, "model"))
         scales = [NamedSharding(mesh, P(batch_axes, seq_ax, None, None))
                   for _ in cache.quant_scales]
     return KVCache([kv] * cache.n_layers, lengths, scales,

@@ -556,3 +556,24 @@ def test_fused_append_matches_default(model_and_params):
                         prefill_buckets=(8,)).generate(
                             prompts, max_new_tokens=6)
     assert got == ref
+
+def test_fused_append_odd_capacity_falls_back(model_and_params):
+    """fused_append=True with a capacity NOT divisible by the grouped
+    block (96 % 64 != 0) must fall back to the two-kernel path instead
+    of tripping flash_decode_grouped_append's trace-time assert
+    (round-1 advisor finding)."""
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    cfg = TransformerConfig.tiny_test(n_heads=2, d_model=128)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10], [11] * 7]
+
+    ref = ServingEngine(model, params, max_batch=4, capacity=96,
+                        prefill_buckets=(8,)).generate(
+                            prompts, max_new_tokens=6)
+    fused_model = TransformerLM(TransformerConfig.tiny_test(
+        n_heads=2, d_model=128, fused_append=True))
+    got = ServingEngine(fused_model, params, max_batch=4, capacity=96,
+                        prefill_buckets=(8,)).generate(
+                            prompts, max_new_tokens=6)
+    assert got == ref

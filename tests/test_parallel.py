@@ -157,3 +157,26 @@ def test_initialize_multihost_single_process():
     from rten_tpu.parallel import initialize_multihost
     n, idx = initialize_multihost(num_processes=1, process_id=0)
     assert n == 1 and idx == 0
+
+
+def test_quantized_cache_seq_sharding():
+    """Token-packed int8 cache [B, cap/4, 2, F] on a mesh with a `seq`
+    axis: the capacity-row dim (dim 1) must shard over seq and the
+    size-2 K/V plane dim stay replicated (round-1 advisor finding: the
+    spec was written for a [B, 2, cap/4, F] layout and split the K/V
+    planes across seq — device_put failed outright for seq > 2)."""
+    from rten_tpu.generate.kv_cache import KVCache
+    from rten_tpu.parallel import make_mesh
+    from rten_tpu.parallel.sharding import cache_shardings, shard_cache
+
+    mesh = make_mesh(data=1, model=2, seq=4)
+    cache = KVCache.create(batch=2, n_layers=2, kv_heads=2, capacity=64,
+                           head_dim=64, quantized=True)
+    specs = cache_shardings(cache, mesh)
+    assert specs.kv[0].spec == P(("data",), "seq", None, "model")
+    assert specs.quant_scales[0].spec == P(("data",), "seq", None, None)
+    sharded = shard_cache(cache, mesh)  # must not raise for seq=4
+    # Capacity rows actually split 4 ways across the seq axis.
+    shard_shape = sharded.kv[0].sharding.shard_shape(sharded.kv[0].shape)
+    assert shard_shape[1] == cache.kv[0].shape[1] // 4
+    assert shard_shape[2] == 2
