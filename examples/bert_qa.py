@@ -59,26 +59,34 @@ def main():
         params = model.init_params(jax.random.PRNGKey(0))
         print("random weights (pass --weights for real answers)")
 
+    offsets = None
     if args.tokenizer:
+        # encode_pair drives the tokenizer.json post-processor and keeps
+        # per-token (start, end) character spans into the CONTEXT — the
+        # normalized→original offset map (rten-text/src/normalizer.rs:
+        # 97-129) lets the answer come back as a source-text slice.
         from rten_tpu.text import from_json_file
         tok = from_json_file(args.tokenizer)
-        q_ids = tok.encode(args.question, add_special=False)
-        c_ids = tok.encode(args.context, add_special=False)
+        ids, types, offsets = tok.encode_pair(args.question, args.context)
+        first_ctx = next(i for i, sp in enumerate(offsets)
+                         if sp is not None)
         c_words = None
     else:
         tok = None
         q_ids = [hash(w) % cfg.vocab_size for w in args.question.split()]
         c_words = args.context.split()
         c_ids = [hash(w) % cfg.vocab_size for w in c_words]
-
-    ids = [CLS % cfg.vocab_size] + q_ids + [SEP % cfg.vocab_size] \
-        + c_ids + [SEP % cfg.vocab_size]
-    first_ctx = len(q_ids) + 2
-    types = [0] * first_ctx + [1] * (len(c_ids) + 1)
+        ids = [CLS % cfg.vocab_size] + q_ids + [SEP % cfg.vocab_size] \
+            + c_ids + [SEP % cfg.vocab_size]
+        first_ctx = len(q_ids) + 2
+        types = [0] * first_ctx + [1] * (len(c_ids) + 1)
     n = len(ids)
 
+    # Random-weight demo models have tiny vocabs; fold real tokenizer
+    # ids into range for the forward pass (decode still uses real ids).
+    model_ids = ids if args.weights else [i % cfg.vocab_size for i in ids]
     start, end = model.qa_spans(
-        params, jnp.asarray([ids], jnp.int32),
+        params, jnp.asarray([model_ids], jnp.int32),
         attention_mask=jnp.ones((1, n), jnp.int32),
         token_type_ids=jnp.asarray([types], jnp.int32))
     start = np.asarray(start)[0]
@@ -86,8 +94,13 @@ def main():
     s, e, score = best_span(start, end, first_ctx, n - 1)  # excl. final SEP
 
     print(f"span tokens [{s}, {e}] score {score:.2f}")
-    if tok is not None:
-        print("answer:", tok.decode(ids[s:e + 1]))
+    if offsets is not None:
+        spans = [offsets[i] for i in range(s, e + 1)
+                 if offsets[i] is not None]
+        if spans:
+            cs, ce = spans[0][0], spans[-1][1]
+            print(f"answer chars [{cs}, {ce}): "
+                  f"{args.context[cs:ce]!r}")
     elif c_words is not None:
         print("answer:", " ".join(c_words[s - first_ctx:e - first_ctx + 1]))
 

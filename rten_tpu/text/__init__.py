@@ -1,12 +1,16 @@
 """Tokenizers — pure-Python analog of the reference's rten-text crate:
-byte-level BPE (GPT-2 family), WordPiece (BERT family), and a HF
-``tokenizer.json`` loader. Validated against the HF ``tokenizers``
-library in tests (the reference validates against the same corpus,
-rten-text/test-data/reftests)."""
+the HF ``tokenizer.json`` pipeline (normalizers with offset maps,
+pre-tokenizers incl. ByteLevel/Metaspace, byte-level + byte-fallback
+BPE, WordPiece, decoders, template post-processing). Validated against
+the HF ``tokenizers`` library and real-corpus goldens in tests (the
+reference validates against the same corpus,
+rten-text/test-data/reftests; offset mapping per
+rten-text/src/normalizer.rs:97-129)."""
 
 from .bpe import BpeTokenizer
 from .wordpiece import WordPieceTokenizer
-from .tokenizer import Tokenizer, from_json_file, from_json_str
+from .tokenizer import (Tokenizer, from_json_file, from_json_str,
+                        wordpiece_from_vocab)
 
 __all__ = ["BpeTokenizer", "WordPieceTokenizer", "Tokenizer",
-           "from_json_file", "from_json_str"]
+           "from_json_file", "from_json_str", "wordpiece_from_vocab"]

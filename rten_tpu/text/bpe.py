@@ -33,7 +33,10 @@ class BpeTokenizer:
     def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]],
                  special_tokens: dict[str, int] | None = None,
                  end_of_word_suffix: str = "", split_pattern=None,
-                 byte_level: bool = True):
+                 byte_level: bool = True, unk_token: str | None = None,
+                 byte_fallback: bool = False, fuse_unk: bool = False,
+                 ignore_merges: bool = False,
+                 continuing_subword_prefix: str = ""):
         self.vocab = dict(vocab)
         self.id_to_token = {i: t for t, i in self.vocab.items()}
         self.merge_ranks = {tuple(m): r for r, m in enumerate(merges)}
@@ -42,6 +45,11 @@ class BpeTokenizer:
             self.id_to_token.setdefault(idx, tok)
         self.end_of_word_suffix = end_of_word_suffix
         self.byte_level = byte_level
+        self.unk_token = unk_token
+        self.byte_fallback = byte_fallback
+        self.fuse_unk = fuse_unk
+        self.ignore_merges = ignore_merges
+        self.continuing_subword_prefix = continuing_subword_prefix or ""
         self._byte_enc = bytes_to_unicode()
         self._byte_dec = {v: k for k, v in self._byte_enc.items()}
         import regex
@@ -91,6 +99,77 @@ class BpeTokenizer:
                 if idx is not None:
                     ids.append(idx)
         return ids
+
+    def _tok_len(self, token: str, is_last: bool) -> int:
+        """Length of a merge-output token in model-input chars (the
+        end-of-word suffix on the last token is synthetic)."""
+        n = len(token)
+        if is_last and self.end_of_word_suffix:
+            n -= len(self.end_of_word_suffix)
+        return n
+
+    def encode_piece(self, piece: str):
+        """Encode ONE pre-tokenized piece; returns
+        ``[(id, (start, end))]`` with char ranges into ``piece``.
+
+        Handles the model-level ``tokenizer.json`` options: byte-level
+        input encoding (ranges then cover the chars whose UTF-8 bytes a
+        token spans), ``ignore_merges`` (whole-piece vocab hit short-
+        circuits, Llama-3), ``byte_fallback`` (OOV merge outputs emit
+        ``<0xNN>`` byte tokens, SentencePiece style), ``unk_token`` +
+        ``fuse_unk``. OOV without fallback or unk is dropped (HF
+        behavior)."""
+        if not piece:
+            return []
+        if self.byte_level:
+            enc = []
+            char_of = []          # char index owning each encoded char
+            for ci, ch in enumerate(piece):
+                bs = ch.encode("utf-8")
+                enc.append("".join(self._byte_enc[b] for b in bs))
+                char_of.extend([ci] * len(bs))
+            enc = "".join(enc)
+        else:
+            enc = piece
+            char_of = list(range(len(piece)))
+
+        if self.ignore_merges and enc in self.vocab:
+            return [(self.vocab[enc], (0, len(piece)))]
+
+        out = []
+        pos = 0               # position in enc chars
+        unk = self.vocab.get(self.unk_token) \
+            if self.unk_token is not None else None
+        tokens = self._bpe_word(enc)
+        for ti, token in enumerate(tokens):
+            n = self._tok_len(token, ti == len(tokens) - 1)
+            span = (char_of[pos], char_of[pos + n - 1] + 1) if n else \
+                (char_of[min(pos, len(char_of) - 1)],) * 2
+            idx = self.vocab.get(token)
+            if idx is not None:
+                out.append((idx, span))
+            elif self.byte_fallback:
+                raw = token[:n] if n != len(token) else token
+                ok = True
+                btoks = []
+                for b in raw.encode("utf-8"):
+                    bid = self.vocab.get(f"<0x{b:02X}>")
+                    if bid is None:
+                        ok = False
+                        break
+                    btoks.append(bid)
+                if ok:
+                    out.extend((bid, span) for bid in btoks)
+                elif unk is not None:
+                    out.append((unk, span))
+            elif unk is not None:
+                if not (self.fuse_unk and out and out[-1][0] == unk):
+                    out.append((unk, span))
+                elif out:
+                    # Fuse: widen the previous unk's span.
+                    out[-1] = (unk, (out[-1][1][0], span[1]))
+            pos += n
+        return out
 
     def decode(self, ids) -> str:
         text = "".join(self.id_to_token.get(int(i), "") for i in ids)

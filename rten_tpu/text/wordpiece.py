@@ -98,6 +98,36 @@ class WordPieceTokenizer:
             ids.append(self.vocab["[SEP]"])
         return ids
 
+    def encode_piece(self, piece: str):
+        """Encode ONE already-normalized, pre-tokenized word; returns
+        ``[(id, (start, end))]`` with char ranges into ``piece`` (greedy
+        longest-match; whole word becomes ``unk`` on any failure, with
+        the full span)."""
+        if not piece:
+            return []
+        unk = self.vocab.get(self.unk_token)
+        full = [(unk, (0, len(piece)))] if unk is not None else []
+        if len(piece) > self.max_word_chars:
+            return full
+        out = []
+        start = 0
+        while start < len(piece):
+            end = len(piece)
+            match = None
+            while end > start:
+                sub = piece[start:end]
+                if start > 0:
+                    sub = self.continuing_prefix + sub
+                if sub in self.vocab:
+                    match = self.vocab[sub]
+                    break
+                end -= 1
+            if match is None:
+                return full
+            out.append((match, (start, end)))
+            start = end
+        return out
+
     def decode(self, ids) -> str:
         out: list[str] = []
         for i in ids:

@@ -107,6 +107,188 @@ def test_text_decoder_incremental_utf8(hf_byte_bpe):
     assert out == hf_byte_bpe.decode(ids)
 
 
+def _llama_style_json(pre="normalizer"):
+    """Handcrafted SentencePiece-style tokenizer.json (the Llama/Mistral
+    shape): byte-fallback BPE over ▁-marked words, with either the
+    Prepend+Replace normalizer pair (Llama-2 tokenizer.json) or a
+    Metaspace pre_tokenizer (Mistral-style), plus the standard decoder
+    chain and a TemplateProcessing BOS."""
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for b in range(256):
+        vocab[f"<0x{b:02X}>"] = 3 + b
+    merge_pairs = []
+
+    def add(tok):
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+
+    for ch in ["▁", "h", "e", "l", "o", "w", "r", "d", "i"]:
+        add(ch)
+    for a, b in [("h", "e"), ("l", "l"), ("ll", "o"), ("he", "llo"),
+                 ("▁", "hello"), ("w", "o"), ("wo", "r"), ("wor", "l"),
+                 ("worl", "d"), ("▁", "world"), ("h", "i"), ("▁", "hi")]:
+        add(a + b)
+        merge_pairs.append(f"{a} {b}")
+
+    spec = {
+        "version": "1.0",
+        "added_tokens": [
+            {"id": 1, "content": "<s>", "special": True,
+             "single_word": False, "lstrip": False, "rstrip": False,
+             "normalized": False},
+            {"id": 2, "content": "</s>", "special": True,
+             "single_word": False, "lstrip": False, "rstrip": False,
+             "normalized": False},
+        ],
+        "normalizer": None,
+        "pre_tokenizer": None,
+        "post_processor": {
+            "type": "TemplateProcessing",
+            "single": [
+                {"SpecialToken": {"id": "<s>", "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+            ],
+            "pair": [
+                {"SpecialToken": {"id": "<s>", "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+                {"Sequence": {"id": "B", "type_id": 1}},
+            ],
+            "special_tokens": {
+                "<s>": {"id": "<s>", "ids": [1], "tokens": ["<s>"]},
+            },
+        },
+        "decoder": {
+            "type": "Sequence",
+            "decoders": [
+                {"type": "Replace", "pattern": {"String": "▁"},
+                 "content": " "},
+                {"type": "ByteFallback"},
+                {"type": "Fuse"},
+                {"type": "Strip", "content": " ", "start": 1, "stop": 0},
+            ],
+        },
+        "model": {
+            "type": "BPE", "dropout": None, "unk_token": "<unk>",
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None, "fuse_unk": True,
+            "byte_fallback": True, "ignore_merges": False,
+            "vocab": vocab, "merges": merge_pairs,
+        },
+    }
+    if pre == "normalizer":
+        spec["normalizer"] = {
+            "type": "Sequence",
+            "normalizers": [
+                {"type": "Prepend", "prepend": "▁"},
+                {"type": "Replace", "pattern": {"String": " "},
+                 "content": "▁"},
+            ],
+        }
+    else:
+        spec["pre_tokenizer"] = {
+            "type": "Metaspace", "replacement": "▁",
+            "prepend_scheme": "always", "split": True,
+        }
+    return json.dumps(spec)
+
+
+LLAMA_SAMPLES = [
+    "hello world",
+    "hello hello hi",
+    "hi héllo",            # é → byte fallback <0xC3><0xA9>
+    "hello 😀 world",      # emoji → 4 fallback bytes
+    " hello",
+    "hi",
+]
+
+
+@pytest.mark.parametrize("pre", ["normalizer", "metaspace"])
+@pytest.mark.parametrize("text", LLAMA_SAMPLES)
+def test_llama_style_matches_hf(pre, text):
+    from tokenizers import Tokenizer as HFTokenizer
+    data = _llama_style_json(pre)
+    hf = HFTokenizer.from_str(data)
+    ours = from_json_str(data)
+    assert ours.encode(text) == hf.encode(text, add_special_tokens=False).ids
+    got_sp = ours.encode(text, add_special=True)
+    assert got_sp == hf.encode(text).ids
+    assert got_sp[0] == 1                      # BOS from the template
+
+
+@pytest.mark.parametrize("pre", ["normalizer", "metaspace"])
+def test_llama_style_decode_matches_hf(pre):
+    from tokenizers import Tokenizer as HFTokenizer
+    data = _llama_style_json(pre)
+    hf = HFTokenizer.from_str(data)
+    ours = from_json_str(data)
+    for text in LLAMA_SAMPLES:
+        ids = ours.encode(text)
+        assert ours.decode(ids) == hf.decode(ids)
+
+
+def test_llama_style_offsets():
+    ours = from_json_str(_llama_style_json("normalizer"))
+    text = "hello hi world"
+    ids, offsets = ours.encode_with_offsets(text)
+    assert len(ids) == len(offsets)
+    words = []
+    for i, (s, e) in zip(ids, offsets):
+        tok = ours.impl.id_to_token[i]
+        if tok.startswith("▁") and len(tok) > 1:
+            words.append((tok[1:], text[s:e].lstrip(" ")))
+    assert words == [("hello", "hello"), ("hi", "hi"),
+                     ("world", "world")]
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_wordpiece_offsets_match_hf(hf_wordpiece, text):
+    ours = from_json_str(hf_wordpiece.to_str())
+    enc = hf_wordpiece.encode(text)
+    ids, offsets = ours.encode_with_offsets(text)
+    assert ids == enc.ids
+    assert offsets == list(enc.offsets)
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_byte_bpe_offsets_match_hf(hf_byte_bpe, text):
+    ours = from_json_str(hf_byte_bpe.to_str())
+    enc = hf_byte_bpe.encode(text)
+    ids, offsets = ours.encode_with_offsets(text)
+    assert ids == enc.ids
+    assert offsets == list(enc.offsets)
+
+
+def test_encode_pair_qa_spans(hf_wordpiece):
+    """The QA path: pair encoding gives [CLS] q [SEP] c [SEP] with
+    type_ids and context-token spans into the ORIGINAL context string
+    (examples/bert_qa.py extracts answers via these)."""
+    from tokenizers.processors import BertProcessing
+    hf_wordpiece.post_processor = BertProcessing(
+        ("[SEP]", hf_wordpiece.token_to_id("[SEP]")),
+        ("[CLS]", hf_wordpiece.token_to_id("[CLS]")))
+    ours = from_json_str(hf_wordpiece.to_str())
+    question = "The Quick Fox?"
+    context = "The quick brown fox jumps over the LAZY dog."
+    ids, type_ids, offsets = ours.encode_pair(question, context)
+    enc = hf_wordpiece.encode(question, context)
+    assert ids == enc.ids
+    assert type_ids == enc.type_ids
+    # Context tokens carry spans into the raw context; specials and
+    # question tokens are None.
+    for i, (idx, sp, tid) in enumerate(zip(ids, offsets, type_ids)):
+        if sp is None:
+            continue
+        assert tid == 1
+        s, e = sp
+        tok_str = ours.impl.id_to_token[idx].removeprefix("##")
+        norm, _ = ours.normalizer.normalize(context[s:e])
+        assert norm == tok_str
+    # "LAZY" maps back to its original-cased chars.
+    lazy = [sp for idx, sp in zip(ids, offsets)
+            if sp and context[sp[0]:sp[1]] == "LAZY"]
+    assert lazy, "expected a token spanning the original 'LAZY'"
+
+
 def test_native_bpe_matches_python(hf_byte_bpe):
     """The C++ merge loop must produce identical tokenization to the pure
     Python path (and thus to HF)."""

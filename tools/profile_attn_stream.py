@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--live", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--sweep", default=None,
+                    help="comma list of g:block grouped-kernel configs "
+                         "(e.g. '8:64,16:32,32:32') replacing the "
+                         "default variant set")
     args = ap.parse_args()
 
     import jax
@@ -64,16 +68,22 @@ def main():
     bytes_live = b * live * 2 * kvh * d * kv.dtype.itemsize
 
     def bench(name, fn, iters):
-        def chain(q, _):
-            out = fn(q, kv, lengths, kvh)
-            return q + out.astype(q.dtype) * 1e-6, None
+        # kv/lengths must be jit ARGUMENTS: a captured 100s-of-MB
+        # constant is serialized into the remote-compile request
+        # (HTTP 413 at batch 256 — see CLAUDE.md).
+        def scan_fn(q, kv, lengths, n):
+            def chain(q, _):
+                out = fn(q, kv, lengths, kvh)
+                return q + out.astype(q.dtype) * 1e-6, None
+            return jax.lax.scan(chain, q, None, length=n)[0]
+
+        jitted = jax.jit(scan_fn, static_argnums=(3,))
 
         def run(n):
-            r = jax.jit(lambda q: jax.lax.scan(chain, q, None, length=n)[0])
-            out = r(q0)
+            out = jitted(q0, kv, lengths, n)
             jax.block_until_ready(out)       # warm/compile
             t0 = time.perf_counter()
-            jax.block_until_ready(r(q0))
+            jax.block_until_ready(jitted(q0, kv, lengths, n))
             return time.perf_counter() - t0
 
         run(iters)  # compile both lengths once
@@ -85,6 +95,22 @@ def main():
         print(f"{name:32s}: {per_call*1e6:7.1f} us/call  "
               f"{gbs:6.0f} GB/s effective", flush=True)
         return per_call
+
+    if args.sweep:
+        variants = []
+        for spec in args.sweep.split(","):
+            g, blk = (int(t) for t in spec.split(":"))
+            variants.append(
+                (f"grouped g={g} (block {blk})",
+                 lambda q, kv, l, kvh, g=g, blk=blk: flash_decode_grouped(
+                     q, kv, l, kvh, block_k=blk, group=g)))
+        for name, fn in variants:
+            try:
+                bench(name, fn, args.iters)
+            except Exception as exc:
+                print(f"{name}: FAILED {type(exc).__name__}: "
+                      f"{str(exc)[:200]}", flush=True)
+        return
 
     variants = [
         ("fused grid (block 128)",

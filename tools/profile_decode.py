@@ -69,7 +69,7 @@ def build(cfg_kw, ablate=()):
 
 
 def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
-               qcache=False, cache_dtype=None):
+               qcache=False, cache_dtype=None, fused_head=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -83,13 +83,25 @@ def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
     def burst(params, tokens, cache):
         def body(carry, _):
             tokens, cache = carry
-            logits, cache = model.decode_step(params, tokens, cache)
-            if "sample" in ablate:
-                # Keep logits live (else the head is dead code) but skip
-                # the argmax reduction.
-                nxt = tokens + logits[:, 0].astype(jnp.int32) * 0
+            if "head" in ablate:
+                # Stack only (embed..final norm): isolates the whole
+                # LM-head+sample tail.
+                x, cache = model._hidden_states(params, tokens[:, None],
+                                                cache)
+                nxt = tokens + x[:, 0, 0].astype(jnp.int32) * 0
+            elif fused_head:
+                # The serving engine's greedy path: fused int8
+                # lm-head+argmax kernel (decode_step_argmax).
+                nxt, cache = model.decode_step_argmax(params, tokens,
+                                                      cache)
             else:
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                logits, cache = model.decode_step(params, tokens, cache)
+                if "sample" in ablate:
+                    # Keep logits live (else the head is dead code) but
+                    # skip the argmax reduction.
+                    nxt = tokens + logits[:, 0].astype(jnp.int32) * 0
+                else:
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, cache), None
 
         (tokens, cache), _ = jax.lax.scan(body, (tokens, cache), None,
@@ -165,6 +177,10 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated substring filter of variant names "
                          "(saves remote compiles)")
+    ap.add_argument("--serving", action="store_true",
+                    help="ablate the SERVING config (int8 weights + bf16 "
+                         "cache + fused head/argmax) instead of f32; use "
+                         "with --batch 256 for the headline-config table")
     args = ap.parse_args()
 
     import jax
@@ -198,7 +214,7 @@ def main():
     results = {}
 
     def run(name, cfg_kw, ablate=(), quant=None, qcache=False,
-            cache_dtype=None):
+            cache_dtype=None, fused_head=False):
         if args.only and not any(tok in name
                                  for tok in args.only.split(",")):
             return
@@ -215,13 +231,56 @@ def main():
         per_step, kernels = time_burst(model, params, batch, capacity,
                                        args.steps, ablate=ablate,
                                        qcache=qcache,
-                                       cache_dtype=cache_dtype)
+                                       cache_dtype=cache_dtype,
+                                       fused_head=fused_head)
         results[name] = (per_step, kernels)
         kinfo = ""
         if kernels:
             kinfo = (f" launches/step={kernels['ops']}"
                      f" {kernels['breakdown']}")
         print(f"{name:30s} {per_step * 1e6:9.1f} us/step{kinfo}", flush=True)
+
+    if args.serving:
+        # The headline serving config (bench.py): int8 weights, bf16 KV
+        # cache, greedy fused lm-head+argmax. Ablations difference out
+        # per-component cost at this exact batch/capacity.
+        L0 = layer_counts[0]
+        L1 = layer_counts[1]
+        sv = dict(quant="int8", cache_dtype="bfloat16", fused_head=True)
+        run(f"srv L={L0}", {**base_kw, "n_layers": L0}, **sv)
+        run(f"srv L={L1}", {**base_kw, "n_layers": L1}, **sv)
+        run("srv no-attn", {**base_kw, "n_layers": L0}, ablate=("attn",),
+            **sv)
+        run("srv no-append", {**base_kw, "n_layers": L0},
+            ablate=("append",), **sv)
+        run("srv no-mlp", {**base_kw, "n_layers": L0}, ablate=("mlp",),
+            **sv)
+        run("srv no-head", {**base_kw, "n_layers": L0}, ablate=("head",),
+            quant="int8", cache_dtype="bfloat16")
+        run("srv unfused-head", {**base_kw, "n_layers": L0},
+            quant="int8", cache_dtype="bfloat16")
+        full = results.get(f"srv L={L0}")
+        if full:
+            t = full[0]
+            print(f"\nserving step {t * 1e6:.1f} us "
+                  f"({batch / t:.0f} tok/s at batch {batch})")
+            if f"srv L={L1}" in results:
+                per_layer = (t - results[f"srv L={L1}"][0]) / (L0 - L1)
+                print(f"per-layer {per_layer * 1e6:.1f} us; fixed "
+                      f"{(t - per_layer * L0) * 1e6:.1f} us")
+            for k, label in (("srv no-attn", "attention(+append)"),
+                             ("srv no-append", "append"),
+                             ("srv no-mlp", "mlp")):
+                if k in results:
+                    print(f"per-layer {label} "
+                          f"{(t - results[k][0]) / L0 * 1e6:.1f} us")
+            if "srv no-head" in results:
+                print(f"head+argmax tail "
+                      f"{(t - results['srv no-head'][0]) * 1e6:.1f} us")
+            if "srv unfused-head" in results:
+                print(f"unfused head+argmax delta "
+                      f"{(results['srv unfused-head'][0] - t) * 1e6:.1f} us")
+        return
 
     for L in layer_counts:
         run(f"f32 L={L}", {**base_kw, "n_layers": L})
