@@ -43,6 +43,62 @@ def test_find_contours_two_components():
     assert len(contours) == 2
 
 
+def test_find_contours_hollow_rect():
+    """Suzuki-Abe on a rect outline: one outer border + one hole border
+    (reference semantics: rten-imageproc/src/contours.rs hollow-rect
+    test)."""
+    from rten_tpu.imageproc.contours import find_contours_hierarchy
+    mask = np.zeros((20, 20), np.uint8)
+    mask[5:12, 5:12] = 1
+    mask[7:10, 7:10] = 0
+    contours, kinds, parents = find_contours_hierarchy(mask)
+    assert kinds == ["outer", "hole"]
+    assert parents[0] == -1 and parents[1] == 0
+    # Outer border covers the rect boundary; hole border rings the hole.
+    r = bounding_rect(contours[0])
+    assert (r.top, r.left, r.bottom, r.right) == (5, 5, 11, 11)
+    rh = bounding_rect(contours[1])
+    assert (rh.top, rh.left, rh.bottom, rh.right) == (6, 6, 10, 10)
+    # External mode hides the hole; list mode keeps both.
+    assert len(find_contours(mask, "external")) == 1
+    assert len(find_contours(mask, "list")) == 2
+
+
+def test_find_contours_nested_hierarchy():
+    """Island inside a hole inside a component: outer → hole → outer
+    parent chain; external retrieval returns only the outermost."""
+    from rten_tpu.imageproc.contours import find_contours_hierarchy
+    mask = np.zeros((16, 16), np.uint8)
+    mask[2:13, 2:13] = 1
+    mask[4:11, 4:11] = 0
+    mask[6:9, 6:9] = 1
+    contours, kinds, parents = find_contours_hierarchy(mask)
+    assert kinds == ["outer", "hole", "outer"]
+    assert parents == [-1, 0, 1]
+    assert len(find_contours(mask, "external")) == 1
+    assert len(find_contours(mask, "list")) == 3
+
+
+def test_find_contours_touching_frame():
+    mask = np.ones((5, 5), np.uint8)
+    contours = find_contours(mask, "list")
+    assert len(contours) == 1
+    r = bounding_rect(contours[0])
+    assert (r.top, r.left, r.bottom, r.right) == (0, 0, 4, 4)
+
+
+def test_find_contours_single_pixel_and_line():
+    mask = np.zeros((5, 5), np.uint8)
+    mask[2, 2] = 1
+    contours = find_contours(mask, "list")
+    assert len(contours) == 1 and contours[0].tolist() == [[2, 2]]
+    mask = np.zeros((5, 5), np.uint8)
+    mask[2, 1:4] = 1
+    (c,) = find_contours(mask, "list")
+    # 1-px line traces out and back.
+    assert c.tolist() == [[2, 1], [2, 2], [2, 3], [2, 2]]
+
+
 def test_simplify_polygon():
     # Points on a line collapse to endpoints.
     line = [(0, 0), (1, 1.01), (2, 2), (3, 2.99), (4, 4)]

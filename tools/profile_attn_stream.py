@@ -80,10 +80,13 @@ def main():
         jitted = jax.jit(scan_fn, static_argnums=(3,))
 
         def run(n):
-            out = jitted(q0, kv, lengths, n)
-            jax.block_until_ready(out)       # warm/compile
+            np.asarray(jitted(q0, kv, lengths, n))   # warm/compile
             t0 = time.perf_counter()
-            jax.block_until_ready(jitted(q0, kv, lengths, n))
+            # A VALUE FETCH is the only reliable sync on the tunnel
+            # chip (block_until_ready returned in ~0 us for un-fetched
+            # outputs — see CLAUDE.md timing notes); its fixed cost
+            # cancels in the long-minus-short difference.
+            np.asarray(jitted(q0, kv, lengths, n))
             return time.perf_counter() - t0
 
         run(iters)  # compile both lengths once
