@@ -114,9 +114,12 @@ def main():
         try:
             # The int8 serving config: int8 weights (Pallas 1 B/elt GEMM
             # for large weights incl. the LM head, loop-hoisted bf16 for
-            # small ones) + bf16 KV cache via the fused decode kernel.
-            # RTEN_BENCH_CACHE=int8 trials the token-packed int8 cache.
-            qcache = os.environ.get("RTEN_BENCH_CACHE") == "int8"
+            # small ones) + the token-packed int8 KV cache (default
+            # since round 6: the merged scale-expansion dot made the
+            # grouped quant kernel 21% faster than bf16 at batch 256 —
+            # 36.5k vs 31.0k tok/s end-to-end — at half the KV memory).
+            # RTEN_BENCH_CACHE=bf16 falls back to the bf16 cache.
+            qcache = os.environ.get("RTEN_BENCH_CACHE", "int8") == "int8"
             int8_tps, int8_ttft = measure(
                 quantize_weights(params, "int8"),
                 cache_dtype=None if qcache else "bfloat16",

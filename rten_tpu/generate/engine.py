@@ -63,7 +63,8 @@ class ServingEngine:
                  prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
                  mesh=None, paged=False, page_size=64, pool_pages=None,
                  cache_dtype=None, fused_head=None, log_stats_every=None,
-                 spec_draft=0, spec_ngram=3, logprobs=False):
+                 spec_draft=0, spec_ngram=3, spec_adaptive=True,
+                 spec_cost=1.9, spec_probe_every=8, logprobs=False):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -147,6 +148,16 @@ class ServingEngine:
                          "cancelled": 0}
         self._t_start = time.perf_counter()
         self._log_every = log_stats_every
+        # Latency percentiles (bounded reservoirs): per-request TTFT at
+        # first token, per-token inter-token latency at request finish
+        # (burst landings split their interval evenly — metrics.step_n),
+        # and decode-stall-during-admission (wall time _admit spends
+        # prefilling while decode slots sit idle — the tail the cumulative
+        # counters can't see).
+        from collections import deque
+        self._ttfts = deque(maxlen=2048)
+        self._itls = deque(maxlen=8192)
+        self._admit_stalls = deque(maxlen=2048)
 
         # --- compiled programs ---
         def prefill_fn(params, tokens, lengths, cap):
@@ -295,6 +306,33 @@ class ServingEngine:
 
             self._hist_set = jax.jit(hist_set, donate_argnums=(0,))
 
+            def hist_burst(history, toks, base):
+                """Write a PLAIN burst's tokens ([n, B]) into the spec
+                history at each slot's pre-burst depth — drafting after
+                a gated-off stretch must see the full committed stream
+                (stale rows would draft garbage and depress the probe's
+                measured acceptance)."""
+                def write(row, col, pos):
+                    return jax.lax.dynamic_update_slice(row, col, (pos,))
+                return jax.vmap(write)(history, toks.T, base + 1)
+
+            self._hist_burst = jax.jit(hist_burst, donate_argnums=(0,))
+
+            # Acceptance-adaptive gating: speculation only pays when the
+            # mean accepted tokens/step exceeds the spec step's cost in
+            # plain-step units. The cost ratio is MEASURED online (wall
+            # time per spec step vs per plain step, EMA), starting from
+            # the ``spec_cost`` prior; ``spec_adaptive=False`` keeps the
+            # always-draft behavior.
+            self.spec_adaptive = spec_adaptive
+            self._spec_cost_prior = spec_cost
+            self._spec_probe_every = max(1, spec_probe_every)
+            self._spec_on = True
+            self._spec_tps = None        # EMA accepted tokens/step/seq
+            self._spec_t = None          # EMA wall s per spec step
+            self._plain_t = None         # EMA wall s per plain step
+            self._plain_bursts_since_probe = 0
+
     # -- request lifecycle --------------------------------------------------
 
     def _samp_args(self):
@@ -339,7 +377,22 @@ class ServingEngine:
     def _admit(self):
         """Fill free slots from the queue: batched prefill per prompt-
         length bucket (one compiled program admits the whole group — the
-        p50-TTFT lever), then scatter each sequence into its slot."""
+        p50-TTFT lever), then scatter each sequence into its slot.
+
+        Admission runs on the decode driver thread, so its prefill wall
+        time STALLS every active decode slot; when any slot is live the
+        stall is recorded for the p99 in :meth:`stats` (the knob if it
+        dominates is smaller admission groups / chunked prefill)."""
+        had_active = any(r is not None for r in self.slot_request)
+        t0 = time.perf_counter()
+        try:
+            return self._admit_inner()
+        finally:
+            dt = time.perf_counter() - t0
+            if had_active and dt > 1e-4:
+                self._admit_stalls.append(dt)
+
+    def _admit_inner(self):
         if self._sched is not None:
             handles, slots = self._sched.admit()
             if len(handles) == 0:
@@ -465,6 +518,9 @@ class ServingEngine:
                 row[len(req.prompt_ids)] = first
                 self._spec_history = self._hist_set(
                     self._spec_history, jnp.asarray(row), slot)
+                # New traffic may accept differently: probe at the next
+                # opportunity if drafting is gated off.
+                self._plain_bursts_since_probe = self._spec_probe_every
             self.slot_request[slot] = req
             if self._sched is not None:
                 if self._sched.commit_first(slot, first):
@@ -528,7 +584,13 @@ class ServingEngine:
 
     def _free_slot(self, slot):
         """Mark a finished request's slot reusable (and return its KV
-        pages to the pool in paged mode)."""
+        pages to the pool in paged mode). Harvests the request's latency
+        samples into the engine-level percentile reservoirs."""
+        req = self.slot_request[slot]
+        if req is not None:
+            if req.metrics.ttft_s is not None:
+                self._ttfts.append(req.metrics.ttft_s)
+            self._itls.extend(req.metrics.step_times[1:])
         self.counters["completed"] += 1
         self.slot_request[slot] = None
         if self.paged:
@@ -647,6 +709,11 @@ class ServingEngine:
             self.params, self._device_tokens, self.cache, sub,
             self._samp_args(), n)
         self._device_tokens = toks[-1]
+        if self.spec_draft:
+            # Keep the spec history current through gated-off stretches
+            # so a later probe drafts from real committed tokens.
+            self._spec_history = self._hist_burst(
+                self._spec_history, toks, jnp.asarray(lengths_np))
         self._host_lengths += n     # the device advances every slot
         snapshot = [(s, self.slot_request[s]) for s in active]
         return (toks, lps, snapshot, lengths_np, n)
@@ -673,18 +740,40 @@ class ServingEngine:
             print(json.dumps({"engine_stats": self.stats()}),
                   file=sys.stderr, flush=True)
 
+    @staticmethod
+    def _pctl(samples, q):
+        if not samples:
+            return None
+        s = sorted(samples)
+        return s[min(len(s) - 1, int(q * len(s)))]
+
     def stats(self) -> dict:
         """Serving counters snapshot: queue depth, batch occupancy,
-        cumulative tokens/s (SURVEY §5 observability)."""
+        cumulative tokens/s, plus TTFT / inter-token-latency /
+        admission-stall percentiles (SURVEY §5 observability)."""
         active = sum(r is not None for r in self.slot_request)
         queued = (self._sched.queued() if self._sched is not None
                   else len(self.queue))
         uptime = time.perf_counter() - self._t_start
-        return {**self.counters, "active": active, "queued": queued,
-                "occupancy": active / self.max_batch,
-                "uptime_s": round(uptime, 3),
-                "tokens_per_s": round(self.counters["tokens"]
-                                      / max(uptime, 1e-9), 1)}
+        out = {**self.counters, "active": active, "queued": queued,
+               "occupancy": active / self.max_batch,
+               "uptime_s": round(uptime, 3),
+               "tokens_per_s": round(self.counters["tokens"]
+                                     / max(uptime, 1e-9), 1)}
+        for name, res in (("ttft", self._ttfts), ("itl", self._itls),
+                          ("admit_stall", self._admit_stalls)):
+            for q, label in ((0.5, "p50"), (0.99, "p99")):
+                v = self._pctl(res, q)
+                if v is not None:
+                    out[f"{name}_{label}_ms"] = round(1000 * v, 2)
+        if self._admit_stalls:
+            out["admit_stall_max_ms"] = round(
+                1000 * max(self._admit_stalls), 2)
+        if self.spec_draft:
+            out["spec_on"] = self._spec_on
+            if self._spec_tps is not None:
+                out["spec_tokens_per_step"] = round(self._spec_tps, 2)
+        return out
 
     def _commit_spec(self, toks_np, counts_np, lengths_np, snapshot) -> int:
         """Deliver a speculative burst: ``toks_np`` [n, B, k+1] greedy
@@ -731,11 +820,18 @@ class ServingEngine:
         headroom = self.capacity - 1 - max(int(lengths_np[s])
                                            for s in active)
         n = min(n, max(1, headroom // k1))
+        t0 = time.perf_counter()
         self._spec_history, self.cache, toks, counts = self._spec_burst(
             self.params, self._spec_history, self.cache, n)
         self._device_tokens = None
         counts_np = np.asarray(counts)
         toks_np = np.asarray(toks)
+        dt = (time.perf_counter() - t0) / n
+        tps = float(counts_np[:, active].mean())
+        self._spec_t = dt if self._spec_t is None \
+            else 0.6 * self._spec_t + 0.4 * dt
+        self._spec_tps = tps if self._spec_tps is None \
+            else 0.6 * self._spec_tps + 0.4 * tps
         self._host_lengths += counts_np.sum(axis=0)
         emitted = self._commit_spec(
             toks_np, counts_np, lengths_np,
@@ -749,10 +845,36 @@ class ServingEngine:
         request keeps its tokens up to the stop). Returns tokens emitted
         to live requests."""
         self._admit()
+        t0 = time.perf_counter()
         inflight = self._dispatch_burst(n)
         if inflight is None:
             return 0
-        return self._land_burst(inflight)
+        emitted = self._land_burst(inflight)
+        if self.spec_draft:
+            dt = (time.perf_counter() - t0) / inflight[4]
+            self._plain_t = dt if self._plain_t is None \
+                else 0.6 * self._plain_t + 0.4 * dt
+        return emitted
+
+    def _spec_gate(self):
+        """Flip speculation on/off from the measured efficiency: a spec
+        step costs ``cost`` plain steps (measured wall-time ratio, or
+        the static prior before both are known) and emits ``tps``
+        tokens; drafting pays iff tps/cost > 1 (with hysteresis)."""
+        if not (self.spec_draft and self.spec_adaptive) \
+                or self._spec_tps is None:
+            return
+        if self._spec_t is not None and self._plain_t is not None \
+                and self._plain_t > 0:
+            cost = self._spec_t / self._plain_t
+        else:
+            cost = self._spec_cost_prior
+        eff = self._spec_tps / max(cost, 1e-6)
+        if self._spec_on and eff < 0.95:
+            self._spec_on = False
+        elif not self._spec_on and eff > 1.05:
+            self._spec_on = True
+        self._plain_bursts_since_probe = 0
 
     def _pending(self) -> bool:
         if self._sched is not None:
@@ -784,7 +906,19 @@ class ServingEngine:
         steps = 0
         if self.spec_draft:
             while self._pending() and steps < max_steps:
-                self.step_spec_burst(max(burst, 1))
+                probe = (self.spec_adaptive and not self._spec_on
+                         and self._plain_bursts_since_probe
+                         >= self._spec_probe_every)
+                if self._spec_on or not self.spec_adaptive or probe:
+                    # Probes re-measure acceptance with a short burst so
+                    # a traffic shift (repetitive text arriving) turns
+                    # drafting back on quickly and cheaply.
+                    self.step_spec_burst(min(max(burst, 1), 4) if probe
+                                         else max(burst, 1))
+                    self._spec_gate()
+                else:
+                    self.step_burst(max(burst, 1))
+                    self._plain_bursts_since_probe += 1
                 steps += 1
             return steps
         if burst <= 1 or self.paged or not pipeline:

@@ -40,8 +40,10 @@ a single int8→compute-dtype convert, or as genuine int8×int8 MXU dots
 with a row-quantized q). The previous byte-planar-in-lanes packing
 needed 4 shifts + 2 concats per block in the kernel's dependent op
 chain, which on v5e cost more than the bandwidth the 1 B/elt stream
-saved. Scales live in f32 ``[B, cap, 1, 128]`` rows (K scales at lanes
-[0, KVH), V at [64, 64+KVH)). Decode appends read-modify-write one int32
+saved. Scales live in ``SCALE_DTYPE`` (bf16) ``[B, cap, 1, 128]`` rows
+(K scales at lanes
+[0, KVH), V at [64, 64+KVH)); bf16 rows halve the kernels' second
+(scale) DMA stream. Decode appends read-modify-write one int32
 row per plane (the new token owns byte ``pos%4`` of row ``pos//4``) in
 one Pallas kernel (kernels/cache.py::cache_append_quant) — the int8
 fallback to XLA's scatter cost more than quantization saved.
@@ -56,9 +58,18 @@ import jax.numpy as jnp
 
 # Mosaic DMA slices must be 128-lane aligned on the last dim.
 _LANE = 128
-# Quantized-cache scale rows: f32 [1, 128] per token; V scales offset.
+# Quantized-cache scale rows: [1, 128] per token; V scales offset.
 SCALE_LANES = 128
 VSCALE_OFF = 64
+# Scale-row storage dtype. NEGATIVE RESULT (hardware, this round): raw
+# bf16 scale rows [B, cap, 1, 128] fail Mosaic compile — DMA slices of a
+# sub-32-bit array whose trailing (sublane, lane) pair is (1, 128) are
+# rejected (the same constraint that forbids int8 row DMAs); f32's
+# (8, 128) tile tolerates the size-1 sublane, bf16's (16, 128) does not.
+# Halving scale traffic therefore needs the pack-into-int32 trick (two
+# tokens' bf16 scales per word, bitcast in-kernel) — see the token-packed
+# KV layout above.
+SCALE_DTYPE = jnp.float32
 
 
 def pack_int8_tokens(x):
@@ -166,11 +177,14 @@ def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
 
 
 def _quantize_tokens(x):
-    """Per-(token, head) symmetric int8: scale = absmax/127 over head_dim.
-    x: [B, T, KVH, D] → (q [B, T, KVH, D], scales [B, T, KVH])."""
+    """Per-(token, head) symmetric int8: scale = absmax/127 over head_dim,
+    rounded to the storage dtype FIRST so q·stored_scale is the exact
+    dequantization. x: [B, T, KVH, D] → (q, scales [B, T, KVH])."""
     absmax = jnp.max(jnp.abs(x), axis=-1)
-    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0).astype(jnp.float32)
-    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
+    scale = jnp.where(absmax == 0, 1.0,
+                      absmax / 127.0).astype(SCALE_DTYPE)
+    sf = scale.astype(jnp.float32)
+    q = jnp.clip(jnp.round(x / sf[..., None]), -127, 127)
     return q, scale
 
 
@@ -208,7 +222,7 @@ class KVCache:
             shape = (batch, capacity // 4, 2, f)          # token-packed
             kv = [jnp.zeros(shape, jnp.int32) for _ in range(n_layers)]
             sshape = (batch, capacity, 1, SCALE_LANES)
-            scales = [jnp.ones(sshape, jnp.float32)
+            scales = [jnp.ones(sshape, SCALE_DTYPE)
                       for _ in range(n_layers)]
             return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
                            kv_heads, head_dim)
@@ -255,7 +269,7 @@ class KVCache:
             bytes_kv = jnp.stack(
                 [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
                  v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
-            scales = jnp.ones((b, t, 1, SCALE_LANES), jnp.float32)
+            scales = jnp.ones((b, t, 1, SCALE_LANES), SCALE_DTYPE)
             scales = scales.at[..., 0, 0:kvh].set(k_s)
             scales = scales.at[..., 0,
                                VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)

@@ -82,8 +82,9 @@ class PagedKVCache:
             assert page_size % 4 == 0 and kv_heads <= VSCALE_OFF
             pools = [jnp.zeros((n_pages, page_size // 4, 2, f), jnp.int32)
                      for _ in range(n_layers)]
+            from .kv_cache import SCALE_DTYPE
             scales = [jnp.ones((n_pages, page_size, 1, SCALE_LANES),
-                               jnp.float32) for _ in range(n_layers)]
+                               SCALE_DTYPE) for _ in range(n_layers)]
             return PagedKVCache(pools, table, jnp.zeros(batch, jnp.int32),
                                 page_size, kv_heads, head_dim,
                                 quant_scales=scales)
@@ -131,7 +132,8 @@ class PagedKVCache:
             bytes_kv = jnp.stack(
                 [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
                  v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
-            scales = jnp.ones((b, t, 1, SCALE_LANES), jnp.float32)
+            from .kv_cache import SCALE_DTYPE
+            scales = jnp.ones((b, t, 1, SCALE_LANES), SCALE_DTYPE)
             scales = scales.at[..., 0, 0:kvh].set(k_s)
             scales = scales.at[..., 0,
                                VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)

@@ -30,6 +30,31 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _scale_selector(onehot, dtype):
+    """Stacked K/V scale selector for the token-packed int8 cache's
+    in-kernel dequant: given the per-row head map ``onehot`` [R, KVH],
+    returns [2·R8, SCALE_LANES] (R8 = R rounded to a sublane multiple)
+    where rows [0, R) select K's scale lane g(r) and rows [R8, R8+R)
+    select V's (offset VSCALE_OFF). ONE MXU dot against a [blk, SL]
+    scale-row tile expands BOTH planes' per-(token, row) factors —
+    merging what used to be two dots on the per-block dependent chain.
+    The row padding keeps the V slice's sublane offset 8-aligned; padded
+    rows are zero (they select nothing). ``dtype`` matches the scale
+    rows' storage (bf16 rows halve the scale DMA traffic; the MXU
+    accumulates the selection in f32 either way)."""
+    from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
+    r, kvh = onehot.shape
+    r8 = _round8(r)
+    k_sel = jnp.pad(onehot, ((0, r8 - r), (0, SCALE_LANES - kvh)))
+    v_sel = jnp.pad(onehot, ((0, r8 - r),
+                             (VSCALE_OFF, SCALE_LANES - VSCALE_OFF - kvh)))
+    return jnp.concatenate([k_sel, v_sel], axis=0).astype(dtype)
+
+
 def _attn_reference(q, k, v, causal, scale, lengths=None):
     """jnp reference (used for tests and as a fallback for tiny shapes)."""
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
@@ -234,18 +259,19 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         if scales_ref is not None:
-            # Per-(token, head) scales live in f32 rows [block_k, 128]
+            # Per-(token, head) scales live in rows [block_k, 128]
             # (K at lanes [0, KVH), V at [VSCALE_OFF, +KVH)). Row h of
             # the score matrix only touched head g(h)'s columns, so K's
-            # dequant factors OUT of the dot: s[h, t] *= kscale[t, g(h)].
-            # The padded one-hot ([H, 256]: K map in [:128], V map in
-            # [128:]) expands [block_k, 128] -> [H, block_k] on the MXU.
+            # dequant factors OUT of the dot: s[h, t] *= kscale[t, g(h)],
+            # and V's folds into P below. The stacked selector
+            # (_scale_selector, [2·H8, 128]) expands BOTH planes' factors
+            # in ONE MXU dot -> [2·H8, block_k].
             srow = scales_ref[0, :, 0, :]               # [block_k, 128]
-            oh = onehot_ref[:]                          # [H, 256]
-            ks = jax.lax.dot_general(
-                oh[:, :128], srow, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)     # [H, block_k]
-            s = s * ks
+            h8 = onehot_ref.shape[0] // 2
+            kvs = jax.lax.dot_general(
+                onehot_ref[:], srow, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [2*H8, block_k]
+            s = s * kvs[:h]
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (h, block_k), 1)
         if chunk_s:
@@ -267,12 +293,9 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
         if scales_ref is not None:
             # V's dequant folds into P before the PV dot: row h only
             # reads head g(h)'s V columns, so
-            # p'[h, t] = p[h, t] * vscale[t, g(h)].
-            vs = jax.lax.dot_general(
-                onehot_ref[:][:, 128:], scales_ref[0, :, 0, :],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            p = p * vs
+            # p'[h, t] = p[h, t] * vscale[t, g(h)] (from the merged
+            # expansion above; the V rows start at the 8-aligned H8).
+            p = p * kvs[h8:h8 + h]
         # P @ V over full rows: row h's slice at its head's columns is
         # the true output; the caller extracts the block diagonal.
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -295,7 +318,8 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     kv: [B, cap, 2, KVH*D] — the KVCache fused layout (plane 0 = K,
     plane 1 = V). int8 storage: pass the token-packed cache
     (int32 [B, cap/4, 2, KVH*D], generate/kv_cache.py) with
-    ``kv_scales`` f32 [B, cap, 1, 128] per-token scale rows —
+    ``kv_scales`` [B, cap, 1, 128] per-token scale rows (f32 or the
+    cache's bf16 SCALE_DTYPE) —
     dequantization happens on the MXU (see kernel), so the cache
     streams at 1 B/elt;
     lengths: [B] int32 — number of valid cache entries per sequence.
@@ -314,7 +338,7 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     quant = kv_scales is not None
     if quant:
         # Token-packed int8 cache (generate/kv_cache.py): int32
-        # [B, cap/4, 2, hd_tot] + f32 scale rows [B, cap, 1, 128]
+        # [B, cap/4, 2, hd_tot] + scale rows [B, cap, 1, 128]
         # (K scales at lanes [0, KVH), V at [VSCALE_OFF, +KVH)).
         _, rows, planes, lanes = kv.shape
         s_max = rows * 4
@@ -365,18 +389,13 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
         return (bb, jnp.minimum(kk, last), 0, 0)
 
     if quant:
-        # Padded one-hot for the in-kernel scale dots: [H, 256] — K's
-        # head map in lanes [0, 128), V's (offset by VSCALE_OFF) in
-        # [128, 256). Padding lanes are zero, so the dots select exactly
-        # the real heads' scales.
-        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
-        oh_s = jnp.concatenate([
-            jnp.pad(onehot, ((0, 0), (0, SCALE_LANES - kv_heads))),
-            jnp.pad(onehot, ((0, 0),
-                             (VSCALE_OFF,
-                              SCALE_LANES - VSCALE_OFF - kv_heads))),
-        ], axis=1)
-        oh_arg, oh_block = oh_s, (h, 2 * SCALE_LANES)
+        # Stacked K/V scale selector (see _scale_selector): one merged
+        # MXU dot per block expands both planes' per-(token, head)
+        # factors; padding lanes/rows are zero, so the dot selects
+        # exactly the real heads' scales.
+        from ..generate.kv_cache import SCALE_LANES
+        oh_s = _scale_selector(onehot, kv_scales.dtype)
+        oh_arg, oh_block = oh_s, oh_s.shape
         kv_block = (1, block_k // 4, 2, hd_tot)
 
         def kv_index(bb, kk, lens):          # noqa: F811 (quant layout)
@@ -756,11 +775,14 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                     q, kblk.astype(q.dtype),
                     (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32) * scale
-            ks = jax.lax.dot_general(
-                oh[:, :, :scale_lanes], srow,
-                (((2,), (2,)), ((0,), (0,))),
+            # ONE merged scale-expansion dot for both planes (the
+            # stacked selector, _scale_selector): [G, 2*H8, blk]; K's
+            # factors are rows [:h], V's start at the 8-aligned H8.
+            h8 = oh.shape[1] // 2
+            kvs = jax.lax.dot_general(
+                oh, srow, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            s = s * ks
+            s = s * kvs[:, :h]
             k_pos = i * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (group, h, block_k), 2)
             s = jnp.where(k_pos < limit, s, _NEG_INF)
@@ -771,11 +793,7 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
             pmat = jnp.exp(s - m_new)
             l_ref[:] = (l_ref[:] * alpha
                         + jnp.sum(pmat, axis=2, keepdims=True))
-            vs = jax.lax.dot_general(
-                oh[:, :, scale_lanes:], srow,
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            pmat = pmat * vs
+            pmat = pmat * kvs[:, h8:h8 + h]
             if pv_int8:
                 # Row-quantize the scale-folded probabilities so the PV
                 # dot runs int8×int8 on the MXU: the [G, blk, F] V
@@ -805,7 +823,8 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
     pl.run_scoped(
         body,
         buf=pltpu.VMEM((2, group, block_k // 4, 2, hd_tot), jnp.int32),
-        sbuf=pltpu.VMEM((2, group, block_k, 1, scale_lanes), jnp.float32),
+        sbuf=pltpu.VMEM((2, group, block_k, 1, scale_lanes),
+                        sc_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, group)),
         ssem=pltpu.SemaphoreType.DMA((2, group)),
         m_ref=pltpu.VMEM((group, h, 1), jnp.float32),
@@ -1022,23 +1041,18 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
               ).reshape(nprog, group, h, hd_tot)
 
     if quant:
-        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
-        # Padded per-head scale selector (see flash_decode_fused),
+        from ..generate.kv_cache import SCALE_LANES
+        # Stacked per-head scale selector (see _scale_selector),
         # broadcast over the group so the in-kernel expansion is one
-        # batched MXU dot per plane.
-        oh_s = jnp.concatenate([
-            jnp.pad(onehot, ((0, 0), (0, SCALE_LANES - kv_heads))),
-            jnp.pad(onehot, ((0, 0),
-                             (VSCALE_OFF,
-                              SCALE_LANES - VSCALE_OFF - kv_heads))),
-        ], axis=1)
+        # batched MXU dot per block for BOTH planes.
+        oh_s = _scale_selector(onehot, kv_scales.dtype)
         oh_g = jnp.broadcast_to(oh_s[None, None],
-                                (nprog, group, h, 2 * SCALE_LANES))
+                                (nprog, group) + oh_s.shape)
         in_specs = [
             pl.BlockSpec((1, group, h, hd_tot),
                          lambda pp, lens: (pp, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, group, h, 2 * SCALE_LANES),
+            pl.BlockSpec((1, group) + oh_s.shape,
                          lambda pp, lens: (pp, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # packed kv, HBM
@@ -1172,16 +1186,11 @@ def flash_verify_grouped(q, kv, lengths, kv_heads, scale=None,
               ).reshape(nprog, group, rows, hd_tot)
 
     if quant:
-        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
+        from ..generate.kv_cache import SCALE_LANES
         oh_rows = jnp.tile(onehot, (s, 1))
-        oh_s = jnp.concatenate([
-            jnp.pad(oh_rows, ((0, 0), (0, SCALE_LANES - kv_heads))),
-            jnp.pad(oh_rows, ((0, 0),
-                              (VSCALE_OFF,
-                               SCALE_LANES - VSCALE_OFF - kv_heads))),
-        ], axis=1)
+        oh_s = _scale_selector(oh_rows, kv_scales.dtype)
         oh_g = jnp.broadcast_to(oh_s[None, None],
-                                (nprog, group, rows, 2 * SCALE_LANES))
+                                (nprog, group) + oh_s.shape)
         out_full = pl.pallas_call(
             functools.partial(_decode_grouped_quant_kernel, scale=scale,
                               block_k=block_k, h=rows, hd_tot=hd_tot,
@@ -1194,7 +1203,7 @@ def flash_verify_grouped(q, kv, lengths, kv_heads, scale=None,
                     pl.BlockSpec((1, group, rows, hd_tot),
                                  lambda pp, lens: (pp, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, group, rows, 2 * SCALE_LANES),
+                    pl.BlockSpec((1, group) + oh_s.shape,
                                  lambda pp, lens: (pp, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),   # packed kv, HBM
@@ -1399,11 +1408,11 @@ def _decode_paged_grouped_quant_kernel(tab_ref, len_ref, q_ref, oh_ref,
                 q, kblk.astype(q.dtype),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale
-            ks = jax.lax.dot_general(
-                oh[:, :, :scale_lanes], srow,
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            s = s * ks
+            h8 = oh.shape[1] // 2
+            kvs = jax.lax.dot_general(
+                oh, srow, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [G, 2*H8, page]
+            s = s * kvs[:, :h]
             k_pos = i * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, (group, h, page_size), 2)
             s = jnp.where(k_pos < limit, s, _NEG_INF)
@@ -1414,11 +1423,7 @@ def _decode_paged_grouped_quant_kernel(tab_ref, len_ref, q_ref, oh_ref,
             pmat = jnp.exp(s - m_new)
             l_ref[:] = (l_ref[:] * alpha
                         + jnp.sum(pmat, axis=2, keepdims=True))
-            vs = jax.lax.dot_general(
-                oh[:, :, scale_lanes:], srow,
-                (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            pmat = pmat * vs
+            pmat = pmat * kvs[:, h8:h8 + h]
             acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
                 pmat, vblk.astype(jnp.float32),
                 (((2,), (1,)), ((0,), (0,))),
@@ -1434,7 +1439,7 @@ def _decode_paged_grouped_quant_kernel(tab_ref, len_ref, q_ref, oh_ref,
         body,
         buf=pltpu.VMEM((2, group, page4, 2, hd_tot), jnp.int32),
         sbuf=pltpu.VMEM((2, group, page_size, 1, scale_lanes),
-                        jnp.float32),
+                        sc_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, group)),
         ssem=pltpu.SemaphoreType.DMA((2, group)),
         m_ref=pltpu.VMEM((group, h, 1), jnp.float32),
@@ -1473,15 +1478,10 @@ def flash_decode_paged_grouped(q, pool, page_table, lengths, kv_heads,
               ).reshape(nprog, group, h, hd_tot)
 
     if quant:
-        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
-        oh_s = jnp.concatenate([
-            jnp.pad(onehot, ((0, 0), (0, SCALE_LANES - kv_heads))),
-            jnp.pad(onehot, ((0, 0),
-                             (VSCALE_OFF,
-                              SCALE_LANES - VSCALE_OFF - kv_heads))),
-        ], axis=1)
+        from ..generate.kv_cache import SCALE_LANES
+        oh_s = _scale_selector(onehot, kv_scales.dtype)
         oh_g = jnp.broadcast_to(oh_s[None, None],
-                                (nprog, group, h, 2 * SCALE_LANES))
+                                (nprog, group) + oh_s.shape)
         out_full = pl.pallas_call(
             functools.partial(_decode_paged_grouped_quant_kernel,
                               scale=scale, page_size=page_size, h=h,
@@ -1494,7 +1494,7 @@ def flash_decode_paged_grouped(q, pool, page_table, lengths, kv_heads,
                     pl.BlockSpec((1, group, h, hd_tot),
                                  lambda pp, tab, lens: (pp, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, group, h, 2 * SCALE_LANES),
+                    pl.BlockSpec((1, group) + oh_s.shape,
                                  lambda pp, tab, lens: (pp, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),   # packed pool
@@ -1626,14 +1626,9 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
         return (bb, jnp.minimum(kk, last), 0, 0)
 
     if quant:
-        from ..generate.kv_cache import SCALE_LANES, VSCALE_OFF
-        oh_s = jnp.concatenate([
-            jnp.pad(oh_rows, ((0, 0), (0, SCALE_LANES - kv_heads))),
-            jnp.pad(oh_rows, ((0, 0),
-                              (VSCALE_OFF,
-                               SCALE_LANES - VSCALE_OFF - kv_heads))),
-        ], axis=1)
-        oh_arg, oh_block = oh_s, (s * h, 2 * SCALE_LANES)
+        from ..generate.kv_cache import SCALE_LANES
+        oh_s = _scale_selector(oh_rows, kv_scales.dtype)
+        oh_arg, oh_block = oh_s, oh_s.shape
         kv_block = (1, block_k // 4, 2, hd_tot)
 
         def kv_index(bb, kk, lens):      # noqa: F811 (quant layout)

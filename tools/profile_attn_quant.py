@@ -1,14 +1,15 @@
-"""int8-cache decode-attention shootout on hardware: fused grid quant
-kernel vs the new batched-group quant kernel, with the bf16 grouped
-kernel as the float baseline (the number to beat — BASELINE.md round 3
-found the int8 cache TRAILING bf16 because the VPU unpack sat on the
-per-block dependent chain; grouping gives the scheduler G independent
-chains to hide it).
+"""int8-cache decode-attention shootout on hardware: the token-packed
+grouped quant kernel (merged scale-expansion dot + bf16 scale rows) vs
+the bf16 grouped kernel (the float number to beat).
 
 Timing: chained lax.scan with a data dependency, long minus short run
-differenced (see BASELINE.md measurement notes).
+differenced; a VALUE FETCH syncs each run (block_until_ready is
+unreliable on the tunnel chip — CLAUDE.md). Caches ride as jit
+ARGUMENTS (captured constants blow the remote-compile size cap).
 
-    python tools/profile_attn_quant.py [--batch 64 --cap 512 --live 256]
+    python tools/profile_attn_quant.py [--batch 256 --cap 512 --live 256]
+    python tools/profile_attn_quant.py --sweep "f:8:64,q:16:64,qf32:16:64"
+      (variant spec: kind:group:block; kind = f | q | qs | qf32 | pv)
 """
 
 from __future__ import annotations
@@ -29,6 +30,11 @@ def main():
     ap.add_argument("--cap", type=int, default=512)
     ap.add_argument("--live", type=int, default=256)
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--sweep", default=None,
+                    help="comma list of kind:group:block variants "
+                         "(kind: f=bf16, q=int8 bf16-scales, "
+                         "qf32=int8 f32-scales, qs=int8-scores, "
+                         "pv=pv_int8)")
     args = ap.parse_args()
 
     import jax
@@ -46,10 +52,9 @@ def main():
     except Exception:
         pass
 
-    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
-                                            pack_int8_cache)
-    from rten_tpu.kernels.attention import (flash_decode_fused,
-                                            flash_decode_grouped)
+    from rten_tpu.generate.kv_cache import (SCALE_DTYPE, SCALE_LANES,
+                                            VSCALE_OFF, pack_int8_cache)
+    from rten_tpu.kernels.attention import flash_decode_grouped
 
     b, h, kvh, d = args.batch, args.heads, args.kv_heads, args.head_dim
     cap, live = args.cap, args.live
@@ -66,25 +71,30 @@ def main():
     sc = np.ones((b, cap, 1, SCALE_LANES), np.float32)
     sc[:, :, 0, :kvh] = 0.02
     sc[:, :, 0, VSCALE_OFF:VSCALE_OFF + kvh] = 0.03
-    scales = jnp.asarray(sc)
+    scales_f32 = jnp.asarray(sc)
+    scales = scales_f32.astype(SCALE_DTYPE)
     lengths = jnp.full((b,), live, jnp.int32)
 
     # Traffic model per call: live rows × bytes (packed kv: 1 B/elt for
-    # K+V, + f32 scale rows; K+V bf16 for float).
-    bytes_q = b * live * (2 * kvh * d + SCALE_LANES * 4)
+    # K+V, + scale rows at their storage width; K+V bf16 for float).
+    def bytes_quant(sdtype_size):
+        return b * live * (2 * kvh * d + SCALE_LANES * sdtype_size)
+
     bytes_f = b * live * 2 * kvh * d * 2
 
-    def bench(name, fn, nbytes, iters=args.iters):
-        def chain(q, _):
-            out = fn(q)
-            return q + out.astype(q.dtype) * 1e-6, None
+    def bench(name, fn, kv, scl, nbytes, iters=args.iters):
+        def scan_fn(q, kv, scl, lens, n):
+            def chain(q, _):
+                out = fn(q, kv, scl, lens)
+                return q + out.astype(q.dtype) * 1e-6, None
+            return jax.lax.scan(chain, q, None, length=n)[0]
+
+        jitted = jax.jit(scan_fn, static_argnums=(4,))
 
         def run(n):
-            r = jax.jit(lambda q: jax.lax.scan(chain, q, None, length=n)[0])
-            out = r(q0)
-            jax.block_until_ready(out)
+            np.asarray(jitted(q0, kv, scl, lengths, n))  # warm
             t0 = time.perf_counter()
-            jax.block_until_ready(r(q0))
+            np.asarray(jitted(q0, kv, scl, lengths, n))  # fetch = sync
             return time.perf_counter() - t0
 
         run(iters)
@@ -97,58 +107,36 @@ def main():
               f"{gbs:6.0f} GB/s effective", flush=True)
         return per_call
 
-    variants = [
-        ("bf16 grouped g=8 (block 64)",
-         lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
-                                        block_k=64, group=8), bytes_f),
-        ("bf16 grouped g=8 b64 native-dots",
-         lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
-                                        block_k=64, group=8,
-                                        native_dots=True), bytes_f),
-        ("bf16 grouped g=8 b128 native-dots",
-         lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
-                                        block_k=128, group=8,
-                                        native_dots=True), bytes_f),
-        ("bf16 grouped g=16 b64 native-dots",
-         lambda q: flash_decode_grouped(q, kv_bf16, lengths, kvh,
-                                        block_k=64, group=16,
-                                        native_dots=True), bytes_f),
-        ("int8 fused grid (block 128)",
-         lambda q: flash_decode_fused(q, kv_q, lengths, kvh, block_k=128,
-                                      kv_scales=scales), bytes_q),
-        ("int8 grouped g=8 (block 64)",
-         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh, block_k=64,
-                                        group=8, kv_scales=scales),
-         bytes_q),
-        ("int8 grouped g=8 (block 128)",
-         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh,
-                                        block_k=128, group=8,
-                                        kv_scales=scales), bytes_q),
-        ("int8 grouped g=16 (block 64)",
-         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh, block_k=64,
-                                        group=16, kv_scales=scales),
-         bytes_q),
-        ("int8 grouped g=16 (block 128)",
-         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh,
-                                        block_k=128, group=16,
-                                        kv_scales=scales), bytes_q),
-        ("int8 grouped g=8 b64 int8-scores",
-         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh, block_k=64,
-                                        group=8, kv_scales=scales,
-                                        int8_scores=True), bytes_q),
-        ("int8 grouped g=8 b128 int8-scores",
-         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh,
-                                        block_k=128, group=8,
-                                        kv_scales=scales,
-                                        int8_scores=True), bytes_q),
-        ("int8 grouped g=16 b64 int8-scores",
-         lambda q: flash_decode_grouped(q, kv_q, lengths, kvh, block_k=64,
-                                        group=16, kv_scales=scales,
-                                        int8_scores=True), bytes_q),
-    ]
-    for name, fn, nbytes in variants:
+    def variant(kind, g, blk):
+        if kind == "f":
+            return (f"bf16 grouped g={g} b{blk}",
+                    lambda q, kv, s, l: flash_decode_grouped(
+                        q, kv, l, kvh, block_k=blk, group=g),
+                    kv_bf16, None, bytes_f)
+        flags = {}
+        sname = "bf16-scales"
+        sarr = scales
+        nbytes = bytes_quant(2)
+        if kind == "qf32":
+            sarr, sname, nbytes = scales_f32, "f32-scales", bytes_quant(4)
+        elif kind == "qs":
+            flags, sname = {"int8_scores": True}, "int8-scores"
+        elif kind == "pv":
+            flags, sname = {"pv_int8": True}, "pv-int8"
+        return (f"int8 grouped g={g} b{blk} {sname}",
+                lambda q, kv, s, l: flash_decode_grouped(
+                    q, kv, l, kvh, block_k=blk, group=g, kv_scales=s,
+                    **flags),
+                kv_q, sarr, nbytes)
+
+    specs = (args.sweep.split(",") if args.sweep else
+             ["f:8:64", "q:8:64", "q:16:64", "qf32:16:64", "q:16:128",
+              "qs:8:64"])
+    for spec in specs:
+        kind, g, blk = spec.split(":")
+        name, fn, kv, scl, nbytes = variant(kind, int(g), int(blk))
         try:
-            bench(name, fn, nbytes)
+            bench(name, fn, kv, scl, nbytes)
         except Exception as exc:
             print(f"{name}: FAILED {type(exc).__name__}: "
                   f"{str(exc)[:200]}", flush=True)
