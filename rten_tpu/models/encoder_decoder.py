@@ -38,6 +38,10 @@ class EncoderDecoderConfig:
     norm: str = "layernorm"
     layer_norm_eps: float = 1e-5
     use_pallas: bool = True
+    # Whisper's audio frontend: two 1-D convs over time (k=3; the second
+    # stride-2) + GELU, instead of the plain linear projection. With it,
+    # ``max_source_len`` is the POST-conv length (n_audio_ctx).
+    conv_frontend: bool = False
 
     @property
     def head_dim(self):
@@ -86,6 +90,14 @@ class EncoderDecoderLM:
             "src_proj": dense(cfg.n_mels, d),
             "src_pos": (rng.randn(cfg.max_source_len, d) * 0.02
                         ).astype(np.float32),
+            **({"conv1_w": (rng.randn(3, cfg.n_mels, d)
+                            / math.sqrt(3 * cfg.n_mels)
+                            ).astype(np.float32),
+                "conv1_b": np.zeros(d, np.float32),
+                "conv2_w": (rng.randn(3, d, d) / math.sqrt(3 * d)
+                            ).astype(np.float32),
+                "conv2_b": np.zeros(d, np.float32)}
+               if cfg.conv_frontend else {}),
             "tgt_embed": (rng.randn(v, d) * 0.02).astype(np.float32),
             "tgt_pos": (rng.randn(cfg.max_target_len, d) * 0.02
                         ).astype(np.float32),
@@ -114,15 +126,15 @@ class EncoderDecoderLM:
     def _self_attention(self, p, x, causal):
         cfg = self.config
         b, s, _ = x.shape
-        q = self._heads(linear(x, p["wq"]), b, s)
-        k = self._heads(linear(x, p["wk"]), b, s)
-        v = self._heads(linear(x, p["wv"]), b, s)
+        q = self._heads(linear(x, p["wq"], p.get("bq")), b, s)
+        k = self._heads(linear(x, p["wk"], p.get("bk")), b, s)
+        v = self._heads(linear(x, p["wv"], p.get("bv")), b, s)
         if cfg.use_pallas:
             out = flash_attention(q, k, v, causal=causal)
         else:
             out = _attn_reference(q, k, v, causal,
                                   1.0 / math.sqrt(cfg.head_dim))
-        return linear(self._merge(out, b, s), p["wo"])
+        return linear(self._merge(out, b, s), p["wo"], p.get("bo"))
 
     def _mlp(self, p, x):
         h = jax.nn.gelu(linear(x, p["w_up"], p["b_up"]), approximate=False)
@@ -134,7 +146,22 @@ class EncoderDecoderLM:
         """features: [B, S_src, n_mels] → memory [B, S_src, d]."""
         cfg = self.config
         b, s, _ = features.shape
-        x = linear(features, params["src_proj"])
+        if cfg.conv_frontend:
+            # Whisper frontend: conv1 (k=3, pad 1) + GELU, conv2 (k=3,
+            # stride 2, pad 1) + GELU. Weights stored [k, in, out]
+            # ('NHC'/'HIO' — torch's [out, in, k] transposed at load).
+            dn = ("NHC", "HIO", "NHC")
+            x = jax.lax.conv_general_dilated(
+                features, params["conv1_w"], (1,), ((1, 1),),
+                dimension_numbers=dn) + params["conv1_b"]
+            x = jax.nn.gelu(x, approximate=False)
+            x = jax.lax.conv_general_dilated(
+                x, params["conv2_w"], (2,), ((1, 1),),
+                dimension_numbers=dn) + params["conv2_b"]
+            x = jax.nn.gelu(x, approximate=False)
+            s = x.shape[1]
+        else:
+            x = linear(features, params["src_proj"])
         x = x + params["src_pos"][None, :s]
         for layer in params["encoder"]:
             a = layer["attn"]
@@ -152,8 +179,8 @@ class EncoderDecoderLM:
         out = []
         for layer in params["decoder"]:
             c = layer["cross_attn"]
-            k = self._heads(linear(memory, c["wk"]), b, s)
-            v = self._heads(linear(memory, c["wv"]), b, s)
+            k = self._heads(linear(memory, c["wk"], c.get("bk")), b, s)
+            v = self._heads(linear(memory, c["wv"], c.get("bv")), b, s)
             out.append((k, v))
         return out
 
@@ -175,9 +202,9 @@ class EncoderDecoderLM:
         for i, layer in enumerate(params["decoder"]):
             sa = layer["self_attn"]
             attn_in = _norm(cfg, x, sa["ln_scale"], sa["ln_bias"])
-            q = self._heads(linear(attn_in, sa["wq"]), b, s)
-            k = self._heads(linear(attn_in, sa["wk"]), b, s)
-            v = self._heads(linear(attn_in, sa["wv"]), b, s)
+            q = self._heads(linear(attn_in, sa["wq"], sa.get("bq")), b, s)
+            k = self._heads(linear(attn_in, sa["wk"], sa.get("bk")), b, s)
+            v = self._heads(linear(attn_in, sa["wv"], sa.get("bv")), b, s)
             if cache is not None:
                 cache = cache.append(i, k, v, position=0 if s > 1 else None)
             if s == 1 and cache is not None:
@@ -216,15 +243,18 @@ class EncoderDecoderLM:
                 else:
                     out = _attn_reference(q, k, v, True,
                                           1.0 / math.sqrt(cfg.head_dim))
-            x = x + linear(self._merge(out, b, s), sa["wo"])
+            x = x + linear(self._merge(out, b, s), sa["wo"],
+                           sa.get("bo"))
 
             ca = layer["cross_attn"]
             cross_in = _norm(cfg, x, ca["ln_scale"], ca["ln_bias"])
-            qc = self._heads(linear(cross_in, ca["wq"]), b, s)
+            qc = self._heads(linear(cross_in, ca["wq"], ca.get("bq")),
+                             b, s)
             ck, cv = cross[i]
             out = _attn_reference(qc, ck, cv, False,
                                   1.0 / math.sqrt(cfg.head_dim))
-            x = x + linear(self._merge(out, b, s), ca["wo"])
+            x = x + linear(self._merge(out, b, s), ca["wo"],
+                           ca.get("bo"))
 
             m = layer["mlp"]
             x = x + self._mlp(m, _norm(cfg, x, m["ln_scale"], m["ln_bias"]))

@@ -198,6 +198,84 @@ def load_mixtral(source, config: TransformerConfig) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Whisper (encoder-decoder)
+# ---------------------------------------------------------------------------
+
+def whisper_config_from_hf(hf_config):
+    from .encoder_decoder import EncoderDecoderConfig
+    return EncoderDecoderConfig(
+        vocab_size=hf_config.vocab_size,
+        n_enc_layers=hf_config.encoder_layers,
+        n_dec_layers=hf_config.decoder_layers,
+        n_heads=hf_config.encoder_attention_heads,
+        d_model=hf_config.d_model,
+        d_ff=hf_config.encoder_ffn_dim,
+        n_mels=hf_config.num_mel_bins,
+        max_source_len=hf_config.max_source_positions,
+        max_target_len=hf_config.max_target_positions,
+        conv_frontend=True)
+
+
+def load_whisper(source, config) -> dict:
+    """HF ``WhisperForConditionalGeneration`` state dict →
+    :class:`EncoderDecoderLM` params. Mapping notes: torch Conv1d
+    weights [out, in, k] transpose to our [k, in, out]; nn.Linear
+    [out, in] transposes to [in, out]; Whisper's k_proj carries no bias
+    (the model reads bq/bv/bo optionally); proj_out is tied to the
+    decoder embedding (our logits head is ``tgt_embed.T`` already)."""
+    sd = _strip_prefix(load_state_dict(source))
+
+    def attn(p, cross=False):
+        name = "encoder_attn" if cross else "self_attn"
+        return {
+            "wq": sd[f"{p}{name}.q_proj.weight"].T,
+            "bq": sd[f"{p}{name}.q_proj.bias"],
+            "wk": sd[f"{p}{name}.k_proj.weight"].T,
+            "wv": sd[f"{p}{name}.v_proj.weight"].T,
+            "bv": sd[f"{p}{name}.v_proj.bias"],
+            "wo": sd[f"{p}{name}.out_proj.weight"].T,
+            "bo": sd[f"{p}{name}.out_proj.bias"],
+            "ln_scale": sd[f"{p}{name}_layer_norm.weight"],
+            "ln_bias": sd[f"{p}{name}_layer_norm.bias"],
+        }
+
+    def mlp(p):
+        return {
+            "ln_scale": sd[p + "final_layer_norm.weight"],
+            "ln_bias": sd[p + "final_layer_norm.bias"],
+            "w_up": sd[p + "fc1.weight"].T,
+            "b_up": sd[p + "fc1.bias"],
+            "w_down": sd[p + "fc2.weight"].T,
+            "b_down": sd[p + "fc2.bias"],
+        }
+
+    params = {
+        "conv1_w": sd["encoder.conv1.weight"].transpose(2, 1, 0),
+        "conv1_b": sd["encoder.conv1.bias"],
+        "conv2_w": sd["encoder.conv2.weight"].transpose(2, 1, 0),
+        "conv2_b": sd["encoder.conv2.bias"],
+        "src_proj": np.zeros((config.n_mels, config.d_model), np.float32),
+        "src_pos": sd["encoder.embed_positions.weight"],
+        "tgt_embed": sd["decoder.embed_tokens.weight"],
+        "tgt_pos": sd["decoder.embed_positions.weight"],
+        "enc_ln_scale": sd["encoder.layer_norm.weight"],
+        "enc_ln_bias": sd["encoder.layer_norm.bias"],
+        "dec_ln_scale": sd["decoder.layer_norm.weight"],
+        "dec_ln_bias": sd["decoder.layer_norm.bias"],
+        "encoder": [], "decoder": [],
+    }
+    for i in range(config.n_enc_layers):
+        p = f"encoder.layers.{i}."
+        params["encoder"].append({"attn": attn(p), "mlp": mlp(p)})
+    for i in range(config.n_dec_layers):
+        p = f"decoder.layers.{i}."
+        params["decoder"].append({"self_attn": attn(p),
+                                  "cross_attn": attn(p, cross=True),
+                                  "mlp": mlp(p)})
+    return params
+
+
+# ---------------------------------------------------------------------------
 # BERT
 # ---------------------------------------------------------------------------
 

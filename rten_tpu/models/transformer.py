@@ -514,6 +514,12 @@ class TransformerLM:
                                     cache.kv_heads, cache.head_dim)
                 elif kind == "grouped":
                     from ..kernels.attention import flash_decode_grouped
+                    # int8-scores pays below g=16 at short lives (the G
+                    # chains already hide the convert at g=16) and at
+                    # LONG lives with the merged scale dot (round-6 A/B:
+                    # 382 vs 416 us at live 3968 g=8/b128 — 100% of the
+                    # bf16 kernel's byte rate; round 5's "never at long
+                    # ctx" predates the merged dot).
                     out = flash_decode_grouped(q[:, :, 0, :],
                                                cache.fused_layer(layer_idx),
                                                cache.lengths + 1, kvh,
@@ -523,7 +529,6 @@ class TransformerLM:
                                                int8_scores=(
                                                    scales is not None
                                                    and group < 16
-                                                   and not long_ctx
                                                    and cfg.quant_int8_scores))
                 elif kind == "stream":
                     from ..kernels.attention import flash_decode_stream

@@ -112,3 +112,81 @@ def test_bert_parity():
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_pooled), want_pooled,
                                rtol=1e-3, atol=2e-3)
+
+
+def test_whisper_parity():
+    """HF WhisperForConditionalGeneration → EncoderDecoderLM: encoder
+    (conv frontend + sinusoidal positions) and full-decoder logits must
+    match torch ≤1e-3 (VERDICT round-1 item 4: the Whisper bench numbers
+    need real-weight parity behind them)."""
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+    hf_cfg = WhisperConfig(
+        vocab_size=80, num_mel_bins=16, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, d_model=64, encoder_ffn_dim=128,
+        decoder_ffn_dim=128, max_source_positions=16,
+        max_target_positions=32, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1)
+    torch.manual_seed(4)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = hf_loader.whisper_config_from_hf(hf_cfg)
+    params = hf_loader.load_whisper(hf, cfg)
+    from rten_tpu.models.encoder_decoder import EncoderDecoderLM
+    model = EncoderDecoderLM(cfg)
+
+    # Input features: HF takes [B, n_mels, T] with T = 2 * n_audio_ctx
+    # (the stride-2 conv halves it); ours takes [B, T, n_mels].
+    feats = rng.randn(2, 16, 32).astype(np.float32)
+    dec_ids = rng.randint(0, 80, (2, 6))
+    with torch.no_grad():
+        out = hf(input_features=torch.tensor(feats),
+                 decoder_input_ids=torch.tensor(dec_ids))
+        enc_want = hf.model.encoder(torch.tensor(feats)
+                                    ).last_hidden_state.numpy()
+    want = out.logits.numpy()
+
+    memory = model.encode(params, jnp.asarray(feats.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(memory), enc_want,
+                               rtol=1e-3, atol=2e-3)
+    cross = model.cross_kv(params, memory)
+    got, _ = model.decode(params, jnp.asarray(dec_ids, jnp.int32),
+                          cross, cache=None)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                               atol=2e-3)
+
+
+def test_whisper_parity_cached_decode():
+    """Cached single-token decode matches the uncached full forward."""
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+    hf_cfg = WhisperConfig(
+        vocab_size=80, num_mel_bins=16, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, d_model=64, encoder_ffn_dim=128,
+        decoder_ffn_dim=128, max_source_positions=16,
+        max_target_positions=32, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1)
+    torch.manual_seed(5)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = hf_loader.whisper_config_from_hf(hf_cfg)
+    params = hf_loader.load_whisper(hf, cfg)
+    from rten_tpu.models.encoder_decoder import EncoderDecoderLM
+    model = EncoderDecoderLM(cfg)
+
+    feats = rng.randn(1, 16, 32).astype(np.float32)
+    dec_ids = rng.randint(0, 80, (1, 5))
+    memory = model.encode(params, jnp.asarray(feats.transpose(0, 2, 1)))
+    cross = model.cross_kv(params, memory)
+    cache = model.new_cache(1, capacity=16)
+    _, cache = model.decode(params,
+                            jnp.asarray(dec_ids[:, :-1], jnp.int32),
+                            cross, cache)
+    step, _ = model.decode(params, jnp.asarray(dec_ids[:, -1:], jnp.int32),
+                           cross, cache)
+    with torch.no_grad():
+        want = hf(input_features=torch.tensor(feats),
+                  decoder_input_ids=torch.tensor(dec_ids)
+                  ).logits.numpy()[:, -1:]
+    np.testing.assert_allclose(np.asarray(step), want, rtol=1e-3,
+                               atol=2e-3)

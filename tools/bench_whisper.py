@@ -50,12 +50,15 @@ def main():
         cfg = EncoderDecoderConfig.tiny_test()
         src_len = 16
     else:
-        # Whisper-small shape: 12+12 layers, d=768, 12 heads, 80 mels.
+        # Whisper-small shape: 12+12 layers, d=768, 12 heads, 80 mels,
+        # the real conv frontend (k3 + k3/s2 over 3000 input frames →
+        # 1500 audio positions — load_whisper/test_hf_parity parity).
         cfg = EncoderDecoderConfig(
             vocab_size=51865, n_enc_layers=12, n_dec_layers=12,
             n_heads=12, d_model=768, d_ff=3072, n_mels=80,
-            max_source_len=1500, max_target_len=448)
-        src_len = 1500
+            max_source_len=1500, max_target_len=448,
+            conv_frontend=True)
+        src_len = 3000
     model = EncoderDecoderLM(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)

@@ -114,13 +114,13 @@ def main():
                         q, kv, l, kvh, block_k=blk, group=g),
                     kv_bf16, None, bytes_f)
         flags = {}
-        sname = "bf16-scales"
         sarr = scales
-        nbytes = bytes_quant(2)
+        sname = f"{jnp.dtype(sarr.dtype).name}-scales"
+        nbytes = bytes_quant(sarr.dtype.itemsize)
         if kind == "qf32":
             sarr, sname, nbytes = scales_f32, "f32-scales", bytes_quant(4)
         elif kind == "qs":
-            flags, sname = {"int8_scores": True}, "int8-scores"
+            flags, sname = {"int8_scores": True}, f"int8-scores {sname}"
         elif kind == "pv":
             flags, sname = {"pv_int8": True}, "pv-int8"
         return (f"int8 grouped g={g} b{blk} {sname}",
