@@ -1,0 +1,158 @@
+"""Collective-placement assertions (VERDICT round-1 item 7): compile the
+TP-sharded programs on the 8-virtual-device CPU mesh and check the HLO
+for the collectives the sharding plan INTENDS — not just value parity.
+
+The TP contract (parallel/sharding.py): qkv/up projections are
+column-sharded (no communication), wo/down are row-sharded so each
+produces ONE all-reduce of the [B/data, S, d_model] activation over the
+``model`` axis — 2 per layer, nothing else at weight scale. GSPMD is
+free to decompose gathers into collective-permutes, so the assertions
+pin (a) the per-layer all-reduce count and replica groups, (b) that no
+collective moves weight-sized tensors (weights must never be gathered),
+(c) pipeline stages communicate by point-to-point permute.
+"""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+from rten_tpu.parallel import make_mesh, shard_cache, shard_params
+
+N_LAYERS = 2
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(data=2, model=4)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = TransformerConfig(
+        vocab_size=256, n_layers=N_LAYERS, n_heads=8, kv_heads=8,
+        d_model=128, d_ff=256, max_seq_len=64, pos="learned",
+        norm="layernorm", act="gelu", use_pallas=False)
+    model = TransformerLM(cfg)
+    return model, model.init_params(jax.random.PRNGKey(0))
+
+
+_COLL_RE = re.compile(
+    r"= (?P<type>\w+)\[(?P<dims>[\d,]*)\][^ ]* "
+    r"(?P<op>all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all)\(.*?(?:replica_groups=\{(?P<groups>.*?)\}\})?(?:,|$)")
+
+
+def _collectives(text):
+    """Parse collective ops from compiled HLO: (op, dtype, shape,
+    replica_groups or None)."""
+    out = []
+    for line in text.splitlines():
+        m = re.search(r"= (\w+)\[([\d,]*)\]\S* (all-reduce|all-gather|"
+                      r"reduce-scatter|collective-permute|all-to-all)\(",
+                      line)
+        if not m:
+            continue
+        dtype, dims, op = m.group(1), m.group(2), m.group(3)
+        shape = tuple(int(d) for d in dims.split(",") if d)
+        g = re.search(r"replica_groups=\{\{(.*?)\}\}", line)
+        groups = None
+        if g:
+            groups = [tuple(int(x) for x in grp.split(","))
+                      for grp in g.group(1).split("},{")]
+        out.append((op, dtype, shape, groups))
+    return out
+
+
+def _compile_decode(model, params, mesh, batch=8):
+    sp = shard_params(params, mesh)
+    cache = shard_cache(model.new_cache(batch, 64), mesh)
+    toks = jax.device_put(jnp.zeros(batch, jnp.int32),
+                          NamedSharding(mesh, P("data")))
+    with mesh:
+        return jax.jit(model.decode_step, donate_argnums=(2,)).lower(
+            sp, toks, cache).compile().as_text()
+
+
+def test_tp_decode_allreduce_per_row_sharded_matmul(mesh,
+                                                    model_and_params):
+    model, params = model_and_params
+    colls = _collectives(_compile_decode(model, params, mesh))
+    d_model = model.config.d_model
+    ars = [c for c in colls if c[0] == "all-reduce"]
+    # Exactly one activation all-reduce per row-sharded matmul: wo +
+    # w_down → 2 per layer, [B/data, 1, d_model].
+    act_ars = [c for c in ars if c[2][-1] == d_model]
+    assert len(act_ars) == 2 * N_LAYERS, (len(act_ars), ars)
+    for op, dtype, shape, groups in act_ars:
+        assert shape == (4, 1, d_model)       # batch 8 / data 2
+        # Rides the model axis ONLY: groups partition devices into
+        # data-slices, each spanning the 4 model ranks.
+        assert groups == [(0, 1, 2, 3), (4, 5, 6, 7)], groups
+
+
+def test_tp_decode_never_moves_weights(mesh, model_and_params):
+    """No collective carries a weight-sized tensor: the largest weight
+    shard (d_model × d_ff / model) must exceed every communicated
+    buffer — GSPMD must not be gathering weights."""
+    model, params = model_and_params
+    cfg = model.config
+    colls = _collectives(_compile_decode(model, params, mesh))
+    assert colls, "expected collectives in the TP decode program"
+    weight_shard = cfg.d_model * cfg.d_ff // 4
+    for op, dtype, shape, groups in colls:
+        moved = int(np.prod(shape)) if shape else 1
+        assert moved < weight_shard, (op, shape)
+
+
+def test_tp_prefill_allreduce_structure(mesh, model_and_params):
+    model, params = model_and_params
+    sp = shard_params(params, mesh)
+    cache = shard_cache(model.new_cache(8, 64), mesh)
+    toks = jax.device_put(jnp.zeros((8, 16), jnp.int32),
+                          NamedSharding(mesh, P("data", None)))
+    with mesh:
+        text = jax.jit(model.prefill, donate_argnums=(2,)).lower(
+            sp, toks, cache).compile().as_text()
+    colls = _collectives(text)
+    act_ars = [c for c in colls if c[0] == "all-reduce"
+               and c[2][-1:] == (model.config.d_model,)]
+    assert len(act_ars) == 2 * N_LAYERS, act_ars
+    for op, dtype, shape, groups in act_ars:
+        # [B/data, S, d_model] activations over the model axis.
+        assert shape == (4, 16, model.config.d_model)
+        assert groups == [(0, 1, 2, 3), (4, 5, 6, 7)]
+
+
+def test_pipeline_uses_point_to_point_permute():
+    """GPipe stages hand activations to the next stage by
+    collective-permute (point-to-point over ICI), not broadcast
+    collectives."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rten_tpu.parallel import PipelinedLM
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=4, n_heads=4, kv_heads=4, d_model=64,
+        d_ff=128, max_seq_len=32, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=False)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(pipe=4, data=2)
+    plm = PipelinedLM(model, mesh, microbatches=2)
+    sharded = plm.shard_params(params)
+    cache = plm.new_cache(4, capacity=32)
+    ids = jnp.zeros((4, 8), jnp.int32)
+    with mesh:
+        text = jax.jit(plm.prefill, donate_argnums=(2,)).lower(
+            sharded, ids, cache).compile().as_text()
+    colls = _collectives(text)
+    perms = [c for c in colls if c[0] == "collective-permute"]
+    assert perms, "pipeline must communicate via collective-permute"
+    # Stage handoff moves [..., d_model]-wide activations.
+    assert any(c[2] and c[2][-1] == cfg.d_model for c in perms), perms

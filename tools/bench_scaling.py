@@ -86,6 +86,58 @@ def main():
               f"(scaling efficiency {100 * eff:.0f}%)")
         n *= 2
 
+    # Per-axis structural table: compile one decode step under each
+    # parallelism axis and count the collectives + bytes moved per
+    # step — the communication cost model that survives the CPU host's
+    # noise (wall-clock scaling on 2 vCPUs is meaningless; ICI numbers
+    # need a pod slice).
+    import re
+
+    def collective_stats(axes, batch, seq_axes=()):
+        mesh = make_mesh(**axes)
+        params = shard_params(base_params, mesh)
+        cache = shard_cache(model.new_cache(batch, args.capacity), mesh)
+        dspec = P("data") if "data" in axes else P()
+        tokens = jax.device_put(jnp.zeros(batch, jnp.int32),
+                                NamedSharding(mesh, dspec))
+        with mesh:
+            text = jax.jit(model.decode_step, donate_argnums=(2,)).lower(
+                params, tokens, cache).compile().as_text()
+        counts: dict = {}
+        total_bytes = 0
+        for line in text.splitlines():
+            m = re.search(r"= (\w+)\[([\d,]*)\]\S* (all-reduce|"
+                          r"all-gather|reduce-scatter|collective-permute|"
+                          r"all-to-all)\(", line)
+            if not m:
+                continue
+            dtype, dims, op = m.groups()
+            counts[op] = counts.get(op, 0) + 1
+            elems = 1
+            for d in dims.split(","):
+                if d:
+                    elems *= int(d)
+            width = {"f32": 4, "s32": 4, "bf16": 2, "f16": 2,
+                     "u8": 1, "s8": 1}.get(dtype, 4)
+            total_bytes += elems * width
+        return counts, total_bytes
+
+    print("\nper-axis decode-step collective table "
+          "(count / bytes moved per step):")
+    for label, axes, batch in (
+            ("dp=8", dict(data=8), 8),
+            ("tp=8", dict(model=8), 8),
+            ("dp2 x tp4", dict(data=2, model=4), 8),
+    ):
+        try:
+            counts, nbytes = collective_stats(axes, batch)
+            cs = " ".join(f"{k}:{v}" for k, v in sorted(counts.items()))
+            print(f"  {label:10s} {cs or 'none'}  "
+                  f"{nbytes / 1024:.1f} KiB/step")
+        except Exception as exc:
+            print(f"  {label:10s} FAILED {type(exc).__name__}: "
+                  f"{str(exc)[:120]}")
+
 
 if __name__ == "__main__":
     main()
