@@ -41,9 +41,11 @@ _ENUM = schema.ENUMS
 def _auto_pad(attrs, out):
     mode = attrs.pop("auto_pad", "NOTSET")
     if mode in ("SAME_UPPER", "SAME_LOWER"):
-        if mode == "SAME_LOWER":
-            raise ConversionError("auto_pad SAME_LOWER is unsupported")
-        out["auto_pad"] = _ENUM["AutoPad"].index("Same")
+        # SAME_LOWER maps to the appended SameLower enum (exact: excess
+        # padding at the start; the reference converter approximates it
+        # as SAME_UPPER, rten-convert converter.py:522).
+        out["auto_pad"] = _ENUM["AutoPad"].index(
+            "SameLower" if mode == "SAME_LOWER" else "Same")
     elif mode in ("NOTSET", "VALID", ""):
         out["auto_pad"] = _ENUM["AutoPad"].index("NotSet")
         pads = attrs.pop("pads", None)
@@ -164,10 +166,14 @@ class _OnnxGraphConverter:
             _auto_pad(attrs, out)
             if "strides" in attrs:
                 out["strides"] = [int(s) for s in attrs.pop("strides")]
-            _require_default(op_type, attrs, "output_padding", [0, 0, 0, 0])
-            _require_default(op_type, attrs, "group", 1)
-            _require_default(op_type, attrs, "dilations", [1, 1])
+            if "output_padding" in attrs:
+                out["output_padding"] = [int(v) for v in
+                                         attrs.pop("output_padding")]
+            out["groups"] = int(attrs.pop("group", 1))
+            if "dilations" in attrs:
+                out["dilations"] = [int(d) for d in attrs.pop("dilations")]
             attrs.pop("kernel_shape", None)
+            _require_default(op_type, attrs, "output_shape", None)
         elif op_type in ("MaxPool", "AveragePool"):
             _auto_pad(attrs, out)
             out["kernel_size"] = [int(k) for k in attrs.pop("kernel_shape")]
@@ -385,15 +391,17 @@ class _OnnxGraphConverter:
 
     def op_Pad(self, node, attrs):
         mode = attrs.pop("mode", "constant")
-        if mode != "constant":
+        modes = {"constant": 0, "reflect": 1, "edge": 2, "wrap": 3}
+        if mode not in modes:
             raise ConversionError(f"Pad mode {mode!r} unsupported")
+        rten_attrs = {"mode": modes[mode]} if modes[mode] else None
         extra = []
         if "pads" in attrs and len(node["inputs"]) < 2:
             extra.append(self.constant(np.asarray(attrs.pop("pads"),
                                                   np.int32)))
             if "value" in attrs:
                 extra.append(self.constant(np.float32(attrs.pop("value"))))
-        self.emit(node, "Pad", extra_inputs=extra)
+        self.emit(node, "Pad", rten_attrs, extra_inputs=extra)
 
     def op_Split(self, node, attrs):
         extra = []

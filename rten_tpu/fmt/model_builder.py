@@ -47,7 +47,7 @@ ATTRS_TABLE_FOR_OP: dict[str, str] = {
     "DequantizeLinear": "QuantizeLinearAttrs",
     "QLinearConv": "QLinearConvAttrs",
     "ConvInteger": "QLinearConvAttrs",
-    "FusedSDPA": "FusedSDPAAttrs",
+    "FusedSDPA": "FusedSDPAAttrs", "Pad": "PadAttrs",
     "Split": "SplitAttrs", "TopK": "TopKAttrs",
     "Transpose": "TransposeAttrs", "Trilu": "TriluAttrs",
 }

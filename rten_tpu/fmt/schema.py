@@ -50,12 +50,13 @@ ENUMS: dict[str, list[str]] = {
         "ConvInteger", "FusedSDPA",
     ],
     "RNNDirection": ["Forward", "Reverse", "Bidirectional"],
-    "AutoPad": ["Same", "NotSet"],
+    "AutoPad": ["Same", "NotSet", "SameLower"],  # SameLower appended (rten_tpu extension: exact ONNX SAME_LOWER, extra pad at the start)
     "DataType": ["Int32", "Float"],
     "CoordTransformMode": ["HalfPixel", "Asymmetric", "AlignCorners"],
     "NearestMode": ["Floor", "Ceil", "RoundPreferFloor", "RoundPreferCeil"],
     "ResizeMode": ["Nearest", "Linear"],
     "NMSBoxOrder": ["TopLeftBottomRight", "CenterWidthHeight"],
+    "PadMode": ["Constant", "Reflect", "Edge", "Wrap"],
     "ScatterReduction": ["None", "Add", "Mul", "Min", "Max"],
     # Int8/UInt8 are rten_tpu extensions (appended) for quantized weights.
     "ConstantDataType": ["Int32", "Float32", "Int8", "UInt8"],
@@ -88,6 +89,7 @@ UNIONS: dict[str, list[str]] = {
         "GeluAttrs", "EinsumAttrs", "IfAttrs",
         # rten_tpu extension attrs (appended).
         "QuantizeLinearAttrs", "QLinearConvAttrs", "FusedSDPAAttrs",
+        "PadAttrs",
     ],
     "Scalar": ["IntScalar", "FloatScalar"],
     "NodeKind": ["OperatorNode", "ConstantNode", "ValueNode"],
@@ -122,6 +124,9 @@ TABLES: dict[str, list[tuple[str, str, object]]] = {
     "ConvTransposeAttrs": [
         ("strides", "[u32]", None), ("auto_pad", "enum:AutoPad", 1),
         ("pads", "[u32]", None),
+        # Appended (rten_tpu extensions; absent in old files -> defaults).
+        ("groups", "u32", 0), ("dilations", "[u32]", None),
+        ("output_padding", "[u32]", None),
     ],
     "EinsumAttrs": [("equation", "str", None)],
     "EluAttrs": [("alpha", "f32", 0.0)],
@@ -190,6 +195,7 @@ TABLES: dict[str, list[tuple[str, str, object]]] = {
     # Fused scaled-dot-product attention (optimizer rewrite,
     # ir/optimize.py::fuse_attention).
     "FusedSDPAAttrs": [("scale", "f32", 1.0), ("causal", "i32", 0)],
+    "PadAttrs": [("mode", "enum:PadMode", 0)],
     "QLinearConvAttrs": [
         ("auto_pad", "enum:AutoPad", 0), ("pads", "[u32]", None),
         ("groups", "u32", 0), ("strides", "[u32]", None),

@@ -827,15 +827,18 @@ class ServingEngine:
         counts_np = np.asarray(counts)
         toks_np = np.asarray(toks)
         dt = (time.perf_counter() - t0) / n
-        tps = float(counts_np[:, active].mean())
         self._spec_t = dt if self._spec_t is None \
             else 0.6 * self._spec_t + 0.4 * dt
-        self._spec_tps = tps if self._spec_tps is None \
-            else 0.6 * self._spec_tps + 0.4 * tps
         self._host_lengths += counts_np.sum(axis=0)
         emitted = self._commit_spec(
             toks_np, counts_np, lengths_np,
             [(s, self.slot_request[s]) for s in active])
+        # Acceptance EMA from LIVE emissions only — counts for finished
+        # slots keep accepting their own stale drafts and would inflate
+        # the gate's tokens/step estimate.
+        tps = emitted / (n * len(active))
+        self._spec_tps = tps if self._spec_tps is None \
+            else 0.6 * self._spec_tps + 0.4 * tps
         self._count(emitted, n)
         return emitted
 

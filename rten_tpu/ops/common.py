@@ -15,6 +15,7 @@ from ..fmt import schema
 
 AUTOPAD_SAME = schema.ENUMS["AutoPad"].index("Same")
 AUTOPAD_NOTSET = schema.ENUMS["AutoPad"].index("NotSet")
+AUTOPAD_SAME_LOWER = schema.ENUMS["AutoPad"].index("SameLower")
 
 
 def as_bool(x):
@@ -52,13 +53,18 @@ def normalize_axis(axis: int, rank: int) -> int:
     return axis
 
 
-def same_pads(in_size: int, stride: int, kernel: int, dilation: int = 1):
-    """SAME_UPPER padding (ONNX auto_pad=SAME_UPPER; reference AutoPad::Same):
-    output size = ceil(in/stride); excess padding goes to the end."""
+def same_pads(in_size: int, stride: int, kernel: int, dilation: int = 1,
+              lower: bool = False):
+    """SAME padding: output size = ceil(in/stride). ``lower=False`` is
+    ONNX SAME_UPPER (excess padding at the end; the reference's
+    AutoPad::Same); ``lower=True`` is SAME_LOWER (excess at the start —
+    exact, where the reference converter approximates it as upper)."""
     out_size = -(-in_size // stride)
     eff_kernel = (kernel - 1) * dilation + 1
     total = max(0, (out_size - 1) * stride + eff_kernel - in_size)
     lo = total // 2
+    if lower:
+        return total - lo, lo
     return lo, total - lo
 
 
@@ -72,8 +78,10 @@ def resolve_pads(attrs, n_spatial: int, in_sizes, kernel, strides, dilations=Non
     dilations = dilations or [1] * n_spatial
     # Decoded file attrs always carry auto_pad (schema default). For
     # hand-built attrs the absent key means NOTSET (the ONNX default).
-    if attrs.get("auto_pad", AUTOPAD_NOTSET) == AUTOPAD_SAME:
-        return [same_pads(in_sizes[i], strides[i], kernel[i], dilations[i])
+    auto = attrs.get("auto_pad", AUTOPAD_NOTSET)
+    if auto in (AUTOPAD_SAME, AUTOPAD_SAME_LOWER):
+        return [same_pads(in_sizes[i], strides[i], kernel[i], dilations[i],
+                          lower=auto == AUTOPAD_SAME_LOWER)
                 for i in range(n_spatial)]
     pads = attr_ints(attrs, "pads")
     if pads is None:

@@ -61,9 +61,12 @@ def conv(ctx, attrs, x, w, b=None):
 
 
 def _pads_1d(attrs, in_size, kernel, stride, dilation):
-    from .common import AUTOPAD_NOTSET, AUTOPAD_SAME, attr_ints
-    if attrs.get("auto_pad", AUTOPAD_NOTSET) == AUTOPAD_SAME:
-        return same_pads(in_size, stride, kernel, dilation)
+    from .common import (AUTOPAD_NOTSET, AUTOPAD_SAME,
+                         AUTOPAD_SAME_LOWER, attr_ints)
+    auto = attrs.get("auto_pad", AUTOPAD_NOTSET)
+    if auto in (AUTOPAD_SAME, AUTOPAD_SAME_LOWER):
+        return same_pads(in_size, stride, kernel, dilation,
+                         lower=auto == AUTOPAD_SAME_LOWER)
     pads = attr_ints(attrs, "pads")
     if pads is None:
         return (0, 0)
@@ -80,21 +83,38 @@ def conv_transpose(ctx, attrs, x, w, b=None):
         squeeze_h = True
     if x.ndim != 4:
         raise OpError("ConvTranspose", f"unsupported input rank {x.ndim}")
-    strides = attrs.get("strides")
-    strides = [int(s) for s in strides] if strides is not None else [1, 1]
-    if squeeze_h:
-        strides = [1, strides[-1]]
+    from .common import (AUTOPAD_NOTSET, AUTOPAD_SAME, AUTOPAD_SAME_LOWER,
+                         attr_ints)
+    n_spatial = 2
+
+    def spatial(name, default):
+        v = attr_ints(attrs, name)
+        if v is None:
+            return [default] * n_spatial
+        v = [int(i) for i in v]
+        if squeeze_h:
+            return [default, v[-1]]
+        return v
+
+    strides = spatial("strides", 1)
+    dilations = spatial("dilations", 1)
+    out_pad = spatial("output_padding", 0)
+    groups = int(attrs.get("groups") or 1)
     kernel = w.shape[2:]
+    # Effective (dilated) kernel extent per spatial dim.
+    k_eff = [(kernel[i] - 1) * dilations[i] + 1 for i in range(n_spatial)]
     # ONNX pads semantics: they *reduce* the output. We express the op as a
     # fractionally-strided conv: lhs_dilation=strides, forward padding
-    # k_eff-1-pad on each side, flipped kernel with I/O transposed.
-    from .common import AUTOPAD_NOTSET, AUTOPAD_SAME, attr_ints
-    n_spatial = 2
-    if attrs.get("auto_pad", AUTOPAD_NOTSET) == AUTOPAD_SAME:
+    # k_eff-1-pad on each side (output_padding extends the END), flipped
+    # kernel with I/O transposed, rhs_dilation for dilated kernels.
+    auto = attrs.get("auto_pad", AUTOPAD_NOTSET)
+    if auto in (AUTOPAD_SAME, AUTOPAD_SAME_LOWER):
         pads = []
         for i in range(n_spatial):
-            total = max(0, kernel[i] - strides[i])
-            pads.append((total // 2, total - total // 2))
+            total = max(0, k_eff[i] - strides[i])
+            lo = total // 2
+            pads.append((total - lo, lo) if auto == AUTOPAD_SAME_LOWER
+                        else (lo, total - lo))
     else:
         p = attr_ints(attrs, "pads")
         if p is None:
@@ -105,13 +125,23 @@ def conv_transpose(ctx, attrs, x, w, b=None):
             pads = [(p[i], p[n_spatial + i]) for i in range(n_spatial)]
         else:
             raise OpError("ConvTranspose", "bad pads length")
-    w_t = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)  # [C,M,kh,kw]→[M,C,kh,kw]
-    conv_pads = [(kernel[i] - 1 - pads[i][0], kernel[i] - 1 - pads[i][1])
+    # ONNX W layout [C_in, C_out/G, kh, kw]: flip spatially and swap I/O
+    # per GROUP → [C_out, C_in/G, kh, kw] for feature_group_count=G.
+    c_in, m_per_g = w.shape[0], w.shape[1]
+    if c_in % groups:
+        raise OpError("ConvTranspose", f"groups {groups} !| C_in {c_in}")
+    w_f = jnp.flip(w, axis=(2, 3))
+    w_t = (w_f.reshape(groups, c_in // groups, m_per_g, *kernel)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(groups * m_per_g, c_in // groups, *kernel))
+    conv_pads = [(k_eff[i] - 1 - pads[i][0],
+                  k_eff[i] - 1 - pads[i][1] + out_pad[i])
                  for i in range(n_spatial)]
     out = lax.conv_general_dilated(
         x, w_t, window_strides=(1, 1), padding=conv_pads,
-        lhs_dilation=strides,
+        lhs_dilation=strides, rhs_dilation=dilations,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32,
     )
     if b is not None:

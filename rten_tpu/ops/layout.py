@@ -142,6 +142,12 @@ def pad(ctx, attrs, x, pads, value=None):
     if len(p) != 2 * n:
         raise OpError("Pad", f"expected {2*n} pad values, got {len(p)}")
     widths = [(p[i], p[n + i]) for i in range(n)]
+    mode = int(attrs.get("mode", 0))     # PadMode enum (schema)
+    if mode:
+        name = {1: "reflect", 2: "edge", 3: "wrap"}.get(mode)
+        if name is None:
+            raise OpError("Pad", f"unknown mode {mode}")
+        return jnp.pad(x, widths, mode=name)
     if value is None:
         return jnp.pad(x, widths)
     value = jnp.asarray(value).reshape(())

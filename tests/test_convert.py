@@ -301,3 +301,78 @@ def test_resize_sizes_input_conversion():
     x = rng.randn(1, 1, 2, 2).astype(np.float32)
     out = run_converted(onnx_bytes, {"x": x})[0]
     assert out.shape == (1, 1, 4, 4)
+
+
+def test_conv_transpose_group_dilation_output_padding_vs_torch():
+    """Round-1 VERDICT item 10: ConvTranspose attribute breadth —
+    group, dilations, output_padding all at non-default values, checked
+    against torch.conv_transpose2d."""
+    groups, c_in, m_per_g = 2, 4, 3
+    w = rng.randn(c_in, m_per_g, 3, 3).astype(np.float32)
+    b = rng.randn(groups * m_per_g).astype(np.float32)
+    onnx_bytes = make_model(
+        nodes=[dict(op_type="ConvTranspose", inputs=["x", "w", "b"],
+                    outputs=["y"],
+                    attrs={"strides": [2, 2], "pads": [1, 1, 1, 1],
+                           "output_padding": [1, 1], "group": groups,
+                           "dilations": [2, 2], "kernel_shape": [3, 3]})],
+        inputs=[("x", [1, c_in, 6, 6])],
+        outputs=[("y", None)],
+        initializers=[("w", w), ("b", b)],
+    )
+    x = rng.randn(1, c_in, 6, 6).astype(np.float32)
+    out = run_converted(onnx_bytes, {"x": x})[0]
+    want = F.conv_transpose2d(
+        torch.tensor(x), torch.tensor(w), torch.tensor(b), stride=2,
+        padding=1, output_padding=1, groups=groups, dilation=2).numpy()
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pad_reflect_edge_wrap_vs_torch():
+    for mode, torch_mode in (("reflect", "reflect"), ("edge", "replicate")):
+        onnx_bytes = make_model(
+            nodes=[dict(op_type="Pad", inputs=["x", "pads"],
+                        outputs=["y"], attrs={"mode": mode})],
+            inputs=[("x", [1, 2, 5, 5])],
+            outputs=[("y", None)],
+            initializers=[("pads", np.asarray([0, 0, 1, 2, 0, 0, 2, 1],
+                                              np.int64))],
+        )
+        x = rng.randn(1, 2, 5, 5).astype(np.float32)
+        out = run_converted(onnx_bytes, {"x": x})[0]
+        want = F.pad(torch.tensor(x), (2, 1, 1, 2),
+                     mode=torch_mode).numpy()
+        np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=mode)
+    # wrap == numpy's circular padding
+    onnx_bytes = make_model(
+        nodes=[dict(op_type="Pad", inputs=["x", "pads"], outputs=["y"],
+                    attrs={"mode": "wrap"})],
+        inputs=[("x", [2, 4])],
+        outputs=[("y", None)],
+        initializers=[("pads", np.asarray([1, 1, 1, 1], np.int64))],
+    )
+    x = rng.randn(2, 4).astype(np.float32)
+    out = run_converted(onnx_bytes, {"x": x})[0]
+    np.testing.assert_allclose(out, np.pad(x, ((1, 1), (1, 1)),
+                                           mode="wrap"))
+
+
+def test_conv_same_lower_exact():
+    """auto_pad=SAME_LOWER places the EXCESS pad at the start (exact —
+    the reference converter approximates it as SAME_UPPER)."""
+    w = rng.randn(2, 1, 2, 2).astype(np.float32)
+    onnx_bytes = make_model(
+        nodes=[dict(op_type="Conv", inputs=["x", "w"], outputs=["y"],
+                    attrs={"auto_pad": "SAME_LOWER", "strides": [1, 1],
+                           "kernel_shape": [2, 2], "group": 1})],
+        inputs=[("x", [1, 1, 5, 5])],
+        outputs=[("y", None)],
+        initializers=[("w", w)],
+    )
+    x = rng.randn(1, 1, 5, 5).astype(np.float32)
+    out = run_converted(onnx_bytes, {"x": x})[0]
+    # k=2, s=1: total pad 1 per dim, SAME_LOWER puts it at the START.
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    want = F.conv2d(torch.tensor(xp), torch.tensor(w)).numpy()
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)

@@ -28,8 +28,20 @@ def run(engine_kwargs, model, params, prompts, max_new, burst):
     # uses (a different n is a different compiled program).
     if eng.spec_draft:
         eng.step_spec_burst(burst)
+        if eng.spec_adaptive:
+            # The gate may fall back to plain bursts (and probes at
+            # min(burst, 4)) mid-run — compile those too, outside the
+            # timed region.
+            eng.step_burst(burst)
+            if min(burst, 4) != burst:
+                eng.step_spec_burst(min(burst, 4))
     else:
         eng.step_burst(burst)
+    if eng.spec_draft:
+        # Warmup calls include compile time; start the gate's cost EMAs
+        # clean so the A/B reflects steady-state behavior.
+        eng._plain_t = eng._spec_t = eng._spec_tps = None
+        eng._spec_on = True
     t0 = time.perf_counter()
     before = sum(len(r.tokens) for r in reqs)
     steps0 = eng.counters["decode_steps"]
@@ -37,7 +49,12 @@ def run(engine_kwargs, model, params, prompts, max_new, burst):
     emitted = sum(len(r.tokens) for r in reqs) - before
     dt = time.perf_counter() - t0
     steps = eng.counters["decode_steps"] - steps0
-    return emitted / dt, emitted, steps
+    extra = ""
+    if eng.spec_draft:
+        s = eng.stats()
+        extra = (f" spec_on={s.get('spec_on')}"
+                 f" acc={s.get('spec_tokens_per_step')}")
+    return emitted / dt, emitted, steps, extra
 
 
 def main():
@@ -51,6 +68,9 @@ def main():
     parser.add_argument("--capacity", type=int, default=2048)
     parser.add_argument("--quantize", choices=["int8", "int4"],
                         default="int8")
+    parser.add_argument("--always-ab", action="store_true",
+                        help="also measure spec_adaptive=False "
+                             "(always-draft) for the gating A/B")
     parser.add_argument("--decode-attn", default="auto",
                         choices=["auto", "fused", "stream", "grouped"],
                         help="decode/verify attention kernel (A/B: 'fused'"
@@ -84,16 +104,22 @@ def main():
                 cache_dtype="bfloat16")
     for name, prompts in [("random", random_prompts),
                           ("repetitive", repetitive_prompts)]:
-        tps, emitted, steps = run(base, model, params, prompts,
-                                  args.steps, args.burst)
+        tps, emitted, steps, _ = run(base, model, params, prompts,
+                                     args.steps, args.burst)
         print(f"plain {name:<11}: {tps:8.0f} tok/s "
-              f"({emitted} tokens / {steps} steps)")
-        tps, emitted, steps = run(
-            {**base, "spec_draft": args.draft, "spec_ngram": args.ngram},
-            model, params, prompts, args.steps, args.burst)
-        print(f"spec  {name:<11}: {tps:8.0f} tok/s "
-              f"({emitted} tokens / {steps} steps, "
-              f"{emitted / max(steps, 1):.2f} tok/step)")
+              f"({emitted} tokens / {steps} steps)", flush=True)
+        plain_tps = tps
+        for label, adaptive in (("spec", True), ("spec-always", False)):
+            if not adaptive and not args.always_ab:
+                continue
+            tps, emitted, steps, extra = run(
+                {**base, "spec_draft": args.draft,
+                 "spec_ngram": args.ngram, "spec_adaptive": adaptive},
+                model, params, prompts, args.steps, args.burst)
+            print(f"{label:<5} {name:<11}: {tps:8.0f} tok/s "
+                  f"({emitted} tokens / {steps} steps, "
+                  f"{emitted / max(steps, 1):.2f} tok/step,"
+                  f"{extra} {tps / plain_tps:.2f}x plain)", flush=True)
 
 
 if __name__ == "__main__":
