@@ -64,7 +64,7 @@ class ServingEngine:
                  mesh=None, paged=False, page_size=64, pool_pages=None,
                  cache_dtype=None, fused_head=None, log_stats_every=None,
                  spec_draft=0, spec_ngram=3, spec_adaptive=True,
-                 spec_cost=1.9, spec_probe_every=8, logprobs=False):
+                 spec_cost=1.9, spec_probe_every=16, logprobs=False):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -316,7 +316,17 @@ class ServingEngine:
                     return jax.lax.dynamic_update_slice(row, col, (pos,))
                 return jax.vmap(write)(history, toks.T, base + 1)
 
-            self._hist_burst = jax.jit(hist_burst, donate_argnums=(0,))
+            def burst_hist_fn(params, tokens, cache, key, samp, history,
+                              base, n):
+                """Plain burst + history update in ONE program: a
+                separate dispatch per burst costs a full dispatch-link
+                round trip (~31 ms on the dev tunnel)."""
+                toks, lps, cache = burst_fn(params, tokens, cache, key,
+                                            samp, n)
+                return toks, lps, cache, hist_burst(history, toks, base)
+
+            self._decode_burst_hist = jax.jit(
+                burst_hist_fn, donate_argnums=(2, 5), static_argnums=(7,))
 
             # Acceptance-adaptive gating: speculation only pays when the
             # mean accepted tokens/step exceeds the spec step's cost in
@@ -328,6 +338,8 @@ class ServingEngine:
             self._spec_cost_prior = spec_cost
             self._spec_probe_every = max(1, spec_probe_every)
             self._spec_on = True
+            self._spec_confirmed = False  # full-size bursts only after
+                                          # the gate has seen eff > 1
             self._spec_tps = None        # EMA accepted tokens/step/seq
             self._spec_t = None          # EMA wall s per spec step
             self._plain_t = None         # EMA wall s per plain step
@@ -705,15 +717,21 @@ class ServingEngine:
         if self._device_tokens is None:
             self._device_tokens = jnp.asarray(self.current_tokens)
         self._key, sub = jax.random.split(self._key)
-        toks, lps, self.cache = self._decode_burst(
-            self.params, self._device_tokens, self.cache, sub,
-            self._samp_args(), n)
-        self._device_tokens = toks[-1]
         if self.spec_draft:
-            # Keep the spec history current through gated-off stretches
-            # so a later probe drafts from real committed tokens.
-            self._spec_history = self._hist_burst(
-                self._spec_history, toks, jnp.asarray(lengths_np))
+            # Fused burst + spec-history update: the history must stay
+            # current through gated-off stretches (a later probe drafts
+            # from it), and a separate dispatch would cost one
+            # dispatch-link round trip per burst.
+            toks, lps, self.cache, self._spec_history = \
+                self._decode_burst_hist(
+                    self.params, self._device_tokens, self.cache, sub,
+                    self._samp_args(), self._spec_history,
+                    jnp.asarray(lengths_np), n)
+        else:
+            toks, lps, self.cache = self._decode_burst(
+                self.params, self._device_tokens, self.cache, sub,
+                self._samp_args(), n)
+        self._device_tokens = toks[-1]
         self._host_lengths += n     # the device advances every slot
         snapshot = [(s, self.slot_request[s]) for s in active]
         return (toks, lps, snapshot, lengths_np, n)
@@ -875,8 +893,11 @@ class ServingEngine:
         eff = self._spec_tps / max(cost, 1e-6)
         if self._spec_on and eff < 0.95:
             self._spec_on = False
+            self._spec_confirmed = False
         elif not self._spec_on and eff > 1.05:
             self._spec_on = True
+        if eff > 1.05:
+            self._spec_confirmed = True
         self._plain_bursts_since_probe = 0
 
     def _pending(self) -> bool:
@@ -915,8 +936,14 @@ class ServingEngine:
                 if self._spec_on or not self.spec_adaptive or probe:
                     # Probes re-measure acceptance with a short burst so
                     # a traffic shift (repetitive text arriving) turns
-                    # drafting back on quickly and cheaply.
-                    self.step_spec_burst(min(max(burst, 1), 4) if probe
+                    # drafting back on quickly and cheaply; until the
+                    # gate has CONFIRMED speculation pays (eff > 1 at
+                    # least once), spec bursts stay probe-sized too —
+                    # full-size bursts during EMA convergence are where
+                    # unacceptable traffic loses its throughput.
+                    short = probe or (self.spec_adaptive
+                                      and not self._spec_confirmed)
+                    self.step_spec_burst(min(max(burst, 1), 4) if short
                                          else max(burst, 1))
                     self._spec_gate()
                 else:

@@ -40,13 +40,15 @@ a single int8→compute-dtype convert, or as genuine int8×int8 MXU dots
 with a row-quantized q). The previous byte-planar-in-lanes packing
 needed 4 shifts + 2 concats per block in the kernel's dependent op
 chain, which on v5e cost more than the bandwidth the 1 B/elt stream
-saved. Scales live in ``SCALE_DTYPE`` (bf16) ``[B, cap, 1, 128]`` rows
-(K scales at lanes
-[0, KVH), V at [64, 64+KVH)); bf16 rows halve the kernels' second
-(scale) DMA stream. Decode appends read-modify-write one int32
-row per plane (the new token owns byte ``pos%4`` of row ``pos//4``) in
-one Pallas kernel (kernels/cache.py::cache_append_quant) — the int8
-fallback to XLA's scatter cost more than quantization saved.
+saved. Scales are bf16 values stored PAIR-PACKED into int32 rows
+``[B, cap/2, 1, 128]`` (token 2r in the low half; K scales at lanes
+[0, KVH), V at [64, 64+KVH)) — see the SCALE_DTYPE comment below for
+why raw bf16 rows are impossible and how the pack halves the kernels'
+second (scale) DMA stream. Decode appends read-modify-write one int32
+KV row per plane (the new token owns byte ``pos%4`` of row ``pos//4``)
+and one scale row (halfword ``pos%2`` of row ``pos//2``) in one Pallas
+kernel (kernels/cache.py::cache_append_quant) — the int8 fallback to
+XLA's scatter cost more than quantization saved.
 """
 
 from __future__ import annotations
@@ -61,15 +63,21 @@ _LANE = 128
 # Quantized-cache scale rows: [1, 128] per token; V scales offset.
 SCALE_LANES = 128
 VSCALE_OFF = 64
-# Scale-row storage dtype. NEGATIVE RESULT (hardware, this round): raw
-# bf16 scale rows [B, cap, 1, 128] fail Mosaic compile — DMA slices of a
-# sub-32-bit array whose trailing (sublane, lane) pair is (1, 128) are
-# rejected (the same constraint that forbids int8 row DMAs); f32's
-# (8, 128) tile tolerates the size-1 sublane, bf16's (16, 128) does not.
-# Halving scale traffic therefore needs the pack-into-int32 trick (two
-# tokens' bf16 scales per word, bitcast in-kernel) — see the token-packed
-# KV layout above.
-SCALE_DTYPE = jnp.float32
+# Scale precision: bf16 (the quantizer rounds scales to bf16 BEFORE
+# computing the int8 values, so q·stored_scale is the exact
+# dequantization everywhere; the extra error is ~2^-9 relative — below
+# the int8 error itself). STORAGE is two consecutive tokens' bf16 bit
+# patterns packed per int32 word ([B, cap/2, 1, 128] int32): raw bf16
+# rows fail Mosaic compile (hardware, round 6: DMA slices of sub-32-bit
+# arrays with a size-1 sublane in the trailing (sublane, lane) pair are
+# rejected — the constraint class that forbids int8 row DMAs), and the
+# pack halves the kernels' second (scale) DMA stream; in-kernel,
+# ``pltpu.bitcast(rows_int32, bf16)`` IS the unpack (token 2r in the
+# low half → sublane 2r), mirroring the token-packed KV trick.
+SCALE_DTYPE = jnp.bfloat16
+# bf16(1.0) bit pattern in both halves — the packed form of the
+# create()-time unit scales.
+_PACKED_ONES = (0x3F80 << 16) | 0x3F80
 
 
 def pack_int8_tokens(x):
@@ -97,6 +105,32 @@ def unpack_int8_tokens(packed):
     return x.reshape(*packed.shape[:-2], 4 * r, f)
 
 
+def pack_bf16_rows(x):
+    """[..., T, L] float → [..., T/2, L] int32: two consecutive ROWS'
+    bf16 bit patterns per word, row 2r in the low half — the exact
+    inverse of Mosaic's int32→bf16 sublane bitcast (like
+    :func:`pack_int8_tokens` for bytes)."""
+    t = x.shape[-2]
+    assert t % 2 == 0
+    bits = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
+    g = bits.reshape(*x.shape[:-2], t // 2, 2, x.shape[-1])
+    return g[..., 0, :] | (g[..., 1, :] << 16)
+
+
+def unpack_bf16_rows(packed):
+    """Inverse of :func:`pack_bf16_rows`: [..., R, L] int32 →
+    [..., 2R, L] f32."""
+    r, l = packed.shape[-2:]
+    lo = jax.lax.bitcast_convert_type(
+        (packed & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(
+        ((packed >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    x = jnp.stack([lo, hi], axis=-2)
+    return x.reshape(*packed.shape[:-2], 2 * r,
+                     l).astype(jnp.float32)
+
+
 def pack_int8_cache(kq, vq):
     """Pack full K/V planes [..., cap, F] int8-range ints into the cache
     layout [..., cap/4, 2, F] int32 (tests/tools convenience)."""
@@ -108,15 +142,18 @@ def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
     """Write quantized tokens into the token-packed cache.
 
     buf:      [B, cap/4, 2, F] int32 (token-packed, see module doc);
-    sbuf:     [B, cap, 1, SCALE_LANES] f32 scale rows;
+    sbuf:     [B, cap/2, 1, SCALE_LANES] int32 (bf16-pair-packed rows)
+              or [B, cap, 1, SCALE_LANES] f32 (short-capacity format —
+              see KVCache.create);
     bytes_kv: [B, 2, T, F] int32 int8-range byte values;
-    srows:    [B, T, 1, SCALE_LANES] f32;
+    srows:    [B, T, 1, SCALE_LANES] bf16-rounded scale values;
     position: 4-aligned python int (prefill) or None (per-sequence
               offsets from ``lengths``).
     Returns (new_buf, new_sbuf)."""
     b, _, t, f = bytes_kv.shape
     cap4 = buf.shape[1]
     cap = cap4 * 4
+    s_packed = sbuf.dtype == jnp.int32
 
     if position is not None:
         assert isinstance(position, int) and position % 4 == 0, position
@@ -129,8 +166,16 @@ def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
         rows = pack_int8_tokens(bytes_kv).swapaxes(1, 2)  # [B,T/4,2,F]
         new_buf = jax.lax.dynamic_update_slice(
             buf, rows, (0, position // 4, 0, 0))
+        if not s_packed:
+            new_sbuf = jax.lax.dynamic_update_slice(
+                sbuf, srows.astype(sbuf.dtype), (0, position, 0, 0))
+            return new_buf, new_sbuf
+        spad = (-srows.shape[1]) % 2
+        if spad:
+            srows = jnp.pad(srows, ((0, 0), (0, spad), (0, 0), (0, 0)))
+        packed_rows = pack_bf16_rows(srows.swapaxes(1, 2)).swapaxes(1, 2)
         new_sbuf = jax.lax.dynamic_update_slice(
-            sbuf, srows, (0, position, 0, 0))
+            sbuf, packed_rows, (0, position // 2, 0, 0))
         return new_buf, new_sbuf
 
     if t == 1 and f % _LANE == 0:
@@ -169,10 +214,41 @@ def _quant_append(buf, sbuf, bytes_kv, srows, position, lengths):
     new_buf = jax.vmap(
         lambda bb, m, r: jax.lax.dynamic_update_slice(bb, m, (r, 0, 0))
     )(buf, merged, row0)
+    if not s_packed:
+        new_sbuf = jax.vmap(
+            lambda sb, srow, o: jax.lax.dynamic_update_slice(
+                sb, srow.astype(sb.dtype), (o, 0, 0))
+        )(sbuf, srows, offs)
+        return new_buf, new_sbuf
+    # Scale rows: same window-RMW over the bf16-pair-packed rows (the
+    # chunk may start mid-word).
+    cap2 = sbuf.shape[1]
+    w2 = min(t // 2 + 1, cap2)
+    srow0 = jnp.clip(offs // 2, 0, cap2 - w2)
+    sshift = offs - srow0 * 2                     # in [0, w2*2 - t]
+    s_placed = jax.vmap(
+        lambda sr, sh: jax.lax.dynamic_update_slice(
+            jnp.zeros((w2 * 2, srows.shape[-1]), jnp.float32),
+            sr[:, 0, :].astype(jnp.float32), (sh, 0))
+    )(srows, sshift)
+    s_valid = jax.vmap(
+        lambda sh: jax.lax.dynamic_update_slice(
+            jnp.zeros((w2 * 2, 1), jnp.int32),
+            jnp.full((t, 1), -1, jnp.int32), (sh, 0))
+    )(sshift)
+    s_new = pack_bf16_rows(s_placed)[:, :, None, :]   # [B, w2, 1, SL]
+    # Valid halves: -1 packs to 0xFFFF in the owning half.
+    lo = jnp.bitwise_and(s_valid[:, 0::2, :], 0xFFFF)
+    hi = jnp.bitwise_and(s_valid[:, 1::2, :], 0xFFFF)
+    s_mask = (lo | (hi << 16))[:, :, None, :]          # [B, w2, 1, 1]
+    s_windows = jax.vmap(
+        lambda sb, r: jax.lax.dynamic_slice(
+            sb, (r, 0, 0), (w2, 1, sbuf.shape[-1]))
+    )(sbuf, srow0)
+    s_merged = (s_windows & ~s_mask) | (s_new & s_mask)
     new_sbuf = jax.vmap(
-        lambda sb, srow, o: jax.lax.dynamic_update_slice(
-            sb, srow, (o, 0, 0))
-    )(sbuf, srows, offs)
+        lambda sb, m, r: jax.lax.dynamic_update_slice(sb, m, (r, 0, 0))
+    )(sbuf, s_merged, srow0)
     return new_buf, new_sbuf
 
 
@@ -221,9 +297,23 @@ class KVCache:
             assert capacity % 4 == 0 and kv_heads <= VSCALE_OFF
             shape = (batch, capacity // 4, 2, f)          # token-packed
             kv = [jnp.zeros(shape, jnp.int32) for _ in range(n_layers)]
-            sshape = (batch, capacity, 1, SCALE_LANES)
-            scales = [jnp.ones(sshape, SCALE_DTYPE)
-                      for _ in range(n_layers)]
+            # Capacity-keyed scale-row format (round-6 hardware A/B):
+            # LONG caches (>= 2048, the block-128 kernel regime) store
+            # bf16-pair-packed int32 rows — the halved scale stream is
+            # worth 724-733 GB/s vs 627 at live 3968 and lets g=16/b128
+            # fit VMEM. SHORT caches keep f32 rows: at live <= ~512 the
+            # kernel is chain-bound, the per-block bitcast relayout
+            # costs more than the bytes it saves (362 vs 298 us at
+            # live 256/b64), and block 64's finer ragged granularity
+            # wins at small live lengths.
+            if capacity >= 2048:
+                sshape = (batch, capacity // 2, 1, SCALE_LANES)
+                scales = [jnp.full(sshape, _PACKED_ONES, jnp.int32)
+                          for _ in range(n_layers)]
+            else:
+                sshape = (batch, capacity, 1, SCALE_LANES)
+                scales = [jnp.ones(sshape, jnp.float32)
+                          for _ in range(n_layers)]
             return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
                            kv_heads, head_dim)
         shape = (batch, capacity, 2, kv_heads * head_dim)
@@ -241,7 +331,8 @@ class KVCache:
     @property
     def capacity(self):
         if self.quant_scales is not None:
-            return self.quant_scales[0].shape[1]
+            s = self.quant_scales[0]
+            return s.shape[1] * (2 if s.dtype == jnp.int32 else 1)
         return self.kv.shape[2] if self.stacked else self.kv[0].shape[1]
 
     @property
@@ -405,7 +496,9 @@ class KVCache:
         if self.quant_scales is not None:
             kq = unpack_int8_tokens(buf[:, :, 0])      # [B, cap, KVH*D]
             vq = unpack_int8_tokens(buf[:, :, 1])
-            s = self.quant_scales[layer][:, :, 0]      # [B, cap, 128]
+            s = self.quant_scales[layer][:, :, 0]
+            if s.dtype == jnp.int32:
+                s = unpack_bf16_rows(s)                # [B, cap, 128]
 
             def deq(x, s_rows):
                 x = x.reshape(b, cap, kvh, d).astype(jnp.float32)

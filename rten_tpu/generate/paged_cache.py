@@ -16,7 +16,8 @@ Quantized pools (``quantized=True``) use KVCache's token-packed int8
 format per page: int32 [n_pages, page/4, 2, KVH*D] (4 consecutive
 tokens per int32 lane — the exact inverse of Mosaic's sublane bitcast,
 see generate/kv_cache.py) plus f32 scale pages
-[n_pages, page, 1, SCALE_LANES]. Decode appends read-modify-write one
+[n_pages, page/2, 1, SCALE_LANES] int32 (bf16-pair-packed). Decode
+appends read-modify-write one
 int32 row per sequence through the page table
 (kernels/cache.py::paged_append_quant).
 
@@ -53,7 +54,7 @@ class PagedKVCache:
     page_size: int
     kv_heads: int = 1
     head_dim: int = 1
-    quant_scales: object = None   # per layer [n_pages, page, 1, SL] f32
+    quant_scales: object = None   # per layer [n_pages, page/2, 1, SL] i32
 
     # KVCache-protocol marker: models check this to pick the paged
     # attention kernel.
@@ -82,9 +83,10 @@ class PagedKVCache:
             assert page_size % 4 == 0 and kv_heads <= VSCALE_OFF
             pools = [jnp.zeros((n_pages, page_size // 4, 2, f), jnp.int32)
                      for _ in range(n_layers)]
-            from .kv_cache import SCALE_DTYPE
-            scales = [jnp.ones((n_pages, page_size, 1, SCALE_LANES),
-                               SCALE_DTYPE) for _ in range(n_layers)]
+            from .kv_cache import _PACKED_ONES
+            scales = [jnp.full((n_pages, page_size // 2, 1, SCALE_LANES),
+                               _PACKED_ONES, jnp.int32)
+                      for _ in range(n_layers)]
             return PagedKVCache(pools, table, jnp.zeros(batch, jnp.int32),
                                 page_size, kv_heads, head_dim,
                                 quant_scales=scales)
@@ -132,8 +134,7 @@ class PagedKVCache:
             bytes_kv = jnp.stack(
                 [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
                  v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
-            from .kv_cache import SCALE_DTYPE
-            scales = jnp.ones((b, t, 1, SCALE_LANES), SCALE_DTYPE)
+            scales = jnp.ones((b, t, 1, SCALE_LANES), jnp.float32)
             scales = scales.at[..., 0, 0:kvh].set(k_s)
             scales = scales.at[..., 0,
                                VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
@@ -178,6 +179,9 @@ class PagedKVCache:
                     o4 = offs // 4
                     sh = (offs % 4) * 8
                     byte_row = packed.swapaxes(1, 2)   # [B, 1, 2, F]
+                    sbits = jax.lax.bitcast_convert_type(
+                        srows.astype(jnp.bfloat16),
+                        jnp.uint16).astype(jnp.int32)
 
                     def body(i, carry):
                         pl_, sp_ = carry
@@ -189,9 +193,16 @@ class PagedKVCache:
                                       byte_row[i][None] & 0xFF, sh[i]))
                         pl_ = jax.lax.dynamic_update_slice(
                             pl_, merged, (rows[i], o4[i], 0, 0))
+                        sold = jax.lax.dynamic_slice(
+                            sp_, (rows[i], offs[i] // 2, 0, 0),
+                            (1, 1, 1, sp_.shape[-1]))
+                        ssh = (offs[i] % 2) * 16
+                        smask = jnp.left_shift(jnp.int32(0xFFFF), ssh)
+                        merged_s = ((sold & ~smask)
+                                    | jnp.left_shift(
+                                        sbits[i][None] & 0xFFFF, ssh))
                         sp_ = jax.lax.dynamic_update_slice(
-                            sp_, srows[i][None],
-                            (rows[i], offs[i], 0, 0))
+                            sp_, merged_s, (rows[i], offs[i] // 2, 0, 0))
                         return pl_, sp_
                     pool, spool = jax.lax.fori_loop(0, b, body,
                                                     (pool, spool))
@@ -228,8 +239,12 @@ class PagedKVCache:
                 prows = pack_int8_tokens(packed).swapaxes(1, 2)
                 pages = prows.reshape(b * n_p, page // 4, 2, kvh * d)
                 pool = pool.at[rows.reshape(-1)].set(pages)
+                from .kv_cache import pack_bf16_rows
+                spages = pack_bf16_rows(
+                    srows.swapaxes(1, 2)).swapaxes(1, 2)
                 spool = scales[layer].at[rows.reshape(-1)].set(
-                    srows.reshape(b * n_p, page, 1, srows.shape[-1]))
+                    spages.reshape(b * n_p, page // 2, 1,
+                                   srows.shape[-1]))
                 scales = list(scales)
                 scales[layer] = spool
             else:
@@ -258,14 +273,16 @@ class PagedKVCache:
         pages = pool[safe]          # [B, P, page(/4), 2, KVH*D]
         kvh, d = self.kv_heads, self.head_dim
         if self.quant_scales is not None:
-            from .kv_cache import VSCALE_OFF, unpack_int8_tokens
+            from .kv_cache import (VSCALE_OFF, unpack_bf16_rows,
+                                   unpack_int8_tokens)
             b, p = safe.shape
             rows = pages.transpose(0, 1, 3, 2, 4)  # [B, P, 2, page/4, F]
             kq = unpack_int8_tokens(rows[:, :, 0]).reshape(
                 b, p * self.page_size, kvh, d)
             vq = unpack_int8_tokens(rows[:, :, 1]).reshape(
                 b, p * self.page_size, kvh, d)
-            srows = self.quant_scales[layer][safe][:, :, :, 0]
+            srows = unpack_bf16_rows(
+                self.quant_scales[layer][safe][:, :, :, 0])
             s = srows.reshape(b, p * self.page_size, -1)  # [B, cap, SL]
 
             def deq(x, sr):

@@ -266,7 +266,12 @@ def _decode_fused_kernel(len_ref, q_ref, onehot_ref, kv_ref, o_ref, m_ref,
             # and V's folds into P below. The stacked selector
             # (_scale_selector, [2·H8, 128]) expands BOTH planes' factors
             # in ONE MXU dot -> [2·H8, block_k].
-            srow = scales_ref[0, :, 0, :]               # [block_k, 128]
+            if scales_ref.dtype == jnp.int32:
+                # bf16-pair-packed rows: bitcast IS the unpack.
+                srow = pltpu.bitcast(scales_ref[0, :, 0, :],
+                                     jnp.bfloat16)  # [block_k, 128]
+            else:
+                srow = scales_ref[0, :, 0, :]       # [block_k, 128]
             h8 = onehot_ref.shape[0] // 2
             kvs = jax.lax.dot_general(
                 onehot_ref[:], srow, (((1,), (1,)), ((), ())),
@@ -358,6 +363,9 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
             kq = unpack_int8_tokens(kv[:, :, 0])
             vq = unpack_int8_tokens(kv[:, :, 1])
             s_rows = kv_scales[:, :, 0]
+            if kv_scales.dtype == jnp.int32:
+                from ..generate.kv_cache import unpack_bf16_rows
+                s_rows = unpack_bf16_rows(s_rows)
             raw = {0: (kq, s_rows[:, :, :kv_heads]),
                    1: (vq, s_rows[:, :, VSCALE_OFF:VSCALE_OFF + kv_heads])}
 
@@ -394,7 +402,9 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
         # factors; padding lanes/rows are zero, so the dot selects
         # exactly the real heads' scales.
         from ..generate.kv_cache import SCALE_LANES
-        oh_s = _scale_selector(onehot, kv_scales.dtype)
+        oh_s = _scale_selector(
+            onehot, jnp.bfloat16 if kv_scales.dtype == jnp.int32
+            else kv_scales.dtype)
         oh_arg, oh_block = oh_s, oh_s.shape
         kv_block = (1, block_k // 4, 2, hd_tot)
 
@@ -423,8 +433,10 @@ def flash_decode_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
             last = jnp.maximum(pl.cdiv(lens[bb], block_k) - 1, 0)
             return (bb, jnp.minimum(kk, last), 0, 0)
 
+        sc_block = (block_k // 2 if kv_scales.dtype == jnp.int32
+                    else block_k)
         in_specs.append(pl.BlockSpec(
-            (1, block_k, 1, SCALE_LANES), sc_index,
+            (1, sc_block, 1, SCALE_LANES), sc_index,
             memory_space=pltpu.VMEM))
         args.append(kv_scales)
 
@@ -710,6 +722,10 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
     :func:`_decode_grouped_kernel` (chunked verify)."""
     p = pl.program_id(0)
     blk4 = block_k // 4
+    # Packed scale rows (int32, 2 tokens/row) halve the scale stream;
+    # legacy f32 per-token rows are still accepted (tests, tools).
+    sc_packed = sc_hbm.dtype == jnp.int32
+    sc_rows = block_k // 2 if sc_packed else block_k
 
     def body(buf, sbuf, sem, ssem, m_ref, l_ref, acc_ref):
         lens = [len_ref[p * group + g] for g in range(group)]
@@ -725,7 +741,7 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
                         buf.at[slot, g], sem.at[slot, g]),
                     pltpu.make_async_copy(
                         sc_hbm.at[p * group + g,
-                                  pl.ds(blk * block_k, block_k)],
+                                  pl.ds(blk * sc_rows, sc_rows)],
                         sbuf.at[slot, g], ssem.at[slot, g]))
 
         def start(slot, blk):
@@ -764,7 +780,13 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
             wait(slot, i)
             kblk = pltpu.bitcast(buf[slot, :, :, 0], jnp.int8)  # [G,blk,F]
             vblk = pltpu.bitcast(buf[slot, :, :, 1], jnp.int8)
-            srow = sbuf[slot, :, :, 0, :]          # [G, block_k, SL]
+            if sc_packed:
+                # The sublane bitcast IS the unpack: [G, blk/2, SL]
+                # int32 -> [G, blk, SL] bf16 (token 2r in the low half).
+                srow = pltpu.bitcast(sbuf[slot, :, :, 0, :],
+                                     jnp.bfloat16)
+            else:
+                srow = sbuf[slot, :, :, 0, :]      # [G, block_k, SL]
             if qs_ref is not None:
                 s = jax.lax.dot_general(
                     q, kblk, (((2,), (2,)), ((0,), (0,))),
@@ -823,7 +845,7 @@ def _decode_grouped_quant_kernel(len_ref, q_ref, oh_ref, kv_hbm, sc_hbm,
     pl.run_scoped(
         body,
         buf=pltpu.VMEM((2, group, block_k // 4, 2, hd_tot), jnp.int32),
-        sbuf=pltpu.VMEM((2, group, block_k, 1, scale_lanes),
+        sbuf=pltpu.VMEM((2, group, sc_rows, 1, scale_lanes),
                         sc_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, group)),
         ssem=pltpu.SemaphoreType.DMA((2, group)),
@@ -1045,7 +1067,9 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
         # Stacked per-head scale selector (see _scale_selector),
         # broadcast over the group so the in-kernel expansion is one
         # batched MXU dot per block for BOTH planes.
-        oh_s = _scale_selector(onehot, kv_scales.dtype)
+        oh_s = _scale_selector(
+            onehot, jnp.bfloat16 if kv_scales.dtype == jnp.int32
+            else kv_scales.dtype)
         oh_g = jnp.broadcast_to(oh_s[None, None],
                                 (nprog, group) + oh_s.shape)
         in_specs = [
@@ -1188,7 +1212,9 @@ def flash_verify_grouped(q, kv, lengths, kv_heads, scale=None,
     if quant:
         from ..generate.kv_cache import SCALE_LANES
         oh_rows = jnp.tile(onehot, (s, 1))
-        oh_s = _scale_selector(oh_rows, kv_scales.dtype)
+        oh_s = _scale_selector(
+            oh_rows, jnp.bfloat16 if kv_scales.dtype == jnp.int32
+            else kv_scales.dtype)
         oh_g = jnp.broadcast_to(oh_s[None, None],
                                 (nprog, group) + oh_s.shape)
         out_full = pl.pallas_call(
@@ -1350,6 +1376,8 @@ def _decode_paged_grouped_quant_kernel(tab_ref, len_ref, q_ref, oh_ref,
     :func:`_decode_grouped_quant_kernel`, page ids resolved in-kernel)."""
     p = pl.program_id(0)
     page4 = page_size // 4
+    sc_packed = sc_hbm.dtype == jnp.int32
+    sc_rows = page_size // 2 if sc_packed else page_size
 
     def body(buf, sbuf, sem, ssem, m_ref, l_ref, acc_ref):
         lens = [len_ref[p * group + g] for g in range(group)]
@@ -1403,7 +1431,11 @@ def _decode_paged_grouped_quant_kernel(tab_ref, len_ref, q_ref, oh_ref,
             wait(slot, i)
             kblk = pltpu.bitcast(buf[slot, :, :, 0], jnp.int8)
             vblk = pltpu.bitcast(buf[slot, :, :, 1], jnp.int8)
-            srow = sbuf[slot, :, :, 0, :]          # [G, page, SL]
+            if sc_packed:
+                srow = pltpu.bitcast(sbuf[slot, :, :, 0, :],
+                                     jnp.bfloat16)   # [G, page, SL]
+            else:
+                srow = sbuf[slot, :, :, 0, :]
             s = jax.lax.dot_general(
                 q, kblk.astype(q.dtype),
                 (((2,), (2,)), ((0,), (0,))),
@@ -1438,7 +1470,7 @@ def _decode_paged_grouped_quant_kernel(tab_ref, len_ref, q_ref, oh_ref,
     pl.run_scoped(
         body,
         buf=pltpu.VMEM((2, group, page4, 2, hd_tot), jnp.int32),
-        sbuf=pltpu.VMEM((2, group, page_size, 1, scale_lanes),
+        sbuf=pltpu.VMEM((2, group, sc_rows, 1, scale_lanes),
                         sc_hbm.dtype),
         sem=pltpu.SemaphoreType.DMA((2, group)),
         ssem=pltpu.SemaphoreType.DMA((2, group)),
@@ -1479,7 +1511,9 @@ def flash_decode_paged_grouped(q, pool, page_table, lengths, kv_heads,
 
     if quant:
         from ..generate.kv_cache import SCALE_LANES
-        oh_s = _scale_selector(onehot, kv_scales.dtype)
+        oh_s = _scale_selector(
+            onehot, jnp.bfloat16 if kv_scales.dtype == jnp.int32
+            else kv_scales.dtype)
         oh_g = jnp.broadcast_to(oh_s[None, None],
                                 (nprog, group) + oh_s.shape)
         out_full = pl.pallas_call(
@@ -1600,10 +1634,14 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
     block_k = min(block_k, s_max)
     if s_max % block_k or block_k % 4 or quant is False and s_max < 8:
         if quant:
-            from ..generate.kv_cache import VSCALE_OFF, unpack_int8_tokens
+            from ..generate.kv_cache import (VSCALE_OFF,
+                                             unpack_bf16_rows,
+                                             unpack_int8_tokens)
             kq = unpack_int8_tokens(kv[:, :, 0])
             vq = unpack_int8_tokens(kv[:, :, 1])
             s_rows = kv_scales[:, :, 0]
+            if kv_scales.dtype == jnp.int32:
+                s_rows = unpack_bf16_rows(s_rows)
             kf = (kq.reshape(b, s_max, kv_heads, d).astype(jnp.float32)
                   * s_rows[:, :, :kv_heads, None])
             vf = (vq.reshape(b, s_max, kv_heads, d).astype(jnp.float32)
@@ -1627,7 +1665,9 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
 
     if quant:
         from ..generate.kv_cache import SCALE_LANES
-        oh_s = _scale_selector(oh_rows, kv_scales.dtype)
+        oh_s = _scale_selector(
+            oh_rows, jnp.bfloat16 if kv_scales.dtype == jnp.int32
+            else kv_scales.dtype)
         oh_arg, oh_block = oh_s, oh_s.shape
         kv_block = (1, block_k // 4, 2, hd_tot)
 
@@ -1653,8 +1693,10 @@ def flash_verify_fused(q, kv, lengths, kv_heads, scale=None, block_k=128,
             last = jnp.maximum(pl.cdiv(lens[bb] + s, block_k) - 1, 0)
             return (bb, jnp.minimum(kk, last), 0, 0)
 
+        sc_block = (block_k // 2 if kv_scales.dtype == jnp.int32
+                    else block_k)
         in_specs.append(pl.BlockSpec(
-            (1, block_k, 1, SCALE_LANES), sc_index,
+            (1, sc_block, 1, SCALE_LANES), sc_index,
             memory_space=pltpu.VMEM))
         args.append(kv_scales)
 

@@ -148,29 +148,37 @@ def paged_append(rows, offsets, caches, news):
 def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
     """Decode append into the token-packed int8 cache
     (generate/kv_cache.py): the new token owns byte ``pos%4`` of int32
-    row ``pos//4`` in each plane, so the kernel read-modify-writes one
-    row per sequence (both planes in one DMA — the row dim sits outside
-    the tiled trailing [2, F] pair, so single-row slices at arbitrary
-    offsets are legal Mosaic DMAs), merges the byte on the VPU (one
-    vectorized [B, 1, 2, F] op), DMAs the rows back, and appends the
-    scale row as a plain HBM→HBM copy.
+    row ``pos//4`` in each plane, and halfword ``pos%2`` of packed
+    scale row ``pos//2``; the kernel read-modify-writes one KV row and
+    one scale row per sequence (the row dims sit outside the tiled
+    trailing pairs, so single-row slices at arbitrary offsets are legal
+    Mosaic DMAs), merges byte + halfword on the VPU (two vectorized
+    ops), and DMAs both rows back.
 
     pos:      [B] int32, caller-clamped to < capacity;
     kv:       [B, cap/4, 2, F] int32 token-packed cache (aliased);
-    sbuf:     [B, cap, 1, SL] f32 scale rows (aliased);
+    sbuf:     [B, cap/2, 1, SL] int32 bf16-pair-packed scale rows
+              (aliased);
     bytes_kv: [B, 2, 1, F] int32 int8-range byte values;
-    srows:    [B, 1, 1, SL] f32 new scale rows.
+    srows:    [B, 1, 1, SL] f32 new scale values (bf16-rounded).
     Returns (kv, sbuf) updated in place under donation."""
     batch = bytes_kv.shape[0]
     posv = jnp.asarray(pos, jnp.int32)[:, None]
     bytes_kv = jnp.asarray(bytes_kv, jnp.int32).swapaxes(1, 2)
+    s_packed = sbuf.dtype == jnp.int32
+    if s_packed:
+        # bf16 bit patterns of the new scales, as int32 lanes.
+        s_arg = jax.lax.bitcast_convert_type(
+            jnp.asarray(srows).astype(jnp.bfloat16),
+            jnp.uint16).astype(jnp.int32)
+    else:
+        s_arg = jnp.asarray(srows).astype(sbuf.dtype)
 
-    def kernel(pos_ref, posv_ref, bytes_ref, srows_ref, _kv_in, _s_in,
-               kv_out, s_out, old_ref, sem):
-        # One counting semaphore per sequence, shared by the row read,
-        # the scale-row copy, and the row write-back: DMA semaphore
-        # space ('sflag') is ~2K entries on v5e — three per-batch arrays
-        # blew it at batch 256 (3.1K used).
+    def kernel(pos_ref, posv_ref, bytes_ref, sbits_ref, _kv_in, _s_in,
+               kv_out, s_out, old_ref, sold_ref, sem):
+        # One counting semaphore per sequence, shared by both row reads
+        # and both write-backs: DMA semaphore space ('sflag') is ~2K
+        # entries on v5e — three per-batch arrays blew it at batch 256.
         reads = []
         for b in range(batch):
             row = pos_ref[b] >> 2
@@ -179,9 +187,16 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
                 sem.at[b])
             dma.start()
             reads.append(dma)
-            sdma = pltpu.make_async_copy(
-                srows_ref.at[b], s_out.at[b, pl.ds(pos_ref[b], 1)],
-                sem.at[b])
+            if s_packed:
+                sdma = pltpu.make_async_copy(
+                    s_out.at[b, pl.ds(pos_ref[b] >> 1, 1)],
+                    sold_ref.at[b], sem.at[b])
+            else:
+                # f32 rows: the new token owns a whole row — plain
+                # HBM→HBM write, no RMW.
+                sdma = pltpu.make_async_copy(
+                    sbits_ref.at[b], s_out.at[b, pl.ds(pos_ref[b], 1)],
+                    sem.at[b])
             sdma.start()
             reads.append(sdma)
         for dma in reads:
@@ -190,6 +205,11 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
         mask = jnp.left_shift(jnp.int32(0xFF), sh)
         old_ref[:] = ((old_ref[:] & ~mask)
                       | jnp.left_shift(bytes_ref[:] & 0xFF, sh))
+        if s_packed:
+            ssh = ((posv_ref[:] & 1) * 16)[:, :, None, None]
+            smask = jnp.left_shift(jnp.int32(0xFFFF), ssh)
+            sold_ref[:] = ((sold_ref[:] & ~smask)
+                           | jnp.left_shift(sbits_ref[:] & 0xFFFF, ssh))
         writes = []
         for b in range(batch):
             row = pos_ref[b] >> 2
@@ -198,6 +218,12 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
                 sem.at[b])
             dma.start()
             writes.append(dma)
+            if s_packed:
+                sdma = pltpu.make_async_copy(
+                    sold_ref.at[b],
+                    s_out.at[b, pl.ds(pos_ref[b] >> 1, 1)], sem.at[b])
+                sdma.start()
+                writes.append(sdma)
         for dma in writes:
             dma.wait()
 
@@ -207,7 +233,8 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
             pl.BlockSpec(memory_space=pltpu.SMEM),       # pos
             pl.BlockSpec(memory_space=pltpu.VMEM),       # posv
             pl.BlockSpec(memory_space=pltpu.VMEM),       # bytes
-            pl.BlockSpec(memory_space=pltpu.HBM),        # scale rows
+            pl.BlockSpec(memory_space=pltpu.VMEM if s_packed
+                         else pltpu.HBM),                # scale bits/rows
             pl.BlockSpec(memory_space=pltpu.HBM),        # kv (alias 0)
             pl.BlockSpec(memory_space=pltpu.HBM),        # sbuf (alias 1)
         ),
@@ -218,33 +245,39 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
         input_output_aliases={4: 0, 5: 1},
         scratch_shapes=[
             pltpu.VMEM(bytes_kv.shape, jnp.int32),
+            pltpu.VMEM(s_arg.shape, s_arg.dtype),
             pltpu.SemaphoreType.DMA((batch,)),
         ],
         interpret=_interpret(),
     )(jnp.asarray(pos, jnp.int32), posv, jnp.asarray(bytes_kv, jnp.int32),
-      srows, kv, sbuf)
+      s_arg, kv, sbuf)
     return out
 
 
 def paged_append_quant(rows, offs, pool, spool, bytes_kv, srows):
     """Paged sibling of :func:`cache_append_quant`: the new token lands
     in pool page ``rows[b]`` at in-page offset ``offs[b]`` — byte
-    ``offs%4`` of int32 row ``offs//4`` per plane. Same two-phase RMW
-    (read rows in, one vectorized merge, write back) + scale-row copy,
-    one counting semaphore per sequence.
+    ``offs%4`` of int32 row ``offs//4`` per plane, halfword ``offs%2``
+    of packed scale row ``offs//2``. Same two-phase RMW (read both rows
+    in, vectorized merges, write back), one counting semaphore per
+    sequence.
 
     rows/offs: [B] int32 (page id resolved through the table on host or
                in XLA; offs < page_size);
     pool:      [n_pages, page/4, 2, F] int32 (aliased);
-    spool:     [n_pages, page, 1, SL] f32 (aliased);
+    spool:     [n_pages, page/2, 1, SL] int32 bf16-pair-packed
+               (aliased);
     bytes_kv:  [B, 2, 1, F] int32 int8-range byte values;
-    srows:     [B, 1, 1, SL] f32."""
+    srows:     [B, 1, 1, SL] f32 (bf16-rounded values)."""
     batch = bytes_kv.shape[0]
     offv = jnp.asarray(offs, jnp.int32)[:, None]
     bytes_kv = jnp.asarray(bytes_kv, jnp.int32).swapaxes(1, 2)
+    sbits = jax.lax.bitcast_convert_type(
+        jnp.asarray(srows).astype(jnp.bfloat16),
+        jnp.uint16).astype(jnp.int32)
 
-    def kernel(rows_ref, offs_ref, offv_ref, bytes_ref, srows_ref,
-               _p_in, _s_in, p_out, s_out, old_ref, sem):
+    def kernel(rows_ref, offs_ref, offv_ref, bytes_ref, sbits_ref,
+               _p_in, _s_in, p_out, s_out, old_ref, sold_ref, sem):
         reads = []
         for b in range(batch):
             r4 = offs_ref[b] >> 2
@@ -254,9 +287,8 @@ def paged_append_quant(rows, offs, pool, spool, bytes_kv, srows):
             dma.start()
             reads.append(dma)
             sdma = pltpu.make_async_copy(
-                srows_ref.at[b],
-                s_out.at[rows_ref[b], pl.ds(offs_ref[b], 1)],
-                sem.at[b])
+                s_out.at[rows_ref[b], pl.ds(offs_ref[b] >> 1, 1)],
+                sold_ref.at[b], sem.at[b])
             sdma.start()
             reads.append(sdma)
         for dma in reads:
@@ -265,6 +297,10 @@ def paged_append_quant(rows, offs, pool, spool, bytes_kv, srows):
         mask = jnp.left_shift(jnp.int32(0xFF), sh)
         old_ref[:] = ((old_ref[:] & ~mask)
                       | jnp.left_shift(bytes_ref[:] & 0xFF, sh))
+        ssh = ((offv_ref[:] & 1) * 16)[:, :, None, None]
+        smask = jnp.left_shift(jnp.int32(0xFFFF), ssh)
+        sold_ref[:] = ((sold_ref[:] & ~smask)
+                       | jnp.left_shift(sbits_ref[:] & 0xFFFF, ssh))
         writes = []
         for b in range(batch):
             r4 = offs_ref[b] >> 2
@@ -273,6 +309,12 @@ def paged_append_quant(rows, offs, pool, spool, bytes_kv, srows):
                 sem.at[b])
             dma.start()
             writes.append(dma)
+            sdma = pltpu.make_async_copy(
+                sold_ref.at[b],
+                s_out.at[rows_ref[b], pl.ds(offs_ref[b] >> 1, 1)],
+                sem.at[b])
+            sdma.start()
+            writes.append(sdma)
         for dma in writes:
             dma.wait()
 
@@ -283,7 +325,7 @@ def paged_append_quant(rows, offs, pool, spool, bytes_kv, srows):
             pl.BlockSpec(memory_space=pltpu.SMEM),       # offs
             pl.BlockSpec(memory_space=pltpu.VMEM),       # offv
             pl.BlockSpec(memory_space=pltpu.VMEM),       # bytes
-            pl.BlockSpec(memory_space=pltpu.HBM),        # scale rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # scale bits
             pl.BlockSpec(memory_space=pltpu.HBM),        # pool (alias 0)
             pl.BlockSpec(memory_space=pltpu.HBM),        # spool (alias 1)
         ),
@@ -294,8 +336,9 @@ def paged_append_quant(rows, offs, pool, spool, bytes_kv, srows):
         input_output_aliases={5: 0, 6: 1},
         scratch_shapes=[
             pltpu.VMEM(bytes_kv.shape, jnp.int32),
+            pltpu.VMEM(sbits.shape, jnp.int32),
             pltpu.SemaphoreType.DMA((batch,)),
         ],
         interpret=_interpret(),
     )(jnp.asarray(rows, jnp.int32), jnp.asarray(offs, jnp.int32), offv,
-      bytes_kv, srows, pool, spool)
+      bytes_kv, sbits, pool, spool)

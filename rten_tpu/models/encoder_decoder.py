@@ -224,7 +224,10 @@ class EncoderDecoderLM:
                         out = flash_decode_grouped(
                             q[:, :, 0, :], cache.fused_layer(i),
                             cache.lengths + 1, cfg.n_heads,
-                            group=group, kv_scales=scales,
+                            group=group,
+                            block_k=128 if scales is not None
+                            and scales.dtype == jnp.int32 else 64,
+                            kv_scales=scales,
                             int8_scores=(scales is not None
                                          and group < 16))[:, :, None, :]
                     else:

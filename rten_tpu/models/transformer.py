@@ -477,23 +477,25 @@ class TransformerLM:
                 kind = cfg.decode_attn
                 if scales is not None and kind == "stream":
                     kind = "fused"   # no quantized stream variant
-                # v5e A/B (BASELINE.md round 5): the token-packed int8
-                # cache supports g=16 (half the block bytes of bf16 fit
-                # VMEM) and wins there — 102.9 us vs bf16 g=8's 108.3
-                # same-run at batch 64/live 256; float caches stay at
-                # g=8 (g=16 measured slower). int8-scores only pays at
-                # g=8 (110 vs 123 us); at g=16 the G chains already hide
-                # the convert and its epilogue multiply costs. LONG
-                # caches (cap >= 2048) flip the tradeoff: block 128
-                # amortizes the per-block chain over more bytes (bf16
-                # 572 vs 649 us at live 3968 — 682 GB/s, bandwidth
-                # bound) and int8 prefers g=8/b128 (641 vs g=16/b64's
-                # 711 — VMEM pressure at g=16/b128 fails to compile).
+                # v5e A/B history (BASELINE.md rounds 5-6): the
+                # token-packed int8 cache supports g=16 (half the block
+                # bytes of bf16 fit VMEM) and wins there; float caches
+                # stay at g=8/b64 (g=16 and b128 measured slower at
+                # short lives). With bf16-PAIR-PACKED scale rows
+                # (round 6) the int8 kernel prefers block 128 at EVERY
+                # length (the scale-row bitcast amortizes: 296 vs 363 us
+                # at live 256; 310 us at live 3968 = 733 GB/s, 2.0x the
+                # bf16 kernel) and g=16/b128 fits VMEM (halved sbuf).
+                # int8-scores only pays at short lives below g=16.
                 long_ctx = cache.capacity >= 2048
-                groups = ((8, 4, 2) if long_ctx or scales is None
+                groups = ((8, 4, 2) if scales is None
                           else (16, 8, 4, 2))
                 group = next((g for g in groups if b % g == 0 and
                               b >= 2 * g), 0)
+                # Block 128 pairs with the packed-scale long-cache
+                # format (create() keys both on capacity >= 2048);
+                # short caches keep f32 rows + block 64 (ragged
+                # granularity + bitcast cost — see KVCache.create).
                 blk = 128 if long_ctx else 64
                 if kind == "auto":
                     # Batched-group g=8/block 64 is 1.8x the per-(seq,
@@ -514,12 +516,10 @@ class TransformerLM:
                                     cache.kv_heads, cache.head_dim)
                 elif kind == "grouped":
                     from ..kernels.attention import flash_decode_grouped
-                    # int8-scores pays below g=16 at short lives (the G
-                    # chains already hide the convert at g=16) and at
-                    # LONG lives with the merged scale dot (round-6 A/B:
-                    # 382 vs 416 us at live 3968 g=8/b128 — 100% of the
-                    # bf16 kernel's byte rate; round 5's "never at long
-                    # ctx" predates the merged dot).
+                    # int8-scores pays below g=16 at short lives (the
+                    # G chains already hide the convert at g=16); with
+                    # packed scales it is neutral-to-negative at long
+                    # lives (322 vs 314 us, round 6) — off there.
                     out = flash_decode_grouped(q[:, :, 0, :],
                                                cache.fused_layer(layer_idx),
                                                cache.lengths + 1, kvh,
@@ -529,6 +529,7 @@ class TransformerLM:
                                                int8_scores=(
                                                    scales is not None
                                                    and group < 16
+                                                   and not long_ctx
                                                    and cfg.quant_int8_scores))
                 elif kind == "stream":
                     from ..kernels.attention import flash_decode_stream

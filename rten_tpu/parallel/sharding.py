@@ -122,8 +122,9 @@ def cache_shardings(cache, mesh: Mesh):
         # so the lane dim shards over `model` exactly like the float
         # cache, and the capacity-row dim (dim 1: 4 tokens per row)
         # shards over `seq`; the size-2 K/V plane dim (dim 2) stays
-        # replicated. Scale rows [B, cap, 1, 128] shard over batch/seq;
-        # their 128 per-head lanes stay replicated (tiny).
+        # replicated. Scale rows [B, cap/2, 1, 128] int32 (two tokens'
+        # bf16 scales per word) shard over batch/seq; their 128
+        # per-head lanes stay replicated (tiny).
         kv = NamedSharding(mesh, P(batch_axes, seq_ax, None, "model"))
         scales = [NamedSharding(mesh, P(batch_axes, seq_ax, None, None))
                   for _ in cache.quant_scales]

@@ -52,8 +52,9 @@ def main():
     except Exception:
         pass
 
-    from rten_tpu.generate.kv_cache import (SCALE_DTYPE, SCALE_LANES,
-                                            VSCALE_OFF, pack_int8_cache)
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_bf16_rows,
+                                            pack_int8_cache)
     from rten_tpu.kernels.attention import flash_decode_grouped
 
     b, h, kvh, d = args.batch, args.heads, args.kv_heads, args.head_dim
@@ -72,7 +73,8 @@ def main():
     sc[:, :, 0, :kvh] = 0.02
     sc[:, :, 0, VSCALE_OFF:VSCALE_OFF + kvh] = 0.03
     scales_f32 = jnp.asarray(sc)
-    scales = scales_f32.astype(SCALE_DTYPE)
+    # The cache's storage format: two tokens' bf16 scales per int32 word.
+    scales = pack_bf16_rows(scales_f32.swapaxes(1, 2)).swapaxes(1, 2)
     lengths = jnp.full((b,), live, jnp.int32)
 
     # Traffic model per call: live rows × bytes (packed kv: 1 B/elt for
@@ -115,8 +117,10 @@ def main():
                     kv_bf16, None, bytes_f)
         flags = {}
         sarr = scales
-        sname = f"{jnp.dtype(sarr.dtype).name}-scales"
-        nbytes = bytes_quant(sarr.dtype.itemsize)
+        sname = ("packed-scales" if sarr.dtype == jnp.int32
+                 else f"{jnp.dtype(sarr.dtype).name}-scales")
+        nbytes = bytes_quant(2 if sarr.dtype == jnp.int32 else
+                             sarr.dtype.itemsize)
         if kind == "qf32":
             sarr, sname, nbytes = scales_f32, "f32-scales", bytes_quant(4)
         elif kind == "qs":
