@@ -84,26 +84,48 @@ def main():
         # the measured run() emits zero tokens (div-by-zero).
         burst = max(1, decode_steps // 3)
 
-    def measure(p, cache_dtype=None, quantized_cache=False):
+    def measure(p, cache_dtype=None, quantized_cache=False, repeats=1):
+        """Median decode rate over ``repeats`` runs on ONE engine.
+
+        All compiled programs (prefill buckets, decode bursts) are warm
+        after the first repeat, so each extra repeat costs only real
+        prefill + decode time (~tens of seconds) — the round-2 verdict
+        flagged the single-shot record as fragile against tunnel
+        variance (builder 36.5k vs driver-captured 33.4k)."""
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
                             prefill_buckets=(prompt_len,),
                             cache_dtype=cache_dtype,
                             quantized_cache=quantized_cache)
-        reqs = [eng.submit(pr, max_new_tokens=decode_steps)
-                for pr in prompts]
-        eng._admit()
-        eng.step_burst(burst)  # compile decode burst
-        t0 = time.perf_counter()
-        before = sum(len(r.tokens) for r in reqs)
-        # Sequential burst loop (pipeline=False): the dev tunnel
-        # serializes dispatches on non-ready inputs — see engine.run.
-        eng.run(burst=burst)
-        emitted = sum(len(r.tokens) for r in reqs) - before
-        elapsed = time.perf_counter() - t0
-        ttfts = sorted(r.metrics.ttft_s for r in reqs
-                       if r.metrics.ttft_s is not None)
-        p50_ttft = ttfts[len(ttfts) // 2] if ttfts else None
-        return emitted / elapsed, p50_ttft
+        rates, ttfts_all = [], None
+        for rep in range(repeats):
+            reqs = [eng.submit(pr, max_new_tokens=decode_steps)
+                    for pr in prompts]
+            eng._admit()
+            if rep == 0:
+                eng.step_burst(burst)  # compile decode burst
+            t0 = time.perf_counter()
+            before = sum(len(r.tokens) for r in reqs)
+            # Sequential burst loop (pipeline=False): the dev tunnel
+            # serializes dispatches on non-ready inputs — see engine.run.
+            eng.run(burst=burst)
+            emitted = sum(len(r.tokens) for r in reqs) - before
+            elapsed = time.perf_counter() - t0
+            rates.append(emitted / elapsed)
+            ttfts = sorted(r.metrics.ttft_s for r in reqs
+                           if r.metrics.ttft_s is not None)
+            # TTFT from the warm repeats only: repeat 0's admission
+            # overlaps burst compilation, which a steady-state server
+            # would not re-pay.
+            if ttfts and (ttfts_all is None or rep > 0):
+                ttfts_all = ttfts
+        rates.sort()
+        if repeats > 1:
+            print(f"decode rate repeats: "
+                  f"{', '.join(f'{r:.0f}' for r in rates)} tok/s "
+                  f"(spread {100 * (rates[-1] - rates[0]) / rates[0]:.1f}"
+                  f"%)", file=sys.stderr)
+        p50_ttft = ttfts_all[len(ttfts_all) // 2] if ttfts_all else None
+        return rates[len(rates) // 2], p50_ttft
 
     f32_tps, f32_ttft = measure(params)
     if not on_tpu:
@@ -123,7 +145,8 @@ def main():
             int8_tps, int8_ttft = measure(
                 quantize_weights(params, "int8"),
                 cache_dtype=None if qcache else "bfloat16",
-                quantized_cache=qcache)
+                quantized_cache=qcache,
+                repeats=int(os.environ.get("RTEN_BENCH_REPEATS", 3)))
             metric = "gpt2_int8_decode_tokens_s_chip"
             value = int8_tps
             vs = int8_tps / f32_tps

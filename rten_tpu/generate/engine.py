@@ -77,11 +77,21 @@ class ServingEngine:
         no oversubscription). Long and short requests share the pool;
         a request exceeding its mapped pages gets more from the host
         allocator before each decode burst."""
-        self.model = model
         self.mesh = mesh
         if mesh is not None:
             from ..parallel import shard_params
             params = shard_params(params, mesh)
+            # Pallas × mesh: the model routes append+attention through
+            # a shard_map island per layer when its config has
+            # use_pallas (models/transformer.py::_attn_island); caches
+            # created below pick the TP scale-row layout accordingly.
+            # Shallow-copy so a sibling engine sharing this model object
+            # keeps its own (un)meshed compilation paths.
+            if hasattr(model, "mesh"):
+                import copy
+                model = copy.copy(model)
+                model.mesh = mesh
+        self.model = model
         self.params = params
         self.max_batch = max_batch
         self.capacity = capacity
@@ -265,6 +275,21 @@ class ServingEngine:
 
         self._insert = jax.jit(insert_fn, donate_argnums=(0,))
 
+        def insert_group_fn(cache, prefilled, slots, lengths):
+            """Scatter a WHOLE admission group into its slots in one
+            program. Per-request insert dispatches cost a full dispatch-
+            link round trip each (~31 ms on the dev tunnel): a 256-
+            request admission paid ~8 s of pure dispatch latency, which
+            WAS the driver-observed p50 TTFT (3.9 s = half the group).
+            One compile per admission-group size (already power-of-two
+            padded)."""
+            def body(g, c):
+                return c.insert_sequence(prefilled, slots[g], lengths[g],
+                                         src_slot=g)
+            return jax.lax.fori_loop(0, slots.shape[0], body, cache)
+
+        self._insert_group = jax.jit(insert_group_fn, donate_argnums=(0,))
+
         # Prefix cache (register_prefix): admission for a hit runs a
         # chunked forward over just the suffix, continuing the stored
         # fragment at depth plen. The fragment is NOT donated — it is
@@ -296,15 +321,33 @@ class ServingEngine:
             self._sched = None
             from .speculative import make_spec_burst
             self._spec_history = jnp.zeros((max_batch, capacity), jnp.int32)
-            self._spec_burst = jax.jit(
-                make_spec_burst(model, spec_ngram, spec_draft),
-                donate_argnums=(1, 2), static_argnums=(3,))
+            # Draft-length ladder: the verify chunk is shape-static, so
+            # each K compiles its own burst program (built lazily —
+            # adaptation typically visits 2-3 rungs).
+            self._spec_bursts: dict = {}
+
+            def spec_burst_for(k):
+                if k not in self._spec_bursts:
+                    self._spec_bursts[k] = jax.jit(
+                        make_spec_burst(model, spec_ngram, k),
+                        donate_argnums=(1, 2), static_argnums=(3,))
+                return self._spec_bursts[k]
+
+            self._spec_burst_for = spec_burst_for
 
             def hist_set(history, row, slot):
                 return jax.lax.dynamic_update_slice(history, row[None, :],
                                                     (slot, 0))
 
             self._hist_set = jax.jit(hist_set, donate_argnums=(0,))
+
+            def hist_set_group(history, rows, slots):
+                # Whole admission group in one dispatch (same round-trip
+                # amortization as insert_group_fn).
+                return history.at[slots].set(rows)
+
+            self._hist_set_group = jax.jit(hist_set_group,
+                                           donate_argnums=(0,))
 
             def hist_burst(history, toks, base):
                 """Write a PLAIN burst's tokens ([n, B]) into the spec
@@ -344,6 +387,22 @@ class ServingEngine:
             self._spec_t = None          # EMA wall s per spec step
             self._plain_t = None         # EMA wall s per plain step
             self._plain_bursts_since_probe = 0
+            # Adaptive draft length (VERDICT r2 item 8): K shrinks when
+            # the per-draft acceptance fraction is low (verify cost
+            # scales with K but unaccepted drafts emit nothing) and
+            # grows back toward spec_draft when most drafts land.
+            self._spec_k = spec_draft
+            # Bound the unconfirmed-probe phase (advisor r2): with eff
+            # stuck inside the hysteresis dead zone the gate previously
+            # kept probe-sized bursts FOREVER (a dispatch round trip
+            # every <=4 steps). After this many dead-zone probes the
+            # gate commits one way.
+            self._spec_dead_probes = 0
+            # Stale-_plain_t guard (advisor r2): after this many
+            # consecutive spec bursts a plain burst is interleaved so
+            # the cost ratio's denominator re-measures at the current
+            # occupancy.
+            self._spec_only_bursts = 0
 
     # -- request lifecycle --------------------------------------------------
 
@@ -511,28 +570,39 @@ class ServingEngine:
             first_lps = np.asarray(
                 jax.nn.log_softmax(last_logits, axis=-1)[
                     jnp.arange(fl.shape[0]), fl])
+        # ONE device program per admission group for each of: the cache
+        # scatter, the device-token scatter, and the spec-history write.
+        # Anything per-request here is a dispatch-link round trip, and a
+        # 256-request group turns that into seconds of TTFT.
+        g_n = len(group_pairs)
+        firsts_flat = np.asarray(firsts).reshape(-1)
+        slots_np = np.asarray([slot for _, slot in group_pairs], np.int32)
+        self.cache = self._insert_group(
+            self.cache, prefilled, jnp.asarray(slots_np),
+            jnp.asarray(np.asarray(lengths[:g_n], np.int32)))
+        if self._device_tokens is not None:
+            self._device_tokens = self._device_tokens.at[
+                jnp.asarray(slots_np)].set(
+                    jnp.asarray(firsts_flat[:g_n].astype(np.int32)))
+        if self.spec_draft:
+            rows = np.zeros((g_n, self.capacity), np.int32)
+            for gi, (req, _) in enumerate(group_pairs):
+                rows[gi, :len(req.prompt_ids)] = req.prompt_ids
+                rows[gi, len(req.prompt_ids)] = int(firsts_flat[gi])
+            self._spec_history = self._hist_set_group(
+                self._spec_history, jnp.asarray(rows),
+                jnp.asarray(slots_np))
+            # New traffic may accept differently: probe at the next
+            # opportunity if drafting is gated off.
+            self._plain_bursts_since_probe = self._spec_probe_every
         for gi, (req, slot) in enumerate(group_pairs):
-            first = int(np.asarray(firsts).reshape(-1)[gi])
-            self.cache = self._insert(self.cache, prefilled, slot,
-                                      int(lengths[gi]), first, gi)
+            first = int(firsts_flat[gi])
             req.tokens.append(first)
             if first_lps is not None:
                 req.logprobs.append(float(first_lps[gi]))
             req.metrics.step()
             self.current_tokens[slot] = first
             self._host_lengths[slot] = int(lengths[gi])
-            if self._device_tokens is not None:
-                self._device_tokens = \
-                    self._device_tokens.at[slot].set(first)
-            if self.spec_draft:
-                row = np.zeros(self.capacity, np.int32)
-                row[:len(req.prompt_ids)] = req.prompt_ids
-                row[len(req.prompt_ids)] = first
-                self._spec_history = self._hist_set(
-                    self._spec_history, jnp.asarray(row), slot)
-                # New traffic may accept differently: probe at the next
-                # opportunity if drafting is gated off.
-                self._plain_bursts_since_probe = self._spec_probe_every
             self.slot_request[slot] = req
             if self._sched is not None:
                 if self._sched.commit_first(slot, first):
@@ -831,7 +901,8 @@ class ServingEngine:
         if not active:
             return 0
         lengths_np = self._host_lengths.copy()
-        k1 = self.spec_draft + 1
+        k = self._spec_k if self.spec_adaptive else self.spec_draft
+        k1 = k + 1
         # Worst case every step accepts everything: keep k1*n inside the
         # cache (the chunk append clamps, but tokens past capacity would
         # be garbage).
@@ -839,8 +910,10 @@ class ServingEngine:
                                            for s in active)
         n = min(n, max(1, headroom // k1))
         t0 = time.perf_counter()
-        self._spec_history, self.cache, toks, counts = self._spec_burst(
-            self.params, self._spec_history, self.cache, n)
+        self._spec_history, self.cache, toks, counts = \
+            self._spec_burst_for(k)(
+                self.params, self._spec_history, self.cache, n)
+        self._spec_only_bursts += 1
         self._device_tokens = None
         counts_np = np.asarray(counts)
         toks_np = np.asarray(toks)
@@ -875,6 +948,7 @@ class ServingEngine:
             dt = (time.perf_counter() - t0) / inflight[4]
             self._plain_t = dt if self._plain_t is None \
                 else 0.6 * self._plain_t + 0.4 * dt
+            self._spec_only_bursts = 0
         return emitted
 
     def _spec_gate(self):
@@ -898,6 +972,31 @@ class ServingEngine:
             self._spec_on = True
         if eff > 1.05:
             self._spec_confirmed = True
+            self._spec_dead_probes = 0
+        elif eff < 0.95:
+            self._spec_dead_probes = 0
+        elif not self._spec_confirmed:
+            # Hysteresis dead zone while unconfirmed: probe-sized
+            # bursts pay a dispatch round trip per <=4 steps, so this
+            # phase must be bounded (advisor r2). After 4 inconclusive
+            # probes, commit: eff ~ 1 means drafting neither pays nor
+            # costs in tokens, but probe overhead is pure loss — gate
+            # off until traffic shifts (admissions re-arm probing).
+            self._spec_dead_probes += 1
+            if self._spec_dead_probes >= 4:
+                self._spec_on = False
+                self._spec_dead_probes = 0
+        # Draft-length adaptation: the acceptance FRACTION
+        # (accepted drafts / drafted) prices K directly — verify cost
+        # grows with K while unaccepted tail drafts emit nothing.
+        # Shrink fast below 35%, regrow above 70% (fractions bracket
+        # the break-even of the chunk-verify cost model).
+        if self.spec_adaptive and self.spec_draft > 1:
+            frac = (self._spec_tps - 1.0) / max(self._spec_k, 1)
+            if frac < 0.35 and self._spec_k > 1:
+                self._spec_k -= 1
+            elif frac > 0.70 and self._spec_k < self.spec_draft:
+                self._spec_k += 1
         self._plain_bursts_since_probe = 0
 
     def _pending(self) -> bool:
@@ -933,6 +1032,15 @@ class ServingEngine:
                 probe = (self.spec_adaptive and not self._spec_on
                          and self._plain_bursts_since_probe
                          >= self._spec_probe_every)
+                if (self.spec_adaptive and self._spec_on
+                        and self._spec_only_bursts >= 32):
+                    # Long spec-only stretch: _plain_t may be stale
+                    # (measured at a different occupancy — advisor r2).
+                    # One plain burst re-measures the cost ratio's
+                    # denominator; tokens it emits are ordinary output.
+                    self.step_burst(max(burst, 1))
+                    steps += 1
+                    continue
                 if self._spec_on or not self.spec_adaptive or probe:
                     # Probes re-measure acceptance with a short burst so
                     # a traffic shift (repetitive text arriving) turns

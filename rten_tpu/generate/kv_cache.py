@@ -287,14 +287,26 @@ class KVCache:
 
     @staticmethod
     def create(batch, n_layers, kv_heads, capacity, head_dim,
-               dtype=jnp.float32, quantized=False, stacked=False):
+               dtype=jnp.float32, quantized=False, stacked=False,
+               scale_lane_groups=1):
         """``stacked=True`` holds all layers in one [L, B, cap, 2, KVH*D]
         array (required for `lax.scan` over layers, where the layer index
-        is traced); the default is one array per layer."""
+        is traced); the default is one array per layer.
+
+        ``scale_lane_groups=T``: tensor-parallel layout for the quant
+        scale rows — the lane dim becomes ``T * SCALE_LANES``, sharded
+        over the ``model`` mesh axis so that EVERY shard's local
+        [.., SCALE_LANES] slice is a standard single-chip scale row for
+        its kv_heads/T local heads (K scales at [0:kvh_local], V at
+        VSCALE_OFF+). Inside shard_map the kernels then run completely
+        unchanged; nothing outside the shard_map islands may interpret
+        the global lane layout."""
         if quantized:
             assert not stacked, "quantized+stacked not supported yet"
             f = kv_heads * head_dim
-            assert capacity % 4 == 0 and kv_heads <= VSCALE_OFF
+            t = scale_lane_groups
+            assert capacity % 4 == 0 and kv_heads // t <= VSCALE_OFF
+            assert kv_heads % t == 0
             shape = (batch, capacity // 4, 2, f)          # token-packed
             kv = [jnp.zeros(shape, jnp.int32) for _ in range(n_layers)]
             # Capacity-keyed scale-row format (round-6 hardware A/B):
@@ -307,11 +319,11 @@ class KVCache:
             # live 256/b64), and block 64's finer ragged granularity
             # wins at small live lengths.
             if capacity >= 2048:
-                sshape = (batch, capacity // 2, 1, SCALE_LANES)
+                sshape = (batch, capacity // 2, 1, t * SCALE_LANES)
                 scales = [jnp.full(sshape, _PACKED_ONES, jnp.int32)
                           for _ in range(n_layers)]
             else:
-                sshape = (batch, capacity, 1, SCALE_LANES)
+                sshape = (batch, capacity, 1, t * SCALE_LANES)
                 scales = [jnp.ones(sshape, jnp.float32)
                           for _ in range(n_layers)]
             return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
@@ -494,6 +506,16 @@ class KVCache:
         kvh, d = self.kv_heads, self.head_dim
 
         if self.quant_scales is not None:
+            if (self.quant_scales[0].shape[-1] != SCALE_LANES
+                    and self.kv_heads * self.head_dim == buf.shape[-1]):
+                # TP lane-group layout (scale_lane_groups > 1): only the
+                # shard-LOCAL views inside a shard_map island may
+                # dequantize; a global read here would fold the wrong
+                # lanes silently.
+                raise ValueError(
+                    "layer_kv on a TP lane-grouped quantized cache — "
+                    "read it through the shard_map island "
+                    "(models/transformer.py::_attn_island)")
             kq = unpack_int8_tokens(buf[:, :, 0])      # [B, cap, KVH*D]
             vq = unpack_int8_tokens(buf[:, :, 1])
             s = self.quant_scales[layer][:, :, 0]

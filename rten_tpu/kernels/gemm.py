@@ -243,8 +243,8 @@ def _head_argmax_kernel(x_ref, w_ref, s_ref, out_ref, bv_ref, bi_ref, *,
         out_ref[:] = bi_ref[:]
 
 
-@jax.jit
-def matmul_argmax_int8(x, w, w_scales):
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def matmul_argmax_int8(x, w, w_scales, block_n=None):
     """Greedy-head fast path: ``argmax(x @ (w * scales), axis=-1)`` for an
     int8 weight [D, V] with per-column f32 ``w_scales`` — one Pallas pass,
     no [M, V] logits materialization. Returns int32 [M].
@@ -257,8 +257,9 @@ def matmul_argmax_int8(x, w, w_scales):
     bm = _round_up(m, 8)
     dp = _round_up(d, 128)
     # Whole-D weight tiles: size bn so the int8 tile + bf16 copy stay
-    # well under VMEM (~4.5 MB at the cap below).
-    bn = max(128, min(2048, (1536 * 1024) // dp // 128 * 128))
+    # well under VMEM (~4.5 MB at the cap below). ``block_n`` overrides
+    # for sweeps (tools/profile_head_kernel.py).
+    bn = block_n or max(128, min(2048, (1536 * 1024) // dp // 128 * 128))
     vp = _round_up(v, bn)
     x = _pad_to(x.astype(jnp.float32), bm, dp)
     w = _pad_to(w, dp, vp)

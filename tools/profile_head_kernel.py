@@ -74,12 +74,22 @@ def main():
         print(f"{name:32s}: {per*1e6:7.1f} us/call  "
               f"{wbytes / per / 1e9:6.0f} GB/s weight stream", flush=True)
 
-    bench("matmul_argmax_int8 (current)", gk.matmul_argmax_int8)
+    bench("matmul_argmax_int8 (default bn)", gk.matmul_argmax_int8)
+    for bn in (1024, 4096, 8192):
+        bench(f"matmul_argmax_int8 bn={bn}",
+              lambda x, w, ws, bn=bn: gk.matmul_argmax_int8(
+                  x, w, ws, block_n=bn))
     # Unfused reference: weight-only GEMM then argmax.
-    bench("unfused int8 GEMM + argmax",
+    bench("unfused int8 GEMM + argmax (default)",
           lambda x, w, ws: jnp.argmax(
               gk.matmul_int8_weight_only(x, w, ws), axis=-1
           ).astype(jnp.int32))
+    for bn, bk in ((1024, 768), (2048, 768), (1024, 512)):
+        bench(f"unfused int8 GEMM bn={bn} bk={bk} + argmax",
+              lambda x, w, ws, bn=bn, bk=bk: jnp.argmax(
+                  gk.matmul_int8_weight_only(
+                      x, w, ws, block_n=bn, block_k=bk), axis=-1
+              ).astype(jnp.int32))
     # Plain XLA bf16 dot + argmax (no Pallas).
     bench("xla bf16 dot + argmax",
           lambda x, w, ws: jnp.argmax(
