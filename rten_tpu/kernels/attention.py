@@ -1172,6 +1172,510 @@ def flash_decode_grouped(q, kv, lengths, kv_heads, scale=None,
     return jnp.einsum("bhgd,hg->bhd", out4, onehot.astype(out4.dtype))
 
 
+def _head_expander(h, kv_heads, head_dim, hd_tot, dtype):
+    """One-hot head-expansion matrix E [Hp, D, F]: E[hp, d, f] = 1 iff
+    ``f == (hp // q_per_kv) * D + d`` (q row hp reads/writes its kv
+    head's lane block). TWO batched MXU dots replace the block-diagonal
+    q dance entirely:
+
+    * ``qx = dot(q_c [G, Hp, D], E)`` (batch Hp, contract D) → the
+      [Hp, G, F] block-diagonal q, built in VMEM;
+    * ``out = dot(acc [G, Hp, F], E)`` (batch Hp, contract F) → the
+      compact [Hp, G, D] per-head output.
+
+    The wrapper then streams q/out at [.., Hp, D] instead of
+    [.., Hp, F] — for GPT-2 at batch 256 that is 12.6 MB → 1.05 MB per
+    call per direction, and the XLA-side expansion mul + its
+    layout-conversion copies (two 9.4 MB copies per layer in the
+    compiled serving step) disappear."""
+    hp = _round8(h)
+    q_per_kv = h // kv_heads
+    hp_i = jnp.arange(hp)[:, None, None]
+    d_i = jnp.arange(head_dim)[None, :, None]
+    f_i = jnp.arange(hd_tot)[None, None, :]
+    e = (f_i == (hp_i // q_per_kv) * head_dim + d_i) & (hp_i < h)
+    return e.astype(dtype)
+
+
+def _decode_flat_kernel(len_ref, q_all, e_ref, kv_hbm, o_hbm, *, scale,
+                        block_k, hp, head_dim, hd_tot, group, nprog):
+    dp = -(-head_dim // 128) * 128
+    """ONE program for the whole batch: an in-kernel loop over all
+    ``nprog`` sequence groups with a DMA pipeline that runs CONTINUOUSLY
+    across group boundaries (the last block round of group g prefetches
+    group g+1's block 0; output rows stream on their own double-buffered
+    channel). The per-program grid of :func:`_decode_grouped_kernel`
+    drains its pipeline at every program boundary — at serving
+    live-lengths (1-4 blocks per group) that start-up bubble dominated.
+    q arrives COMPACT [nprog, G, Hp, D] and is expanded per group with
+    one batched E-dot (see :func:`_head_expander`); the output leaves
+    compact as [nprog, Hp, G, D]."""
+
+    def body(buf, obuf, sem, osem, m_ref, l_ref, acc_ref):
+        def kv_dma(slot, grp, blk):
+            return pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(grp * group, group),
+                          pl.ds(blk * block_k, block_k)],
+                buf.at[slot], sem.at[slot])
+
+        def o_dma(grp, slot):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[grp], osem.at[slot])
+
+        kv_dma(0, 0, 0).start()
+
+        def outer(grp, r):
+            lens = [len_ref[grp * group + g] for g in range(group)]
+            mx = lens[0]
+            for g in range(1, group):
+                mx = jnp.maximum(mx, lens[g])
+            nb = pl.cdiv(mx, block_k)
+
+            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            g_of = jax.lax.broadcasted_iota(jnp.int32,
+                                            (group, hp, block_k), 0)
+            limit = jnp.zeros((group, hp, block_k), jnp.int32)
+            for g in range(group):
+                limit = jnp.where(g_of == g, lens[g], limit)
+            # Static-index select chain (dynamic VMEM vector indexing
+            # needs tile-aligned trailing dims); the q rows are tiny.
+            q_t = q_all[0]
+            for gg in range(1, nprog):
+                q_t = jnp.where(grp == gg, q_all[gg], q_t)
+            # [Hp, G, D] × E [Hp, D, F] → block-diagonal [Hp, G, F]
+            # (Mosaic batched matmuls need the batch dim leading on
+            # BOTH operands), then a leading-dims swap to the score
+            # layout [G, Hp, F].
+            qx = jax.lax.dot_general(
+                q_t, e_ref[:], (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            qx = jnp.swapaxes(qx, 0, 1).astype(q_all.dtype)
+
+            def loop(i, _):
+                slot = jax.lax.rem(r + i, 2)
+                nslot = jax.lax.rem(r + i + 1, 2)
+
+                # Keep the pipe full across the group boundary: the
+                # next fetch is either this group's next block or the
+                # NEXT group's block 0.
+                @pl.when(i + 1 < nb)
+                def _():
+                    kv_dma(nslot, grp, i + 1).start()
+
+                @pl.when((i + 1 == nb) & (grp + 1 < nprog))
+                def _():
+                    kv_dma(nslot, grp + 1, 0).start()
+
+                kv_dma(slot, grp, i).wait()
+                kblk = buf[slot, :, :, 0, :]       # [G, block_k, F]
+                vblk = buf[slot, :, :, 1, :]
+                s = jax.lax.dot_general(
+                    qx, kblk.astype(qx.dtype),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) * scale
+                k_pos = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (group, hp, block_k), 2)
+                s = jnp.where(k_pos < limit, s, _NEG_INF)
+                m_prev = m_ref[:]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=2, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                pmat = jnp.exp(s - m_new)
+                l_ref[:] = (l_ref[:] * alpha
+                            + jnp.sum(pmat, axis=2, keepdims=True))
+                acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                    pmat, vblk.astype(jnp.float32),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                m_ref[:] = m_new
+                return 0
+
+            jax.lax.fori_loop(0, nb, loop, 0, unroll=False)
+
+            # Compact per-head output: acc [G, Hp, F] × E (contract F)
+            # → [Hp, G, D]. Output rows stream on their own channel;
+            # slot reuse distance is 2 groups, so wait out(grp-2) first
+            # (parity-static: dynamic VMEM slicing is tile-constrained).
+            oval = jnp.swapaxes(
+                acc_ref[:] / jnp.maximum(l_ref[:], 1e-30), 0, 1)
+            oval = jax.lax.dot_general(
+                oval, e_ref[:], (((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(obuf.dtype)
+            if dp != head_dim:
+                # DMA slices need 128-aligned lane extents: pad the
+                # compact rows to the obuf lane width (zero lanes are
+                # sliced off by the wrapper).
+                oval = jnp.concatenate(
+                    [oval, jnp.zeros(oval.shape[:2] + (dp - head_dim,),
+                                     oval.dtype)], axis=-1)
+            parity = jax.lax.rem(grp, 2)
+
+            @pl.when((grp >= 2) & (parity == 0))
+            def _():
+                o_dma(grp - 2, 0).wait()
+
+            @pl.when((grp >= 2) & (parity == 1))
+            def _():
+                o_dma(grp - 2, 1).wait()
+
+            @pl.when(parity == 0)
+            def _():
+                obuf[0] = oval
+                o_dma(grp, 0).start()
+
+            @pl.when(parity == 1)
+            def _():
+                obuf[1] = oval
+                o_dma(grp, 1).start()
+            return r + nb
+
+        jax.lax.fori_loop(0, nprog, outer, 0, unroll=False)
+        for gg in range(max(0, nprog - 2), nprog):
+            o_dma(gg, gg % 2).wait()
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((2, group, block_k, 2, hd_tot), kv_hbm.dtype),
+        obuf=pltpu.VMEM((2, hp, group, dp), o_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+        osem=pltpu.SemaphoreType.DMA((2,)),
+        m_ref=pltpu.VMEM((group, hp, 1), jnp.float32),
+        l_ref=pltpu.VMEM((group, hp, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((group, hp, hd_tot), jnp.float32),
+    )
+
+
+def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
+                              sc_hbm, o_hbm, *, scale, block_k, hp,
+                              head_dim, hd_tot, group, nprog,
+                              scale_lanes, qs_ref=None, ei_ref=None):
+    dp = -(-head_dim // 128) * 128
+    """Token-packed int8 sibling of :func:`_decode_flat_kernel` (same
+    flat single-program pipeline and compact q/out; same per-block math
+    as :func:`_decode_grouped_quant_kernel`, including the merged K+V
+    scale-expansion dot). With ``qs_ref`` (int8_scores mode) q arrives
+    row-quantized int8 and expands through the int8 ``ei_ref`` copy of
+    E — the one-hot contraction is exact in int8 — so the score dot
+    stays a genuine int8×int8 MXU contraction."""
+    blk4 = block_k // 4
+    sc_packed = sc_hbm.dtype == jnp.int32
+    sc_rows = block_k // 2 if sc_packed else block_k
+
+    def body(buf, sbuf, obuf, sem, ssem, osem, m_ref, l_ref, acc_ref):
+        def kv_dma(slot, grp, blk):
+            return pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(grp * group, group),
+                          pl.ds(blk * blk4, blk4)],
+                buf.at[slot], sem.at[slot])
+
+        def sc_dma(slot, grp, blk):
+            return pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(grp * group, group),
+                          pl.ds(blk * sc_rows, sc_rows)],
+                sbuf.at[slot], ssem.at[slot])
+
+        def o_dma(grp, slot):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[grp], osem.at[slot])
+
+        kv_dma(0, 0, 0).start()
+        sc_dma(0, 0, 0).start()
+
+        def outer(grp, r):
+            lens = [len_ref[grp * group + g] for g in range(group)]
+            mx = lens[0]
+            for g in range(1, group):
+                mx = jnp.maximum(mx, lens[g])
+            nb = pl.cdiv(mx, block_k)
+
+            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            g_of = jax.lax.broadcasted_iota(jnp.int32,
+                                            (group, hp, block_k), 0)
+            limit = jnp.zeros((group, hp, block_k), jnp.int32)
+            for g in range(group):
+                limit = jnp.where(g_of == g, lens[g], limit)
+            q_t = q_all[0]
+            for gg in range(1, nprog):
+                q_t = jnp.where(grp == gg, q_all[gg], q_t)
+            if qs_ref is not None:
+                qs = qs_ref[0]
+                for gg in range(1, nprog):
+                    qs = jnp.where(grp == gg, qs_ref[gg], qs)
+                # int8 one-hot expansion is exact: |q| <= 127 survives
+                # the int32 accumulate → int8 cast unchanged. Batch dim
+                # leading on both operands (Mosaic), then swap to the
+                # score layout [G, Hp, F].
+                qx = jax.lax.dot_general(
+                    q_t, ei_ref[:], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)
+                qx = jnp.swapaxes(qx, 0, 1).astype(jnp.int8)
+            else:
+                qx = jax.lax.dot_general(
+                    q_t, e_ref[:], (((2,), (1,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                qx = jnp.swapaxes(qx, 0, 1).astype(q_all.dtype)
+            oh = oh_ref[:]                     # [2*Hp, SL]
+            oh_g = jnp.broadcast_to(oh[None], (group,) + oh.shape)
+
+            def loop(i, _):
+                slot = jax.lax.rem(r + i, 2)
+                nslot = jax.lax.rem(r + i + 1, 2)
+
+                @pl.when(i + 1 < nb)
+                def _():
+                    kv_dma(nslot, grp, i + 1).start()
+                    sc_dma(nslot, grp, i + 1).start()
+
+                @pl.when((i + 1 == nb) & (grp + 1 < nprog))
+                def _():
+                    kv_dma(nslot, grp + 1, 0).start()
+                    sc_dma(nslot, grp + 1, 0).start()
+
+                kv_dma(slot, grp, i).wait()
+                sc_dma(slot, grp, i).wait()
+                kblk = pltpu.bitcast(buf[slot, :, :, 0], jnp.int8)
+                vblk = pltpu.bitcast(buf[slot, :, :, 1], jnp.int8)
+                if sc_packed:
+                    srow = pltpu.bitcast(sbuf[slot, :, :, 0, :],
+                                         jnp.bfloat16)
+                else:
+                    srow = sbuf[slot, :, :, 0, :]    # [G, block_k, SL]
+                if qs_ref is not None:
+                    s = jax.lax.dot_general(
+                        qx, kblk, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * (qs * scale)
+                else:
+                    s = jax.lax.dot_general(
+                        qx, kblk.astype(qx.dtype),
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32) * scale
+                # Merged K+V scale expansion: one batched MXU dot of
+                # the stacked selector against the scale-row tile.
+                kvs = jax.lax.dot_general(
+                    oh_g, srow, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                s = s * kvs[:, :hp]
+                k_pos = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (group, hp, block_k), 2)
+                s = jnp.where(k_pos < limit, s, _NEG_INF)
+                m_prev = m_ref[:]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=2, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                pmat = jnp.exp(s - m_new)
+                l_ref[:] = (l_ref[:] * alpha
+                            + jnp.sum(pmat, axis=2, keepdims=True))
+                pmat = pmat * kvs[:, hp:2 * hp]
+                acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                    pmat, vblk.astype(jnp.float32),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                m_ref[:] = m_new
+                return 0
+
+            jax.lax.fori_loop(0, nb, loop, 0, unroll=False)
+
+            oval = jnp.swapaxes(
+                acc_ref[:] / jnp.maximum(l_ref[:], 1e-30), 0, 1)
+            oval = jax.lax.dot_general(
+                oval, e_ref[:], (((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(obuf.dtype)
+            if dp != head_dim:
+                # DMA slices need 128-aligned lane extents: pad the
+                # compact rows to the obuf lane width (zero lanes are
+                # sliced off by the wrapper).
+                oval = jnp.concatenate(
+                    [oval, jnp.zeros(oval.shape[:2] + (dp - head_dim,),
+                                     oval.dtype)], axis=-1)
+            parity = jax.lax.rem(grp, 2)
+
+            @pl.when((grp >= 2) & (parity == 0))
+            def _():
+                o_dma(grp - 2, 0).wait()
+
+            @pl.when((grp >= 2) & (parity == 1))
+            def _():
+                o_dma(grp - 2, 1).wait()
+
+            @pl.when(parity == 0)
+            def _():
+                obuf[0] = oval
+                o_dma(grp, 0).start()
+
+            @pl.when(parity == 1)
+            def _():
+                obuf[1] = oval
+                o_dma(grp, 1).start()
+            return r + nb
+
+        jax.lax.fori_loop(0, nprog, outer, 0, unroll=False)
+        for gg in range(max(0, nprog - 2), nprog):
+            o_dma(gg, gg % 2).wait()
+
+    pl.run_scoped(
+        body,
+        buf=pltpu.VMEM((2, group, block_k // 4, 2, hd_tot), jnp.int32),
+        sbuf=pltpu.VMEM((2, group, sc_rows, 1, scale_lanes),
+                        sc_hbm.dtype),
+        obuf=pltpu.VMEM((2, hp, group, dp), o_hbm.dtype),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+        ssem=pltpu.SemaphoreType.DMA((2,)),
+        osem=pltpu.SemaphoreType.DMA((2,)),
+        m_ref=pltpu.VMEM((group, hp, 1), jnp.float32),
+        l_ref=pltpu.VMEM((group, hp, 1), jnp.float32),
+        acc_ref=pltpu.VMEM((group, hp, hd_tot), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kv_heads", "scale", "block_k",
+                                    "group", "int8_scores"))
+def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
+                      group=16, kv_scales=None, int8_scores=False):
+    """Flat single-program decode attention: same contract as
+    :func:`flash_decode_grouped`, but (a) the whole batch runs as ONE
+    Pallas program whose DMA pipeline never drains between sequence
+    groups, and (b) q/output cross HBM in COMPACT per-head form
+    ([.., H, D]) with the block-diagonal expansion done in-kernel by
+    one-hot E-matrix MXU dots (:func:`_head_expander`) — at GPT-2
+    serving shapes the block-diagonal q dance was ~23 MB/call of HBM
+    traffic plus two 9.4 MB layout copies per layer. Restrictions:
+    batch % group == 0, single-query decode only (verify keeps the
+    grouped path), and E must fit VMEM (larger models fall back to
+    :func:`flash_decode_grouped`'s block-diagonal streaming)."""
+    b, h, d = q.shape
+    hd_tot = kv_heads * d
+    quant = kv_scales is not None
+    if quant:
+        _, rows, planes, lanes = kv.shape
+        s_max = rows * 4
+        assert planes == 2 and lanes == hd_tot and kv.dtype == jnp.int32
+    else:
+        _, s_max, planes, lanes = kv.shape
+        assert planes == 2 and lanes == hd_tot
+    assert h % kv_heads == 0
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_k = min(block_k, s_max)
+    hp = _round8(h)
+    dp = -(-d // 128) * 128
+    e_bytes = hp * d * hd_tot * 4
+    if b % group or s_max % block_k or (quant and block_k % 4) \
+            or e_bytes > 4 * 1024 * 1024:
+        return flash_decode_grouped(q, kv, lengths, kv_heads,
+                                    scale=scale, block_k=block_k,
+                                    group=group, kv_scales=kv_scales,
+                                    int8_scores=int8_scores)
+    nprog = b // group
+
+    e_mat = _head_expander(h, kv_heads, d, hd_tot, q.dtype)
+    # [nprog, Hp, G, D]: head-leading so the in-kernel E-dot has its
+    # batch dim (Hp) leading on both operands (a Mosaic requirement).
+    q_c = q.reshape(nprog, group, h, d).transpose(0, 2, 1, 3)
+    if hp != h:
+        q_c = jnp.pad(q_c, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    lens = jnp.asarray(lengths, jnp.int32)
+
+    def vmem(shape):
+        return pl.BlockSpec(shape, lambda i, lens: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    if quant:
+        from ..generate.kv_cache import SCALE_LANES
+        onehot = jnp.eye(kv_heads, dtype=jnp.float32
+                         ).repeat(h // kv_heads, axis=0)
+        oh_s = _scale_selector(
+            onehot, jnp.bfloat16 if kv_scales.dtype == jnp.int32
+            else kv_scales.dtype)
+        in_specs = [
+            vmem(q_c.shape),                         # compact q
+            vmem(e_mat.shape),                       # E (f32)
+            vmem(oh_s.shape),                        # scale selector
+            pl.BlockSpec(memory_space=pl.ANY),       # packed kv
+            pl.BlockSpec(memory_space=pl.ANY),       # scale rows
+        ]
+        if int8_scores:
+            qsc = jnp.max(jnp.abs(q_c), axis=-1, keepdims=True)
+            qsc = jnp.where(qsc == 0, 1.0, qsc / 127.0
+                            ).astype(jnp.float32)
+            q_arg = jnp.clip(jnp.round(q_c / qsc), -127, 127
+                             ).astype(jnp.int8)
+            qsc = qsc.transpose(0, 2, 1, 3)      # [nprog, G, Hp, 1]
+            e_int8 = e_mat.astype(jnp.int8)
+            in_specs.insert(2, vmem(e_int8.shape))   # int8 E
+            in_specs.insert(3, vmem(qsc.shape))      # q scales
+
+            def kernel(len_ref, q_all, e_ref, ei, qs, oh_ref, kv_hbm,
+                       sc_hbm, o_hbm):
+                return _decode_flat_quant_kernel(
+                    len_ref, q_all, e_ref, oh_ref, kv_hbm, sc_hbm,
+                    o_hbm, scale=scale, block_k=block_k, hp=hp,
+                    head_dim=d, hd_tot=hd_tot, group=group,
+                    nprog=nprog, scale_lanes=SCALE_LANES, qs_ref=qs,
+                    ei_ref=ei)
+
+            args = (lens, q_arg, e_mat.astype(jnp.float32), e_int8,
+                    qsc, oh_s, kv, kv_scales)
+        else:
+            kernel = functools.partial(
+                _decode_flat_quant_kernel, scale=scale, block_k=block_k,
+                hp=hp, head_dim=d, hd_tot=hd_tot, group=group,
+                nprog=nprog, scale_lanes=SCALE_LANES)
+            args = (lens, q_c, e_mat, oh_s, kv, kv_scales)
+        out_full = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,   # lengths
+                grid=(1,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nprog, hp, group, dp), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s_max * hd_tot,
+                bytes_accessed=(kv.size + kv_scales.size) * 4,
+                transcendentals=b * h * s_max),
+            interpret=_interpret(),
+        )(*args)
+    else:
+        out_full = pl.pallas_call(
+            functools.partial(_decode_flat_kernel, scale=scale,
+                              block_k=block_k, hp=hp, head_dim=d,
+                              hd_tot=hd_tot, group=group, nprog=nprog),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,   # lengths
+                grid=(1,),
+                in_specs=[
+                    vmem(q_c.shape),                 # compact q
+                    vmem(e_mat.shape),               # E
+                    pl.BlockSpec(memory_space=pl.ANY),   # kv, HBM
+                ],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nprog, hp, group, dp), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s_max * hd_tot,
+                bytes_accessed=kv.size * kv.dtype.itemsize,
+                transcendentals=b * h * s_max),
+            interpret=_interpret(),
+        )(lens, q_c, e_mat, kv)
+    # [nprog, Hp, G, Dp] → [B, H, D] (small: B*Hp*Dp elements).
+    return out_full.transpose(0, 2, 1, 3)[:, :, :h, :d].reshape(b, h, d)
+
+
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
                                     "group"))

@@ -331,8 +331,24 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
     group = next((g for g in groups if b % g == 0 and b >= 2 * g), 0)
     blk = 128 if long_ctx else 64
     if kind == "auto":
-        kind = "grouped" if group else "fused"
-    if kind == "grouped":
+        # Short-capacity QUANT caches: the flat single-program kernel
+        # with compact q/out (v5e live-128 A/B: 238 vs 316 us grouped —
+        # the per-program pipeline drain and the block-diagonal q
+        # traffic both dominate at live <= ~512). Long caches stay on
+        # the per-group grid (bandwidth-bound at 733 GB/s; the flat
+        # kernel's E-matrix + buffers don't fit VMEM at g16/b128), and
+        # float caches too (g8 flat measured slower — the per-group
+        # epilogue overhead doubles at 2x the group count).
+        kind = ("flat" if scales is not None and group and not long_ctx
+                else "grouped" if group else "fused")
+    if kind == "flat" and group:
+        from ..kernels.attention import flash_decode_flat
+        return flash_decode_flat(
+            q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,
+            group=group, block_k=blk, kv_scales=scales,
+            int8_scores=(scales is not None and group < 16
+                         and not long_ctx and cfg.quant_int8_scores))
+    if kind == "grouped" or kind == "flat":
         from ..kernels.attention import flash_decode_grouped
         return flash_decode_grouped(
             q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,

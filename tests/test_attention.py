@@ -509,3 +509,111 @@ def test_flash_decode_grouped_append_matches_manual_write():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(kv_new), kv_ref)
+
+@pytest.mark.parametrize("group,kvh,h", [(2, 4, 4), (4, 2, 8)])
+def test_flash_decode_flat_matches_reference(group, kvh, h):
+    """The flat single-program kernel (one in-kernel loop over all
+    sequence groups, pipeline continuous across group boundaries) must
+    match the reference exactly like the per-group grid kernel."""
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_flat)
+    b, d, cap = 8, 16, 256
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b, h, d).astype(np.float32))
+    kv = jnp.asarray(rng.randn(b, cap, 2, kvh * d).astype(np.float32))
+    lengths = jnp.asarray([5, 128, 250, 64, 1, 200, 33, 77], jnp.int32)
+
+    got = flash_decode_flat(q, kv, lengths, kvh, block_k=64, group=group)
+
+    k = kv[:, :, 0].reshape(b, cap, kvh, d).transpose(0, 2, 1, 3)
+    v = kv[:, :, 1].reshape(b, cap, kvh, d).transpose(0, 2, 1, 3)
+    k = jnp.repeat(k, h // kvh, axis=1)
+    v = jnp.repeat(v, h // kvh, axis=1)
+    want = _attn_reference(q[:, :, None, :], k, v, False,
+                           1.0 / np.sqrt(d), lengths)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_flash_decode_flat_quantized_cache(group):
+    """Flat kernel over the token-packed int8 cache (f32 scale rows) vs
+    attention over the dequantized cache — same contract as the grouped
+    quant kernel."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_flat)
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    lengths = jnp.asarray([5, 127, 64, 1], jnp.int32)
+
+    got = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64,
+                            group=group, kv_scales=jnp.asarray(scales))
+
+    raw = {0: k_q, 1: v_q}
+
+    def plane(i):
+        x = jnp.asarray(raw[i]).reshape(B, cap, KVH, D).astype(jnp.float32)
+        x = x * s_np[:, :, i][..., None]
+        return jnp.repeat(x.transpose(0, 2, 1, 3), H // KVH, axis=1)
+
+    want = _attn_reference(q[:, :, None, :], plane(0), plane(1), False,
+                           1.0 / np.sqrt(D), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_flat_packed_scales_int8_scores():
+    """Flat kernel with bf16-pair-packed scale rows and int8_scores must
+    match the grouped kernel bit-for-bit (identical math per block)."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_bf16_rows,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import flash_decode_grouped, \
+        flash_decode_flat
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(13)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = 0.01 + 0.05 * rng.rand(B, cap, 2, KVH).astype(np.float32)
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    packed = pack_bf16_rows(
+        jnp.asarray(scales).swapaxes(1, 2)).swapaxes(1, 2)
+    lengths = jnp.asarray([5, 127, 64, 2], jnp.int32)
+
+    for int8_scores in (False, True):
+        got = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64,
+                                group=2, kv_scales=packed,
+                                int8_scores=int8_scores)
+        want = flash_decode_grouped(q, kv_q, lengths, KVH, block_k=64,
+                                    group=2, kv_scales=packed,
+                                    int8_scores=int8_scores)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_flash_decode_flat_fallback_odd_batch():
+    from rten_tpu.kernels.attention import (flash_decode_fused,
+                                            flash_decode_flat)
+    B, H, KVH, D, cap = 3, 4, 2, 32, 64
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    kv = jnp.asarray(rng.randn(B, cap, 2, KVH * D).astype(np.float32))
+    lengths = jnp.asarray([5, 40, 64], jnp.int32)
+    got = flash_decode_flat(q, kv, lengths, KVH, group=2)
+    want = flash_decode_fused(q, kv, lengths, KVH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

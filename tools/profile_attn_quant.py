@@ -110,11 +110,28 @@ def main():
         return per_call
 
     def variant(kind, g, blk):
+        from rten_tpu.kernels.attention import flash_decode_flat
         if kind == "f":
             return (f"bf16 grouped g={g} b{blk}",
                     lambda q, kv, s, l: flash_decode_grouped(
                         q, kv, l, kvh, block_k=blk, group=g),
                     kv_bf16, None, bytes_f)
+        if kind == "ff":
+            return (f"bf16 FLAT g={g} b{blk}",
+                    lambda q, kv, s, l: flash_decode_flat(
+                        q, kv, l, kvh, block_k=blk, group=g),
+                    kv_bf16, None, bytes_f)
+        if kind in ("qq", "qqs", "qqf32"):
+            sarr = scales_f32 if kind == "qqf32" else scales
+            nbytes = bytes_quant(2 if sarr.dtype == jnp.int32 else 4)
+            fl = {"int8_scores": True} if kind == "qqs" else {}
+            sn = ("f32-scales" if kind == "qqf32" else "packed-scales")
+            return (f"int8 FLAT g={g} b{blk} {sn}"
+                    + (" int8-scores" if fl else ""),
+                    lambda q, kv, s, l: flash_decode_flat(
+                        q, kv, l, kvh, block_k=blk, group=g,
+                        kv_scales=s, **fl),
+                    kv_q, sarr, nbytes)
         flags = {}
         sarr = scales
         sname = ("packed-scales" if sarr.dtype == jnp.int32

@@ -88,7 +88,12 @@ def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
                 # LM-head+sample tail.
                 x, cache = model._hidden_states(params, tokens[:, None],
                                                 cache)
-                nxt = tokens + x[:, 0, 0].astype(jnp.int32) * 0
+                # Data-dependent zero: a literal ``* 0`` constant-folds,
+                # severing the step i -> i+1 dependency and letting XLA
+                # hoist the next step's embed — which made this ablation
+                # overstate the head tail (it was also removing the
+                # cross-step serialization).
+                nxt = tokens + jnp.where(x[:, 0, 0] > 3e38, 1, 0)
             elif fused_head:
                 # The serving engine's greedy path: fused int8
                 # lm-head+argmax kernel (decode_step_argmax).
@@ -99,7 +104,7 @@ def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
                 if "sample" in ablate:
                     # Keep logits live (else the head is dead code) but
                     # skip the argmax reduction.
-                    nxt = tokens + logits[:, 0].astype(jnp.int32) * 0
+                    nxt = tokens + jnp.where(logits[:, 0] > 3e38, 1, 0)
                 else:
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, cache), None
@@ -177,6 +182,10 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated substring filter of variant names "
                          "(saves remote compiles)")
+    ap.add_argument("--serving-cache", default="int8",
+                    choices=("int8", "bf16"),
+                    help="--serving KV-cache config (default: the "
+                         "token-packed int8 serving default)")
     ap.add_argument("--serving", action="store_true",
                     help="ablate the SERVING config (int8 weights + bf16 "
                          "cache + fused head/argmax) instead of f32; use "
@@ -241,12 +250,18 @@ def main():
         print(f"{name:30s} {per_step * 1e6:9.1f} us/step{kinfo}", flush=True)
 
     if args.serving:
-        # The headline serving config (bench.py): int8 weights, bf16 KV
-        # cache, greedy fused lm-head+argmax. Ablations difference out
+        # The headline serving config (bench.py): int8 weights, the
+        # token-packed int8 KV cache (serving default since round 6),
+        # greedy fused lm-head+argmax. Ablations difference out
         # per-component cost at this exact batch/capacity.
+        # --serving-cache bf16 reverts to the round-5 bf16-cache config.
         L0 = layer_counts[0]
         L1 = layer_counts[1]
-        sv = dict(quant="int8", cache_dtype="bfloat16", fused_head=True)
+        if args.serving_cache == "int8":
+            sv = dict(quant="int8", qcache=True, fused_head=True)
+        else:
+            sv = dict(quant="int8", cache_dtype="bfloat16",
+                      fused_head=True)
         run(f"srv L={L0}", {**base_kw, "n_layers": L0}, **sv)
         run(f"srv L={L1}", {**base_kw, "n_layers": L1}, **sv)
         run("srv no-attn", {**base_kw, "n_layers": L0}, ablate=("attn",),
@@ -255,10 +270,10 @@ def main():
             ablate=("append",), **sv)
         run("srv no-mlp", {**base_kw, "n_layers": L0}, ablate=("mlp",),
             **sv)
+        nohead = {k: v for k, v in sv.items() if k != "fused_head"}
         run("srv no-head", {**base_kw, "n_layers": L0}, ablate=("head",),
-            quant="int8", cache_dtype="bfloat16")
-        run("srv unfused-head", {**base_kw, "n_layers": L0},
-            quant="int8", cache_dtype="bfloat16")
+            **nohead)
+        run("srv unfused-head", {**base_kw, "n_layers": L0}, **nohead)
         full = results.get(f"srv L={L0}")
         if full:
             t = full[0]

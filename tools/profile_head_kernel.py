@@ -75,7 +75,9 @@ def main():
               f"{wbytes / per / 1e9:6.0f} GB/s weight stream", flush=True)
 
     bench("matmul_argmax_int8 (default bn)", gk.matmul_argmax_int8)
-    for bn in (1024, 4096, 8192):
+    # bn caps near 2048: the int8 tile + its bf16 copy at bn=4096 blow
+    # the 16 MB VMEM scoped limit (measured: 20.7 M requested).
+    for bn in (512, 1024, 2048):
         bench(f"matmul_argmax_int8 bn={bn}",
               lambda x, w, ws, bn=bn: gk.matmul_argmax_int8(
                   x, w, ws, block_n=bn))
