@@ -64,7 +64,8 @@ class ServingEngine:
                  mesh=None, paged=False, page_size=64, pool_pages=None,
                  cache_dtype=None, fused_head=None, log_stats_every=None,
                  spec_draft=0, spec_ngram=3, spec_adaptive=True,
-                 spec_cost=1.9, spec_probe_every=16, logprobs=False):
+                 spec_cost=1.9, spec_probe_every=16, logprobs=False,
+                 tail_window=None):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -113,6 +114,7 @@ class ServingEngine:
         # never forms logits.
         self.logprobs = bool(logprobs)
 
+        self._tail_flush = 0
         if paged:
             assert mesh is None, "paged mode is single-mesh for now"
             from .paged_cache import PagedKVCache
@@ -122,12 +124,50 @@ class ServingEngine:
                                                quantized=quantized_cache)
             self.allocator = PagedKVCache.make_allocator(n_pages)
         else:
+            # bf16 tail write-buffer (generate/kv_cache.py): decode
+            # appends become ONE dense row write at a global window slot
+            # instead of the token-packed RMW kernel's 4 scalar-issued
+            # DMAs per sequence (131 us/layer at batch 256 — the largest
+            # single cost of the serving step); the window flushes into
+            # the packed cache every ``_tail_flush`` steps inside the
+            # jitted burst, and on the host before any admission /
+            # speculative burst. Single-chip flat-kernel configs only.
+            cfg = getattr(model, "config", None)
+            if tail_window is not None:
+                # Explicit override (0 disables; tests/A-B tooling).
+                self._tail_flush = int(tail_window)
+            elif (spec_draft == 0 and quantized_cache and mesh is None
+                    and cfg is not None and cfg.use_pallas
+                    and getattr(cfg, "decode_attn", "auto")
+                    in ("auto", "flat")
+                    and capacity < 2048 and capacity % 64 == 0
+                    and (cfg.n_kv_heads * cfg.head_dim) % 128 == 0
+                    and any(max_batch % g == 0 and max_batch >= 2 * g
+                            for g in (16, 8, 4, 2))
+                    # flash_decode_flat's E-matrix must fit VMEM
+                    and (-(-cfg.n_heads // 8) * 8) * cfg.head_dim
+                    * cfg.n_kv_heads * cfg.head_dim * 4
+                    <= 4 * 1024 * 1024):
+                self._tail_flush = 16
             self.cache = model.new_cache(max_batch, capacity,
                                          quantized=quantized_cache,
-                                         cache_dtype=cache_dtype)
+                                         cache_dtype=cache_dtype,
+                                         tail_window=self._tail_flush)
         if mesh is not None:
             from ..parallel import shard_cache
             self.cache = shard_cache(self.cache, mesh)
+        # Host mirror of cache.tail_count (exact: +1 per decode step,
+        # reset by flushes — no device fetch needed).
+        self._tail_fill = 0
+
+        def flush_fn(cache, t):
+            return cache.flush_tail(t)
+
+        self._flush_tail = jax.jit(flush_fn, donate_argnums=(0,),
+                                   static_argnums=(1,))
+
+        # (host-side flush of a partially filled window lives in
+        # _host_flush below)
         # Slot bookkeeping. When the native C++ scheduler is built
         # (native/scheduler.cpp), it owns the queue, slot lifecycle, and
         # the per-token stop-condition scan; ``slot_request`` stays as a
@@ -251,13 +291,44 @@ class ServingEngine:
 
         def burst_fn(params, tokens, cache, key, samp, n):
             """n chained decode steps fully on device (one dispatch, one
-            host sync) — amortizes host↔device latency over n tokens."""
+            host sync) — amortizes host↔device latency over n tokens.
+            With the tail write-buffer active, the burst runs as chunks
+            of ``_tail_flush`` steps with an in-device flush between
+            (the window must never overfill; the engine host-flushes any
+            remainder before the next admission or burst)."""
             def body(carry, _):
                 tokens, cache, key = carry
                 key, sub = jax.random.split(key)
                 nxt, lp, cache = decode_one(params, tokens, cache, sub,
                                             samp)
                 return (nxt, cache, key), (nxt, lp)
+
+            fl = self._tail_flush
+            if fl and getattr(cache, "tail", None) is not None:
+                chunks, rem = divmod(n, fl)
+
+                def chunk_body(carry, _):
+                    carry, outs = jax.lax.scan(body, carry, None,
+                                               length=fl)
+                    tokens, cache, key = carry
+                    return (tokens, cache.flush_tail(fl), key), outs
+
+                carry = (tokens, cache, key)
+                toks = lps = None
+                if chunks:
+                    carry, (toks, lps) = jax.lax.scan(
+                        chunk_body, carry, None, length=chunks)
+                    toks = toks.reshape(chunks * fl, *toks.shape[2:])
+                    lps = lps.reshape(chunks * fl, *lps.shape[2:])
+                if rem:
+                    carry, (rt, rl) = jax.lax.scan(body, carry, None,
+                                                   length=rem)
+                    toks = rt if toks is None else jnp.concatenate(
+                        [toks, rt])
+                    lps = rl if lps is None else jnp.concatenate(
+                        [lps, rl])
+                tokens, cache, _ = carry
+                return toks, lps, cache
 
             (tokens, cache, _), (toks, lps) = jax.lax.scan(
                 body, (tokens, cache, key), None, length=n)
@@ -463,7 +534,18 @@ class ServingEngine:
             if had_active and dt > 1e-4:
                 self._admit_stalls.append(dt)
 
+    def _host_flush(self):
+        """Flush a partially filled tail window (static-t jit per fill
+        value — at most ``_tail_flush`` distinct cheap compiles). Must
+        run before anything that reads or rewrites the packed cache
+        outside the flat decode kernel: admission inserts, speculative
+        verify, snapshots."""
+        if self._tail_flush and self._tail_fill:
+            self.cache = self._flush_tail(self.cache, self._tail_fill)
+            self._tail_fill = 0
+
     def _admit_inner(self):
+        self._host_flush()
         if self._sched is not None:
             handles, slots = self._sched.admit()
             if len(handles) == 0:
@@ -759,6 +841,10 @@ class ServingEngine:
             self.params, jnp.asarray(self.current_tokens), self.cache, sub,
             self._samp_args())
         self._host_lengths += 1
+        if self._tail_flush:
+            self._tail_fill += 1
+            if self._tail_fill >= self._tail_flush:
+                self._host_flush()
         self._device_tokens = None
         next_np = np.asarray(next_tokens)
         lps_np = np.asarray(lps)[None, :] if self.logprobs else None
@@ -784,6 +870,10 @@ class ServingEngine:
             for slot in active:
                 self.cache = self.allocator.ensure_capacity(
                     self.cache, slot, n + 1, length=int(lengths_np[slot]))
+        if self._tail_flush and self._tail_fill:
+            # The in-burst flush points assume an empty window at burst
+            # start.
+            self._host_flush()
         if self._device_tokens is None:
             self._device_tokens = jnp.asarray(self.current_tokens)
         self._key, sub = jax.random.split(self._key)
@@ -803,6 +893,8 @@ class ServingEngine:
                 self._samp_args(), n)
         self._device_tokens = toks[-1]
         self._host_lengths += n     # the device advances every slot
+        if self._tail_flush:
+            self._tail_fill = n % self._tail_flush
         snapshot = [(s, self.slot_request[s]) for s in active]
         return (toks, lps, snapshot, lengths_np, n)
 

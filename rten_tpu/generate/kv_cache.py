@@ -272,23 +272,43 @@ class KVCache:
     quant_scales: object = None  # per layer [B, cap, 2, KVH] f32, or None
     kv_heads: int = 1
     head_dim: int = 1
+    # bf16 tail write-buffer (quantized caches, serving decode): the
+    # newest <=R tokens live UNQUANTIZED in per-layer [B, R, 2, KVH*D]
+    # bf16 rings written at a GLOBAL slot index (tail_count, the same
+    # for every sequence — the engine flushes before admissions, so all
+    # live sequences are always at the same in-window depth). A decode
+    # append is then ONE dense dynamic_update_slice instead of the
+    # token-packed RMW kernel's 4 scalar-issued DMAs per sequence
+    # (measured 131 us/layer at batch 256 — the largest single cost of
+    # the serving step), and the per-step quantization work moves into
+    # the amortized flush. flush_tail() quantizes the window and chunk-
+    # appends it into the packed cache (equivalent to per-token RMW
+    # appends up to the bf16 rounding of the buffered rows).
+    # The flat decode-attention kernel reads the tail as one extra
+    # bf16 block round (newest tokens at HIGHER precision than int8).
+    tail: object = None         # per layer [B, R, 2, KVH*D] bf16, or None
+    tail_count: object = 0      # [] int32 — tokens in the tail window
 
     # -- pytree plumbing (so caches flow through jit/donation) -------------
 
     def tree_flatten(self):
-        return ((self.kv, self.lengths, self.quant_scales),
+        return ((self.kv, self.lengths, self.quant_scales, self.tail,
+                 self.tail_count),
                 (self.kv_heads, self.head_dim))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        kv, lengths, quant_scales, tail, tail_count = children
+        kv_heads, head_dim = aux
+        return cls(kv, lengths, quant_scales, kv_heads, head_dim,
+                   tail, tail_count)
 
     # -- construction ------------------------------------------------------
 
     @staticmethod
     def create(batch, n_layers, kv_heads, capacity, head_dim,
                dtype=jnp.float32, quantized=False, stacked=False,
-               scale_lane_groups=1):
+               scale_lane_groups=1, tail_window=0):
         """``stacked=True`` holds all layers in one [L, B, cap, 2, KVH*D]
         array (required for `lax.scan` over layers, where the layer index
         is traced); the default is one array per layer.
@@ -309,25 +329,25 @@ class KVCache:
             assert kv_heads % t == 0
             shape = (batch, capacity // 4, 2, f)          # token-packed
             kv = [jnp.zeros(shape, jnp.int32) for _ in range(n_layers)]
-            # Capacity-keyed scale-row format (round-6 hardware A/B):
-            # LONG caches (>= 2048, the block-128 kernel regime) store
-            # bf16-pair-packed int32 rows — the halved scale stream is
-            # worth 724-733 GB/s vs 627 at live 3968 and lets g=16/b128
-            # fit VMEM. SHORT caches keep f32 rows: at live <= ~512 the
-            # kernel is chain-bound, the per-block bitcast relayout
-            # costs more than the bytes it saves (362 vs 298 us at
-            # live 256/b64), and block 64's finer ragged granularity
-            # wins at small live lengths.
-            if capacity >= 2048:
-                sshape = (batch, capacity // 2, 1, t * SCALE_LANES)
-                scales = [jnp.full(sshape, _PACKED_ONES, jnp.int32)
-                          for _ in range(n_layers)]
-            else:
-                sshape = (batch, capacity, 1, t * SCALE_LANES)
-                scales = [jnp.ones(sshape, jnp.float32)
-                          for _ in range(n_layers)]
+            # Scale rows are bf16-pair-packed at EVERY capacity since
+            # round 3 of the flat kernel: with the flat single-program
+            # pipeline the short-cache regime flipped — f32 rows 227 us
+            # vs packed 89 us at batch 256 / live 128 (the f32 scale
+            # stream, not the bitcast relayout, was the binding cost;
+            # the old grouped-kernel A/B that kept f32 rows short had
+            # measured the opposite). Values are identical either way:
+            # the quantizer rounds scales to bf16 before use.
+            sshape = (batch, capacity // 2, 1, t * SCALE_LANES)
+            scales = [jnp.full(sshape, _PACKED_ONES, jnp.int32)
+                      for _ in range(n_layers)]
+            tail = None
+            if tail_window:
+                tail = [jnp.zeros((batch, tail_window, 2, f),
+                                  jnp.bfloat16) for _ in range(n_layers)]
             return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
-                           kv_heads, head_dim)
+                           kv_heads, head_dim, tail,
+                           jnp.zeros((), jnp.int32))
+        assert not tail_window, "tail buffer requires a quantized cache"
         shape = (batch, capacity, 2, kv_heads * head_dim)
         if stacked:
             kv = jnp.zeros((n_layers, *shape), dtype)
@@ -353,7 +373,8 @@ class KVCache:
 
     def with_lengths(self, lengths):
         return KVCache(self.kv, jnp.asarray(lengths, jnp.int32),
-                       self.quant_scales, self.kv_heads, self.head_dim)
+                       self.quant_scales, self.kv_heads, self.head_dim,
+                       self.tail, self.tail_count)
 
     # -- updates -----------------------------------------------------------
 
@@ -391,6 +412,25 @@ class KVCache:
         Returns a new KVCache (same buffers aliased via donation under
         jit)."""
         b, kvh, t, d = k_new.shape
+        if (self.tail is not None and position is None and t == 1):
+            # Tail write-buffer decode append: ONE dense bf16 row write
+            # at the GLOBAL window slot (all live sequences are at the
+            # same in-window depth — the engine flushes before any
+            # admission). No quantization here; flush_tail() does it
+            # for the whole window at once.
+            k_t = k_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d)
+            v_t = v_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d)
+            row = jnp.stack([k_t, v_t], axis=2).astype(jnp.bfloat16)
+            tail = list(self.tail)
+            tail[layer] = jax.lax.dynamic_update_slice(
+                tail[layer], row, (0, self.tail_count, 0, 0))
+            # The window slot advances once per STEP: the last layer's
+            # append bumps it (layer is a python int — quantized caches
+            # are never stacked).
+            bump = 1 if layer == len(self.kv) - 1 else 0
+            return KVCache(self.kv, self.lengths, self.quant_scales,
+                           self.kv_heads, self.head_dim, tail,
+                           self.tail_count + bump)
         packed, new_scales = self._pack(k_new, v_new)
 
         if self.stacked:
@@ -410,7 +450,8 @@ class KVCache:
                 kv = jax.lax.dynamic_update_slice(
                     self.kv, packed[None], (layer, 0, position, 0, 0))
             return KVCache(kv, self.lengths, self.quant_scales,
-                           self.kv_heads, self.head_dim)
+                           self.kv_heads, self.head_dim, self.tail,
+                           self.tail_count)
 
         buf = self.kv[layer]
         scales = self.quant_scales
@@ -423,7 +464,7 @@ class KVCache:
             sc = list(scales)
             sc[layer] = s_new
             return KVCache(kv, self.lengths, sc, self.kv_heads,
-                           self.head_dim)
+                           self.head_dim, self.tail, self.tail_count)
 
         packed = packed.astype(buf.dtype)
         # The float row is [1, 2, KVH*D]; the Pallas DMA needs a
@@ -466,7 +507,8 @@ class KVCache:
             kv = jax.lax.dynamic_update_slice(
                 self.kv, src.astype(self.kv.dtype), (0, slot, 0, 0, 0))
             return KVCache(kv, self.lengths.at[slot].set(length),
-                           self.quant_scales, self.kv_heads, self.head_dim)
+                           self.quant_scales, self.kv_heads,
+                           self.head_dim, self.tail, self.tail_count)
 
         def pick(src):
             return jax.lax.dynamic_slice_in_dim(src, src_slot, 1, 0)
@@ -479,12 +521,58 @@ class KVCache:
             scales = [jax.lax.dynamic_update_slice(s, pick(o),
                                                    (slot, 0, 0, 0))
                       for s, o in zip(scales, other.quant_scales)]
+        # Tail fields pass through untouched: admissions happen with a
+        # flushed (empty) window, so the rows are dead.
         return KVCache(kv, self.lengths.at[slot].set(length), scales,
-                       self.kv_heads, self.head_dim)
+                       self.kv_heads, self.head_dim, self.tail,
+                       self.tail_count)
 
     def advance(self, n):
         return KVCache(self.kv, self.lengths + n, self.quant_scales,
-                       self.kv_heads, self.head_dim)
+                       self.kv_heads, self.head_dim, self.tail,
+                       self.tail_count)
+
+    def flush_tail(self, t: int):
+        """Quantize the first ``t`` tail-window rows of every layer and
+        chunk-append them into the packed cache at each sequence's own
+        depth (``lengths`` already count the tail tokens, so the write
+        offsets are ``lengths - t``). ``t`` must be static (the engine
+        tracks the window fill on the host / flushes at fixed strides
+        inside jitted bursts). Equivalent to having RMW-appended each
+        token at decode time up to the bf16 rounding the buffered rows
+        pass through (the per-(token, head) scale math is elementwise,
+        so batching it over the window adds no further difference).
+        Returns the cache with ``tail_count`` reset to 0 (tail rows stay
+        — they are dead until overwritten)."""
+        assert self.tail is not None
+        t = int(t)
+        if t == 0:
+            return KVCache(self.kv, self.lengths, self.quant_scales,
+                           self.kv_heads, self.head_dim, self.tail,
+                           jnp.zeros((), jnp.int32))
+        b = self.tail[0].shape[0]
+        kvh, d = self.kv_heads, self.head_dim
+        offs = jnp.maximum(self.lengths - t, 0)
+        kv = list(self.kv)
+        sc = list(self.quant_scales)
+        for layer in range(len(kv)):
+            rows = self.tail[layer][:, :t]             # [B, t, 2, F]
+            k_t = rows[:, :, 0].reshape(b, t, kvh, d).astype(jnp.float32)
+            v_t = rows[:, :, 1].reshape(b, t, kvh, d).astype(jnp.float32)
+            k_q, k_s = _quantize_tokens(k_t)
+            v_q, v_s = _quantize_tokens(v_t)
+            bytes_kv = jnp.stack(
+                [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
+                 v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
+            srows = jnp.ones((b, t, 1, SCALE_LANES), SCALE_DTYPE)
+            srows = srows.at[..., 0, 0:kvh].set(k_s)
+            srows = srows.at[..., 0,
+                             VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
+            kv[layer], sc[layer] = _quant_append(
+                kv[layer], sc[layer], bytes_kv, srows, None, offs)
+        return KVCache(kv, self.lengths, sc, self.kv_heads,
+                       self.head_dim, self.tail,
+                       jnp.zeros((), jnp.int32))
 
     # -- reads ---------------------------------------------------------------
 

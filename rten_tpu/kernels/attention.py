@@ -1352,7 +1352,8 @@ def _decode_flat_kernel(len_ref, q_all, e_ref, kv_hbm, o_hbm, *, scale,
 def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
                               sc_hbm, o_hbm, *, scale, block_k, hp,
                               head_dim, hd_tot, group, nprog,
-                              scale_lanes, qs_ref=None, ei_ref=None):
+                              scale_lanes, qs_ref=None, ei_ref=None,
+                              tc_ref=None, tail_hbm=None):
     dp = -(-head_dim // 128) * 128
     """Token-packed int8 sibling of :func:`_decode_flat_kernel` (same
     flat single-program pipeline and compact q/out; same per-block math
@@ -1365,7 +1366,10 @@ def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
     sc_packed = sc_hbm.dtype == jnp.int32
     sc_rows = block_k // 2 if sc_packed else block_k
 
-    def body(buf, sbuf, obuf, sem, ssem, osem, m_ref, l_ref, acc_ref):
+    def body(buf, sbuf, obuf, sem, ssem, osem, m_ref, l_ref, acc_ref,
+             tbuf, tsem):
+        tc = None if tc_ref is None else tc_ref[0]
+
         def kv_dma(slot, grp, blk):
             return pltpu.make_async_copy(
                 kv_hbm.at[pl.ds(grp * group, group),
@@ -1382,15 +1386,28 @@ def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
             return pltpu.make_async_copy(
                 obuf.at[slot], o_hbm.at[grp], osem.at[slot])
 
+        def t_dma(grp):
+            return pltpu.make_async_copy(
+                tail_hbm.at[pl.ds(grp * group, group)], tbuf,
+                tsem.at[0])
+
         kv_dma(0, 0, 0).start()
         sc_dma(0, 0, 0).start()
 
         def outer(grp, r):
             lens = [len_ref[grp * group + g] for g in range(group)]
+            if tc is not None:
+                # The tail window holds the newest tc tokens (incl. the
+                # current one); the packed region covers the rest.
+                t_dma(grp).start()
+                lens = [lg - tc for lg in lens]
             mx = lens[0]
             for g in range(1, group):
                 mx = jnp.maximum(mx, lens[g])
-            nb = pl.cdiv(mx, block_k)
+            # Unused slots can leave a whole group's packed span empty
+            # (lens <= 0): still run one fully-masked block round so
+            # the DMA start/wait pairing stays balanced.
+            nb = jnp.maximum(pl.cdiv(mx, block_k), 1)
 
             m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
             l_ref[:] = jnp.zeros_like(l_ref)
@@ -1483,6 +1500,34 @@ def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
 
             jax.lax.fori_loop(0, nb, loop, 0, unroll=False)
 
+            if tc is not None:
+                # Tail round: the newest tc tokens live UNQUANTIZED in
+                # the bf16 write-buffer — one extra bf16 block per
+                # group, no scale dot (see generate/kv_cache.py tail
+                # docs; the window is global, so the mask is the same
+                # scalar for every sequence).
+                t_dma(grp).wait()
+                tk = tbuf[:, :, 0, :]              # [G, R, F] bf16
+                tv = tbuf[:, :, 1, :]
+                st = jax.lax.dot_general(
+                    qx, tk.astype(qx.dtype),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) * scale
+                j_pos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
+                st = jnp.where(j_pos < tc, st, _NEG_INF)
+                m_prev = m_ref[:]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(st, axis=2, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                pmat = jnp.exp(st - m_new)
+                l_ref[:] = (l_ref[:] * alpha
+                            + jnp.sum(pmat, axis=2, keepdims=True))
+                acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                    pmat, tv.astype(jnp.float32),
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                m_ref[:] = m_new
+
             oval = jnp.swapaxes(
                 acc_ref[:] / jnp.maximum(l_ref[:], 1e-30), 0, 1)
             oval = jax.lax.dot_general(
@@ -1521,6 +1566,8 @@ def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
         for gg in range(max(0, nprog - 2), nprog):
             o_dma(gg, gg % 2).wait()
 
+    tbuf_shape = ((group,) + tail_hbm.shape[1:] if tail_hbm is not None
+                  else (1, 2, 2, hd_tot))   # dummy when no tail
     pl.run_scoped(
         body,
         buf=pltpu.VMEM((2, group, block_k // 4, 2, hd_tot), jnp.int32),
@@ -1533,6 +1580,9 @@ def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
         m_ref=pltpu.VMEM((group, hp, 1), jnp.float32),
         l_ref=pltpu.VMEM((group, hp, 1), jnp.float32),
         acc_ref=pltpu.VMEM((group, hp, hd_tot), jnp.float32),
+        tbuf=pltpu.VMEM(tbuf_shape, jnp.bfloat16 if tail_hbm is None
+                        else tail_hbm.dtype),
+        tsem=pltpu.SemaphoreType.DMA((1,)),
     )
 
 
@@ -1540,7 +1590,8 @@ def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
                    static_argnames=("kv_heads", "scale", "block_k",
                                     "group", "int8_scores"))
 def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
-                      group=16, kv_scales=None, int8_scores=False):
+                      group=16, kv_scales=None, int8_scores=False,
+                      tail=None, tail_count=None):
     """Flat single-program decode attention: same contract as
     :func:`flash_decode_grouped`, but (a) the whole batch runs as ONE
     Pallas program whose DMA pipeline never drains between sequence
@@ -1569,8 +1620,18 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
     hp = _round8(h)
     dp = -(-d // 128) * 128
     e_bytes = hp * d * hd_tot * 4
+    if tail is not None:
+        assert quant and not int8_scores, \
+            "tail write-buffer: quantized caches, exact-q scores only"
     if b % group or s_max % block_k or (quant and block_k % 4) \
             or e_bytes > 4 * 1024 * 1024:
+        if tail is not None:
+            # No other kernel reads the tail window — a silent fallback
+            # would drop the newest tokens.
+            raise ValueError(
+                "flash_decode_flat: shape unsupported for the tail "
+                f"write-buffer path (b={b}, group={group}, "
+                f"cap={s_max}, block_k={block_k})")
         return flash_decode_grouped(q, kv, lengths, kv_heads,
                                     scale=scale, block_k=block_k,
                                     group=group, kv_scales=kv_scales,
@@ -1586,7 +1647,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
     lens = jnp.asarray(lengths, jnp.int32)
 
     def vmem(shape):
-        return pl.BlockSpec(shape, lambda i, lens: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     if quant:
@@ -1625,6 +1686,20 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
 
             args = (lens, q_arg, e_mat.astype(jnp.float32), e_int8,
                     qsc, oh_s, kv, kv_scales)
+        elif tail is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # tail
+
+            def kernel(len_ref, tc_ref, q_all, e_ref, oh_ref, kv_hbm,
+                       sc_hbm, tail_hbm, o_hbm):
+                return _decode_flat_quant_kernel(
+                    len_ref, q_all, e_ref, oh_ref, kv_hbm, sc_hbm,
+                    o_hbm, scale=scale, block_k=block_k, hp=hp,
+                    head_dim=d, hd_tot=hd_tot, group=group,
+                    nprog=nprog, scale_lanes=SCALE_LANES,
+                    tc_ref=tc_ref, tail_hbm=tail_hbm)
+
+            args = (lens, jnp.asarray(tail_count, jnp.int32).reshape(1),
+                    q_c, e_mat, oh_s, kv, kv_scales, tail)
         else:
             kernel = functools.partial(
                 _decode_flat_quant_kernel, scale=scale, block_k=block_k,
@@ -1634,7 +1709,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
         out_full = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,   # lengths
+                num_scalar_prefetch=2 if tail is not None else 1,
                 grid=(1,),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec(memory_space=pl.ANY),

@@ -341,13 +341,24 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
         # epilogue overhead doubles at 2x the group count).
         kind = ("flat" if scales is not None and group and not long_ctx
                 else "grouped" if group else "fused")
+    if getattr(cache, "tail", None) is not None and (kind != "flat"
+                                                     or not group):
+        raise ValueError(
+            "KV cache has a tail write-buffer but decode-attention "
+            f"selection picked {kind!r} — only the flat kernel reads "
+            "the tail (engine gating bug)")
     if kind == "flat" and group:
         from ..kernels.attention import flash_decode_flat
+        tail = tc = None
+        if getattr(cache, "tail", None) is not None:
+            tail = cache.tail[layer_idx]
+            tc = cache.tail_count + 1       # incl. the current token
+        # int8_scores measured SLOWER with the flat kernel (v5e
+        # live-128: 178 vs 89 us packed-scales) — keep it off here.
         return flash_decode_flat(
             q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,
             group=group, block_k=blk, kv_scales=scales,
-            int8_scores=(scales is not None and group < 16
-                         and not long_ctx and cfg.quant_int8_scores))
+            tail=tail, tail_count=tc)
     if kind == "grouped" or kind == "flat":
         from ..kernels.attention import flash_decode_grouped
         return flash_decode_grouped(
@@ -907,10 +918,13 @@ class TransformerLM:
         return nxt, cache
 
     def new_cache(self, batch, capacity=None, quantized=False,
-                  cache_dtype=None):
+                  cache_dtype=None, tail_window=0):
         """``cache_dtype``: override KV storage dtype (e.g. "bfloat16"
         under f32 compute — halves decode cache bandwidth; attention
-        reads it through the Pallas kernel which upconverts in VMEM)."""
+        reads it through the Pallas kernel which upconverts in VMEM).
+        ``tail_window``: bf16 decode write-buffer depth (quantized
+        caches; see generate/kv_cache.py) — the serving engine enables
+        it for the single-chip flat-kernel configuration."""
         cfg = self.config
         dtype = jnp.dtype(cache_dtype) if cache_dtype else (
             jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
@@ -924,7 +938,8 @@ class TransformerLM:
                               capacity or cfg.max_seq_len, cfg.head_dim,
                               dtype=dtype, quantized=quantized,
                               stacked=cfg.scan_layers,
-                              scale_lane_groups=lane_groups)
+                              scale_lane_groups=lane_groups,
+                              tail_window=tail_window)
 
     def new_paged_cache(self, batch, capacity, page_size, n_pages,
                         identity_table=False, quantized=False):

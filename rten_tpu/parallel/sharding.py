@@ -137,8 +137,16 @@ def cache_shardings(cache, mesh: Mesh):
         scales = [NamedSharding(mesh, P(batch_axes, seq_ax, None,
                                         scale_lane_ax))
                   for _ in cache.quant_scales]
+    # Tail write-buffer: single-chip only (the engine disables it under
+    # a mesh), but shard_cache must still hand device_put a valid
+    # sharding for the replicated tail_count scalar.
+    tail = None
+    if cache.tail is not None:
+        tail = [NamedSharding(mesh, P(batch_axes, None, None, "model"))
+                for _ in cache.tail]
     return KVCache([kv] * cache.n_layers, lengths, scales,
-                   cache.kv_heads, cache.head_dim)
+                   cache.kv_heads, cache.head_dim, tail,
+                   NamedSharding(mesh, P()))
 
 
 def sequence_parallel(model, mesh: Mesh):

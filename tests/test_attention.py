@@ -617,3 +617,59 @@ def test_flash_decode_flat_fallback_odd_batch():
     want = flash_decode_fused(q, kv, lengths, KVH)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_decode_flat_tail():
+    """Tail write-buffer round: packed cache + bf16 tail window must
+    equal reference attention over the concatenation (dequantized packed
+    tokens followed by the tail rows)."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_bf16_rows,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_flat)
+    B, H, KVH, D, cap, R = 4, 8, 4, 32, 128, 8
+    rng = np.random.RandomState(21)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    # Pre-round to bf16: the packed rows store bf16 scale values, and
+    # the reference must use the same numbers.
+    s_np = np.asarray(jnp.asarray(
+        0.01 + 0.05 * rng.rand(B, cap, 2, KVH)
+    ).astype(jnp.bfloat16).astype(jnp.float32))
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    packed = pack_bf16_rows(
+        jnp.asarray(scales).swapaxes(1, 2)).swapaxes(1, 2)
+    tail = rng.randn(B, R, 2, KVH * D).astype(np.float32)
+    tail_j = jnp.asarray(tail).astype(jnp.bfloat16)
+    tc = 5                                   # live tail rows (global)
+    plens = np.asarray([3, 60, 128, 1])      # packed live per sequence
+    lengths = jnp.asarray(plens + tc, jnp.int32)   # total live
+
+    got = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64, group=2,
+                            kv_scales=packed, tail=tail_j,
+                            tail_count=tc)
+
+    def plane(i):
+        x = jnp.asarray({0: k_q, 1: v_q}[i]).reshape(
+            B, cap, KVH, D).astype(jnp.float32)
+        x = x * s_np[:, :, i][..., None]
+        t = jnp.asarray(tail_j[:, :, i].astype(jnp.float32)).reshape(
+            B, R, KVH, D)
+        # Reference layout: packed tokens then tail rows, per sequence
+        # at its own packed depth — emulate by scattering tail rows at
+        # positions plen..plen+tc-1 into a cap+R buffer.
+        full = jnp.zeros((B, cap + R, KVH, D))
+        full = full.at[:, :cap].set(x)
+        for b in range(B):
+            full = full.at[b, plens[b]:plens[b] + tc].set(t[b, :tc])
+        return jnp.repeat(full.transpose(0, 2, 1, 3), H // KVH, axis=1)
+
+    want = _attn_reference(q[:, :, None, :], plane(0), plane(1), False,
+                           1.0 / np.sqrt(D), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-3, atol=3e-3)

@@ -187,3 +187,49 @@ def test_packed_scale_cap2048_formats_agree():
     # not leak into the KV write paths).
     np.testing.assert_array_equal(np.asarray(packed_c.kv[0]),
                                   np.asarray(f32_c.kv[0]))
+
+
+def test_tail_flush_matches_rmw_appends():
+    """bf16 tail write-buffer + flush_tail must produce the same packed
+    cache/scale state as per-token RMW decode appends of the same k/v
+    rows, up to the bf16 rounding the buffered rows pass through (the
+    quantization itself is elementwise, so batching it over the window
+    introduces no further difference)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.generate.kv_cache import KVCache
+
+    B, L, KVH, D, cap, R = 4, 2, 4, 32, 64, 8
+    rng = np.random.RandomState(5)
+    base = KVCache.create(B, L, KVH, cap, D, quantized=True)
+    tailc = KVCache.create(B, L, KVH, cap, D, quantized=True,
+                           tail_window=R)
+    # Different starting depths per sequence (continuous batching).
+    lens0 = np.asarray([0, 5, 17, 30])
+    base = base.with_lengths(lens0)
+    tailc = tailc.with_lengths(lens0)
+
+    steps = 6
+    for t in range(steps):
+        for layer in range(L):
+            k = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+            v = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+            base = base.append(layer, k, v)
+            tailc = tailc.append(layer, k, v)
+        base = base.advance(1)
+        tailc = tailc.advance(1)
+    assert int(tailc.tail_count) == steps
+    tailc = tailc.flush_tail(steps)
+    assert int(tailc.tail_count) == 0
+
+    for layer in range(L):
+        bk, bv = base.layer_kv(layer)
+        tk, tv = tailc.layer_kv(layer)
+        # One int8 quant step (~absmax/127 with |x|~N(0,1)) plus the
+        # bf16 row rounding bound the dequantized difference.
+        np.testing.assert_allclose(np.asarray(bk), np.asarray(tk),
+                                   atol=0.06)
+        np.testing.assert_allclose(np.asarray(bv), np.asarray(tv),
+                                   atol=0.06)
+    np.testing.assert_array_equal(np.asarray(base.lengths),
+                                  np.asarray(tailc.lengths))

@@ -577,3 +577,41 @@ def test_fused_append_odd_capacity_falls_back(model_and_params):
                         prefill_buckets=(8,)).generate(
                             prompts, max_new_tokens=6)
     assert got == ref
+
+
+def test_engine_tail_write_buffer():
+    """bf16 tail write-buffer path (quantized cache + flat kernel):
+    generation completes across flush boundaries, admissions flush the
+    window, and outputs stay close to the no-tail int8 engine (the tail
+    attends the newest tokens at bf16 — slightly MORE precise)."""
+    cfg = TransformerConfig.tiny_test(n_heads=2, kv_heads=2, d_model=128,
+                                      use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3], [4, 5, 6, 7], [9, 10], [11, 3, 2]]
+
+    eng = ServingEngine(model, params, max_batch=4, capacity=64,
+                        prefill_buckets=(16,), quantized_cache=True)
+    assert eng._tail_flush > 0 and eng.cache.tail is not None
+    # Burst longer than the flush stride → in-burst flushes; then more
+    # requests than slots → admission host-flush path.
+    outs = eng.generate(prompts, max_new_tokens=eng._tail_flush + 5)
+    assert all(len(o) == eng._tail_flush + 5 for o in outs)
+    assert int(eng.cache.tail_count) == eng._tail_fill
+
+    # Oversubscribed: 6 requests, 4 slots.
+    outs = eng.generate([[i + 1, i + 2] for i in range(6)],
+                        max_new_tokens=4)
+    assert all(len(o) == 4 for o in outs)
+
+    # Same prompts through the no-tail int8 engine: token streams agree
+    # for most steps (bf16-tail vs int8 attention differ slightly).
+    eng2 = ServingEngine(model, params, max_batch=4, capacity=64,
+                        prefill_buckets=(16,), quantized_cache=True)
+    eng2._tail_flush = 0
+    eng2.cache = model.new_cache(4, 64, quantized=True)
+    a = eng.generate(prompts, max_new_tokens=6)
+    b = eng2.generate(prompts, max_new_tokens=6)
+    agree = sum(x == y for ra, rb in zip(a, b)
+                for x, y in zip(ra, rb))
+    assert agree >= 0.5 * sum(len(r) for r in a)

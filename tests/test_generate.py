@@ -221,7 +221,7 @@ def test_kv_cache_is_pytree():
     import jax
     cache = KVCache.create(1, 1, 1, 4, 4)
     leaves = jax.tree_util.tree_leaves(cache)
-    assert len(leaves) == 2  # fused kv, lengths
+    assert len(leaves) == 3  # fused kv, lengths, tail_count
     out = jax.jit(lambda c: c.advance(1))(cache)
     assert int(out.lengths[0]) == 1
 

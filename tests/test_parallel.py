@@ -199,8 +199,12 @@ def test_sharded_engine_pallas_quant_cache_parity():
     prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
                [9, 9], [11, 12, 13], [3], [2, 4]]
 
+    # tail_window=0: the meshed island path has no tail write-buffer,
+    # so the single-device reference must run without one too for
+    # token-exact parity.
     plain = ServingEngine(model, params, max_batch=8, capacity=64,
-                          prefill_buckets=(16,), quantized_cache=True)
+                          prefill_buckets=(16,), quantized_cache=True,
+                          tail_window=0)
     want = plain.generate(prompts, max_new_tokens=5)
 
     mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
