@@ -550,9 +550,26 @@ class KVCache:
             return KVCache(self.kv, self.lengths, self.quant_scales,
                            self.kv_heads, self.head_dim, self.tail,
                            jnp.zeros((), jnp.int32))
+        from ..kernels.cache import cache_flush_quant
         b = self.tail[0].shape[0]
         kvh, d = self.kv_heads, self.head_dim
-        offs = jnp.maximum(self.lengths - t, 0)
+        f = kvh * d
+        cap4 = self.kv[0].shape[1]
+        cap2 = self.quant_scales[0].shape[1]
+        cap = cap4 * 4
+        # Window geometry (shared by all layers): t tokens land at each
+        # sequence's own offset; the covering row windows start at a
+        # clipped row with a small per-sequence byte/halfword shift —
+        # shift in [0, 4] (4 only at the capacity-edge clip), sshift in
+        # [0, 2].
+        w4 = t // 4 + 1
+        w2 = t // 2 + 1
+        offs = jnp.clip(self.lengths - t, 0, cap - t)
+        row0 = jnp.clip(offs // 4, 0, cap4 - w4)
+        shift = offs - row0 * 4
+        srow0 = jnp.clip(offs // 2, 0, cap2 - w2)
+        sshift = offs - srow0 * 2
+
         kv = list(self.kv)
         sc = list(self.quant_scales)
         for layer in range(len(kv)):
@@ -562,14 +579,47 @@ class KVCache:
             k_q, k_s = _quantize_tokens(k_t)
             v_q, v_s = _quantize_tokens(v_t)
             bytes_kv = jnp.stack(
-                [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
-                 v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
+                [k_q.astype(jnp.int32).reshape(b, t, f),
+                 v_q.astype(jnp.int32).reshape(b, t, f)], axis=1)
             srows = jnp.ones((b, t, 1, SCALE_LANES), SCALE_DTYPE)
             srows = srows.at[..., 0, 0:kvh].set(k_s)
             srows = srows.at[..., 0,
                              VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
-            kv[layer], sc[layer] = _quant_append(
-                kv[layer], sc[layer], bytes_kv, srows, None, offs)
+            # Per-sequence byte shift of the packed window WITHOUT
+            # materializing one packed variant per shift (5x the pack
+            # cost): pack once at shift 0, then derive the shifted rows
+            # arithmetically — row r of the s-byte-shifted pack is
+            # (p0[r] << 8s) | (p0[r-1] >>> (32-8s)), with the s==0 and
+            # s==4 (full-row) cases as selects. Shift amounts broadcast
+            # per sequence, so this is ~6 elementwise passes total.
+            placed = jnp.pad(bytes_kv, ((0, 0), (0, 0),
+                                        (0, w4 * 4 - t), (0, 0)))
+            p0 = pack_int8_tokens(placed).swapaxes(1, 2)  # [B,w4,2,F]
+            prev = jnp.pad(p0, ((0, 0), (1, 0), (0, 0),
+                                (0, 0)))[:, :w4]
+            sh8 = (shift * 8)[:, None, None, None]
+            # >>> by (32-sh8) is only used for sh8 in [8, 24] (the 0/32
+            # edges go through the selects), but the amount must stay
+            # in-range for the lanes where it is unused too.
+            safe = jnp.clip(32 - sh8, 1, 31)
+            mid = jnp.left_shift(p0, sh8) | jax.lax.shift_right_logical(
+                prev, safe)
+            new_rows = jnp.where(sh8 == 0, p0,
+                                 jnp.where(sh8 == 32, prev, mid))
+            sp0 = pack_bf16_rows(
+                jnp.pad(srows[:, :, 0, :].astype(jnp.float32),
+                        ((0, 0), (0, w2 * 2 - t), (0, 0)))
+            )[:, :, None, :]                              # [B,w2,1,SL]
+            sprev = jnp.pad(sp0, ((0, 0), (1, 0), (0, 0),
+                                  (0, 0)))[:, :w2]
+            ss = sshift[:, None, None, None]
+            smid = jnp.left_shift(sp0, 16) | jax.lax.shift_right_logical(
+                sprev, 16)
+            new_srows = jnp.where(ss == 0, sp0,
+                                  jnp.where(ss == 2, sprev, smid))
+            kv[layer], sc[layer] = cache_flush_quant(
+                row0, srow0, shift, sshift, kv[layer], sc[layer],
+                new_rows, new_srows, t=t)
         return KVCache(kv, self.lengths, sc, self.kv_heads,
                        self.head_dim, self.tail,
                        jnp.zeros((), jnp.int32))
