@@ -69,11 +69,32 @@ def _int8_kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, n_k):
                       * xs_ref[0, 0] * ws_ref[0, :][None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
-def matmul_int8(x, w, x_scale, w_scales, block_m=512, block_n=1024,
-                block_k=1024):
+@jax.jit
+def matmul_int8(x, w, x_scale, w_scales):
     """``x`` int8 [M, K] × ``w`` int8 [K, N] → f32 [M, N], scaled by
     ``x_scale`` (scalar) and ``w_scales`` [N] (per-output-channel).
+
+    Delegates to XLA's native int8 ``dot_general`` with the dequant
+    epilogue fused: on v5e it beats the hand-tiled Pallas kernel at
+    EVERY measured shape (4096³: 408 us = 85.6% of int8 peak vs 501 us
+    = 69.6%; 8192×4096²: 86.9% vs 63.0%; 1024³: 54.6% vs 45.0%) — the
+    compiler's int8 GEMM emitter owns this op class, exactly like f32/
+    bf16 matmuls. The math is identical (int32 accumulation, then one
+    f32 scale multiply). :func:`matmul_int8_pallas` keeps the Pallas
+    formulation for sweeps/reference."""
+    acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    scale = (jnp.asarray(x_scale, jnp.float32)
+             * jnp.asarray(w_scales, jnp.float32))
+    return acc.astype(jnp.float32) * scale[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
+def matmul_int8_pallas(x, w, x_scale, w_scales, block_m=512, block_n=1024,
+                       block_k=1024):
+    """Hand-tiled Pallas int8 GEMM (kept for sweeps and as the
+    reference formulation; see :func:`matmul_int8` for why the XLA
+    dot_general is the production path).
 
     Default tiles from the v5e sweeps (tools/sweep_int8_gemm.py):
     512×1024 output tiles with K=1024 panels — 69.8% of int8 peak at

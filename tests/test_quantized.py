@@ -53,15 +53,20 @@ def test_matmul_int8_kernel_exact():
 
 
 def test_matmul_int8_multiblock():
-    # Exercise K-blocked accumulation across several grid steps.
+    # Exercise K-blocked accumulation across several grid steps (the
+    # Pallas formulation; the production matmul_int8 delegates to XLA's
+    # int8 dot_general and must agree exactly).
     x = rng.randint(-50, 50, (300, 1100)).astype(np.int8)
     w = rng.randint(-50, 50, (1100, 520)).astype(np.int8)
     ws = np.ones(520, np.float32)
-    out = np.asarray(gk.matmul_int8(jnp.asarray(x), jnp.asarray(w), 1.0,
-                                    jnp.asarray(ws), block_m=128,
-                                    block_n=256, block_k=256))
+    out = np.asarray(gk.matmul_int8_pallas(
+        jnp.asarray(x), jnp.asarray(w), 1.0, jnp.asarray(ws),
+        block_m=128, block_n=256, block_k=256))
     want = (x.astype(np.int64) @ w.astype(np.int64)).astype(np.float32)
     np.testing.assert_allclose(out, want, rtol=1e-6)
+    out_xla = np.asarray(gk.matmul_int8(
+        jnp.asarray(x), jnp.asarray(w), 1.0, jnp.asarray(ws)))
+    np.testing.assert_allclose(out_xla, want, rtol=1e-6)
 
 
 def test_matmul_int4_kernel_matches_dequant_reference():

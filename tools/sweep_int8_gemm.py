@@ -41,7 +41,7 @@ def main():
         pass
 
     from tools.bench_gemm import PEAK_TFLOPS, bench
-    from rten_tpu.kernels.gemm import matmul_int8
+    from rten_tpu.kernels.gemm import matmul_int8_pallas as matmul_int8
 
     print(f"backend={jax.default_backend()} shape {m}x{n}x{k}", flush=True)
     rng = np.random.RandomState(0)
