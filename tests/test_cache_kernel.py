@@ -233,3 +233,36 @@ def test_tail_flush_matches_rmw_appends():
                                    atol=0.06)
     np.testing.assert_array_equal(np.asarray(base.lengths),
                                   np.asarray(tailc.lengths))
+
+
+def test_tail_flush_at_capacity_edge():
+    """Sequences whose window ends exactly at capacity exercise the
+    clipped-row path (byte shift 4 = full-row funnel select, halfword
+    shift 2): flush must still match per-token RMW appends."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.generate.kv_cache import KVCache
+
+    B, L, KVH, D, cap, R = 2, 1, 4, 32, 64, 8
+    rng = np.random.RandomState(7)
+    base = KVCache.create(B, L, KVH, cap, D, quantized=True)
+    tailc = KVCache.create(B, L, KVH, cap, D, quantized=True,
+                           tail_window=R)
+    # Slot 0 ends exactly at capacity after 8 steps (shift hits the
+    # clip); slot 1 is mid-cache.
+    lens0 = np.asarray([cap - 8, 20])
+    base = base.with_lengths(lens0)
+    tailc = tailc.with_lengths(lens0)
+    for t in range(8):
+        for layer in range(L):
+            k = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+            v = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+            base = base.append(layer, k, v)
+            tailc = tailc.append(layer, k, v)
+        base = base.advance(1)
+        tailc = tailc.advance(1)
+    tailc = tailc.flush_tail(8)
+    bk, bv = base.layer_kv(0)
+    tk, tv = tailc.layer_kv(0)
+    np.testing.assert_allclose(np.asarray(bk), np.asarray(tk), atol=0.06)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(tv), atol=0.06)
