@@ -134,7 +134,19 @@ class ServingEngine:
             # speculative burst. Single-chip flat-kernel configs only.
             cfg = getattr(model, "config", None)
             if tail_window is not None:
-                # Explicit override (0 disables; tests/A-B tooling).
+                # Explicit override (0 disables; tests/A-B tooling). A
+                # nonzero override must satisfy the same exclusions as
+                # the auto-gate: under a mesh the shard_map island
+                # builds tail-less local caches (appends would go
+                # packed while flush_tail overwrites them with zeros
+                # from the never-written window — silent corruption),
+                # and speculative verify appends chunks that bypass the
+                # window (advisor r3 finding 3).
+                if tail_window:
+                    assert quantized_cache and mesh is None \
+                        and spec_draft == 0, \
+                        "tail_window requires a quantized cache, no " \
+                        "mesh, and spec_draft == 0"
                 self._tail_flush = int(tail_window)
             elif (spec_draft == 0 and quantized_cache and mesh is None
                     and cfg is not None and cfg.use_pallas

@@ -424,13 +424,16 @@ class KVCache:
             tail = list(self.tail)
             tail[layer] = jax.lax.dynamic_update_slice(
                 tail[layer], row, (0, self.tail_count, 0, 0))
-            # The window slot advances once per STEP: the last layer's
-            # append bumps it (layer is a python int — quantized caches
-            # are never stacked).
-            bump = 1 if layer == len(self.kv) - 1 else 0
+            # The window slot advances once per STEP, in advance() after
+            # ALL layers have appended — every layer must write the same
+            # slot (the pre-step tail_count) and every layer's attention
+            # must see the same in-window depth (tail_count + 1 incl.
+            # the current token). Bumping here on the last layer's
+            # append made THAT layer's attention read one stale tail row
+            # and drop the newest packed token (advisor r3 finding 1).
             return KVCache(self.kv, self.lengths, self.quant_scales,
                            self.kv_heads, self.head_dim, tail,
-                           self.tail_count + bump)
+                           self.tail_count)
         packed, new_scales = self._pack(k_new, v_new)
 
         if self.stacked:
@@ -528,9 +531,17 @@ class KVCache:
                        self.tail_count)
 
     def advance(self, n):
+        """Advance per-sequence lengths by ``n`` committed tokens. For a
+        tail-buffered cache a single-token advance IS a decode step whose
+        token entered the window (append's tail path is the only t == 1
+        write path), so the window fill advances with it; multi-token
+        advances (prefill / chunked verify) wrote the packed cache
+        directly and leave the window untouched."""
+        tc = self.tail_count
+        if self.tail is not None and n == 1:
+            tc = tc + 1
         return KVCache(self.kv, self.lengths + n, self.quant_scales,
-                       self.kv_heads, self.head_dim, self.tail,
-                       self.tail_count)
+                       self.kv_heads, self.head_dim, self.tail, tc)
 
     def flush_tail(self, t: int):
         """Quantize the first ``t`` tail-window rows of every layer and

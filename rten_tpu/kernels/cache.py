@@ -376,10 +376,13 @@ def cache_flush_quant(row0, srow0, shift, sshift, kv, sbuf, new_rows,
     w2 = new_srows.shape[1]
     f = new_rows.shape[-1]
     sl = new_srows.shape[-1]
-    # 64-seq chunks: window+new buffers for kv and scales stay
+    # ~64-seq chunks: window+new buffers for kv and scales stay
     # well under the 16 MB VMEM scoped limit (128 measured 17.3M).
-    chunk = min(batch, 64)
-    assert batch % chunk == 0
+    # The chunk must DIVIDE the batch (the loop is static) — batches
+    # like 96 or 160 pass the engine's tail gate but 64 does not divide
+    # them (advisor r3 finding 2), so take the largest divisor <= 64.
+    chunk = next(c for c in range(min(batch, 64), 0, -1)
+                 if batch % c == 0)
 
     def kernel(r0_ref, sr0_ref, shv_ref, sshv_ref, _kv, _sb, nr_hbm,
                ns_hbm, kv_out, s_out, win, nwin, swin, snwin, sem,

@@ -266,3 +266,34 @@ def test_tail_flush_at_capacity_edge():
     tk, tv = tailc.layer_kv(0)
     np.testing.assert_allclose(np.asarray(bk), np.asarray(tk), atol=0.06)
     np.testing.assert_allclose(np.asarray(bv), np.asarray(tv), atol=0.06)
+
+
+def test_tail_flush_non_divisor_batch():
+    """Batch sizes the engine's tail auto-gate accepts but 64 does not
+    divide (e.g. 96) must still flush: cache_flush_quant picks the
+    largest chunk that divides the batch (advisor r3 finding 2 — the
+    old min(batch, 64) chunk tripped its divisibility assert)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.generate.kv_cache import KVCache
+
+    B, L, KVH, D, cap, R = 96, 1, 4, 32, 64, 4
+    rng = np.random.RandomState(9)
+    base = KVCache.create(B, L, KVH, cap, D, quantized=True)
+    tailc = KVCache.create(B, L, KVH, cap, D, quantized=True,
+                           tail_window=R)
+    lens0 = np.asarray(rng.randint(0, cap - R, B))
+    base = base.with_lengths(lens0)
+    tailc = tailc.with_lengths(lens0)
+    for t in range(R):
+        k = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+        base = base.append(0, k, v)
+        tailc = tailc.append(0, k, v)
+        base = base.advance(1)
+        tailc = tailc.advance(1)
+    tailc = tailc.flush_tail(R)
+    bk, bv = base.layer_kv(0)
+    tk, tv = tailc.layer_kv(0)
+    np.testing.assert_allclose(np.asarray(bk), np.asarray(tk), atol=0.06)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(tv), atol=0.06)

@@ -615,3 +615,53 @@ def test_engine_tail_write_buffer():
     agree = sum(x == y for ra, rb in zip(a, b)
                 for x, y in zip(ra, rb))
     assert agree >= 0.5 * sum(len(r) for r in a)
+
+
+def test_tail_decode_step_logits_match_float():
+    """Deterministic per-step check of the tail write-buffer decode path
+    (advisor r3 findings 1+4): every decode step's logits with a
+    tail-buffered int8 cache must match a FLOAT-cache forward within
+    int8-KV rounding tolerance — at every window depth and on EVERY
+    layer (the logits sit downstream of the last layer, where the old
+    per-append tail_count bump made attention read one stale tail row
+    and drop the newest packed token; a loose token-agreement ratio
+    missed it)."""
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM)
+    cfg = TransformerConfig.tiny_test(n_heads=2, kv_heads=2, d_model=128,
+                                      use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    B, P, cap, R = 4, 5, 64, 8
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (B, P)),
+                         jnp.int32)
+
+    tail_cache = model.new_cache(B, cap, quantized=True, tail_window=R)
+    assert tail_cache.tail is not None
+    float_cache = model.new_cache(B, cap)
+    _, tail_cache = model.prefill(params, tokens, tail_cache)
+    _, float_cache = model.prefill(params, tokens, float_cache)
+    lens = jnp.full((B,), P, jnp.int32)
+    tail_cache = tail_cache.with_lengths(lens)
+    float_cache = float_cache.with_lengths(lens)
+
+    tok = jnp.asarray(rng.integers(1, cfg.vocab_size, (B,)), jnp.int32)
+    for step in range(R - 1):          # every in-window depth pre-flush
+        lt, tail_cache = model.decode_step(params, tok, tail_cache)
+        lf, float_cache = model.decode_step(params, tok, float_cache)
+        assert int(tail_cache.tail_count) == step + 1
+        diff = float(jnp.max(jnp.abs(lt - lf)))
+        # int8 KV rounding on the packed prompt rows only (the window
+        # rows are bf16); the buggy last-layer depth measured ~2.26 on
+        # unit-scale data and O(0.5+) here.
+        assert diff < 0.05, f"step {step}: logits diff {diff}"
+        tok = jnp.argmax(lt, axis=-1).astype(jnp.int32)
+
+    # Flush and cross the boundary: the first post-flush step must stay
+    # just as tight (regression for the flush/window-depth interaction).
+    tail_cache = tail_cache.flush_tail(int(tail_cache.tail_count))
+    lt, tail_cache = model.decode_step(params, tok, tail_cache)
+    lf, float_cache = model.decode_step(params, tok, float_cache)
+    assert int(tail_cache.tail_count) == 1
+    assert float(jnp.max(jnp.abs(lt - lf))) < 0.05
