@@ -127,7 +127,13 @@ def main():
         p50_ttft = ttfts_all[len(ttfts_all) // 2] if ttfts_all else None
         return rates[len(rates) // 2], p50_ttft
 
-    f32_tps, f32_ttft = measure(params)
+    # Symmetric baseline rigor (round-3 verdict item 4): the f32
+    # denominator gets the SAME median-of-N warm repeats as the int8
+    # numerator — a single-shot f32 rate put up to ±15% of tunnel noise
+    # into vs_baseline, and its TTFT line was cold-compile semantics
+    # printed beside a warm int8 number.
+    reps = int(os.environ.get("RTEN_BENCH_REPEATS", 3)) if on_tpu else 1
+    f32_tps, f32_ttft = measure(params, repeats=reps)
     if not on_tpu:
         # CPU smoke: interpret-mode Pallas in a scanned decode is
         # trace-bound; report the f32 number only.
@@ -145,14 +151,15 @@ def main():
             int8_tps, int8_ttft = measure(
                 quantize_weights(params, "int8"),
                 cache_dtype=None if qcache else "bfloat16",
-                quantized_cache=qcache,
-                repeats=int(os.environ.get("RTEN_BENCH_REPEATS", 3)))
+                quantized_cache=qcache, repeats=reps)
             metric = "gpt2_int8_decode_tokens_s_chip"
             value = int8_tps
             vs = int8_tps / f32_tps
+            print(f"f32 median {f32_tps:.0f} tok/s over {reps} warm "
+                  f"repeats", file=sys.stderr)
             if int8_ttft is not None:
-                print(f"p50 TTFT: {1000 * int8_ttft:.1f} ms "
-                      f"(int8; f32 {1000 * (f32_ttft or 0):.1f} ms)",
+                print(f"warm p50 TTFT: {1000 * int8_ttft:.1f} ms int8, "
+                      f"{1000 * (f32_ttft or 0):.1f} ms f32",
                       file=sys.stderr)
         except Exception as exc:  # pragma: no cover - kernel fallback
             print(f"int8 path failed ({exc}); reporting fp32",

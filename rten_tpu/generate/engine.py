@@ -63,9 +63,10 @@ class ServingEngine:
                  prefill_buckets=(64, 128, 256, 512, 1024), seed=0,
                  mesh=None, paged=False, page_size=64, pool_pages=None,
                  cache_dtype=None, fused_head=None, log_stats_every=None,
-                 spec_draft=0, spec_ngram=3, spec_adaptive=True,
-                 spec_cost=1.9, spec_probe_every=16, logprobs=False,
-                 tail_window=None):
+                 spec_draft=0, spec_ngram=3, spec_adaptive="auto",
+                 spec_cost=1.9, spec_probe_every=16,
+                 spec_k_adaptive=True, spec_probe_overhead=0.02,
+                 logprobs=False, tail_window=None):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -459,8 +460,31 @@ class ServingEngine:
             # plain-step units. The cost ratio is MEASURED online (wall
             # time per spec step vs per plain step, EMA), starting from
             # the ``spec_cost`` prior; ``spec_adaptive=False`` keeps the
-            # always-draft behavior.
+            # always-draft behavior. The default is ``"auto"``: resolved
+            # at warmup from the MEASURED per-dispatch fixed cost — on
+            # rigs where one dispatch round trip dwarfs a burst's
+            # compute (the dev tunnel: ~31 ms/dispatch), every gating
+            # probe costs a full burst-equivalent and always-draft with
+            # the adaptive-K ladder is strictly better (v5e A/B,
+            # BASELINE.md round 3: gated random 0.10x plain vs
+            # always-draft 1.02x); on hardware without that floor the
+            # gate's probes cost ~spec_probe_overhead and gating wins
+            # the low-acceptance regime.
             self.spec_adaptive = spec_adaptive
+            # Draft-length (K) adaptation is independent of the on/off
+            # gate since round 4 — always-draft mode needs the K ladder
+            # too (it is what rescued the random worst case).
+            self._k_adaptive = bool(spec_k_adaptive)
+            # Probe budget in measured dispatch-cost units: a probe may
+            # fire only after the accumulated plain-burst wall since the
+            # last spec burst is >= (probe cost / spec_probe_overhead),
+            # bounding probing to ~spec_probe_overhead of wall time on
+            # ANY rig (the old fixed every-16-bursts cadence was tuned
+            # for cheap dispatch).
+            self._spec_probe_overhead = float(spec_probe_overhead)
+            self._plain_wall_since_probe = 0.0
+            self._spec_burst_wall = None  # EMA wall s per SPEC burst
+            self._dispatch_floor = None   # measured s per dispatch RT
             self._spec_cost_prior = spec_cost
             self._spec_probe_every = max(1, spec_probe_every)
             self._spec_on = True
@@ -963,8 +987,13 @@ class ServingEngine:
                 1000 * max(self._admit_stalls), 2)
         if self.spec_draft:
             out["spec_on"] = self._spec_on
+            out["spec_adaptive"] = self.spec_adaptive
+            out["spec_k"] = self._spec_k
             if self._spec_tps is not None:
                 out["spec_tokens_per_step"] = round(self._spec_tps, 2)
+            if self._dispatch_floor is not None:
+                out["dispatch_floor_ms"] = round(
+                    1000 * self._dispatch_floor, 3)
         return out
 
     def _commit_spec(self, toks_np, counts_np, lengths_np, snapshot) -> int:
@@ -1005,7 +1034,7 @@ class ServingEngine:
         if not active:
             return 0
         lengths_np = self._host_lengths.copy()
-        k = self._spec_k if self.spec_adaptive else self.spec_draft
+        k = self._spec_k if self._k_adaptive else self.spec_draft
         k1 = k + 1
         # Worst case every step accepts everything: keep k1*n inside the
         # cache (the chunk append clamps, but tokens past capacity would
@@ -1021,9 +1050,15 @@ class ServingEngine:
         self._device_tokens = None
         counts_np = np.asarray(counts)
         toks_np = np.asarray(toks)
-        dt = (time.perf_counter() - t0) / n
+        wall = time.perf_counter() - t0
+        dt = wall / n
         self._spec_t = dt if self._spec_t is None \
             else 0.6 * self._spec_t + 0.4 * dt
+        # Any spec burst re-measures acceptance — reset the probe wall
+        # budget; its own wall is what a future probe will cost.
+        self._spec_burst_wall = wall if self._spec_burst_wall is None \
+            else 0.6 * self._spec_burst_wall + 0.4 * wall
+        self._plain_wall_since_probe = 0.0
         self._host_lengths += counts_np.sum(axis=0)
         emitted = self._commit_spec(
             toks_np, counts_np, lengths_np,
@@ -1034,6 +1069,7 @@ class ServingEngine:
         tps = emitted / (n * len(active))
         self._spec_tps = tps if self._spec_tps is None \
             else 0.6 * self._spec_tps + 0.4 * tps
+        self._adapt_k()
         self._count(emitted, n)
         return emitted
 
@@ -1049,18 +1085,75 @@ class ServingEngine:
             return 0
         emitted = self._land_burst(inflight)
         if self.spec_draft:
-            dt = (time.perf_counter() - t0) / inflight[4]
+            wall = time.perf_counter() - t0
+            dt = wall / inflight[4]
             self._plain_t = dt if self._plain_t is None \
                 else 0.6 * self._plain_t + 0.4 * dt
+            self._plain_wall_since_probe += wall
             self._spec_only_bursts = 0
         return emitted
+
+    def _measure_dispatch_floor(self):
+        """Measured fixed cost of one dispatch round trip: a device_put +
+        value fetch of a tiny array (no compile — through a remote
+        dispatch link this is the same fixed latency every dispatched
+        program pays; ~31 ms on the dev tunnel, sub-ms on local
+        runtimes). min of 3 so host jitter doesn't inflate it."""
+        if self._dispatch_floor is None:
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(jax.device_put(np.zeros(64, np.float32)))
+                samples.append(time.perf_counter() - t0)
+            self._dispatch_floor = min(samples)
+        return self._dispatch_floor
+
+    def _resolve_spec_auto(self, burst_n):
+        """Resolve ``spec_adaptive="auto"`` from measured costs: gating
+        probes each pay one dispatch round trip, so when that fixed cost
+        rivals a whole burst's compute, the gate cannot probe cheaply —
+        always-draft with the adaptive-K ladder is the better default
+        (v5e tunnel A/B, BASELINE.md round 3). Needs ``_plain_t`` (one
+        landed plain burst)."""
+        floor = self._measure_dispatch_floor()
+        compute = max(burst_n * self._plain_t - floor, 0.0)
+        self.spec_adaptive = bool(floor < 0.5 * compute)
+
+    def _probe_affordable(self):
+        """Probe budget in measured dispatch-cost units: a probe may fire
+        once its estimated cost is <= ``spec_probe_overhead`` of the
+        plain wall time accumulated since the last spec burst."""
+        cost = self._spec_burst_wall
+        if cost is None:
+            cost = ((self._dispatch_floor or 0.0)
+                    + 4 * (self._plain_t or 0.0))
+        if cost <= 0:
+            return True
+        return (self._plain_wall_since_probe
+                >= cost / self._spec_probe_overhead)
+
+    def _adapt_k(self):
+        """Draft-length ladder (independent of the on/off gate): the
+        acceptance FRACTION (accepted drafts / drafted) prices K
+        directly — verify cost grows with K while unaccepted tail
+        drafts emit nothing. Shrink fast below 35%, regrow above 70%
+        (fractions bracket the break-even of the chunk-verify cost
+        model)."""
+        if not (self._k_adaptive and self.spec_draft > 1) \
+                or self._spec_tps is None:
+            return
+        frac = (self._spec_tps - 1.0) / max(self._spec_k, 1)
+        if frac < 0.35 and self._spec_k > 1:
+            self._spec_k -= 1
+        elif frac > 0.70 and self._spec_k < self.spec_draft:
+            self._spec_k += 1
 
     def _spec_gate(self):
         """Flip speculation on/off from the measured efficiency: a spec
         step costs ``cost`` plain steps (measured wall-time ratio, or
         the static prior before both are known) and emits ``tps``
         tokens; drafting pays iff tps/cost > 1 (with hysteresis)."""
-        if not (self.spec_draft and self.spec_adaptive) \
+        if not (self.spec_draft and self.spec_adaptive is True) \
                 or self._spec_tps is None:
             return
         if self._spec_t is not None and self._plain_t is not None \
@@ -1090,17 +1183,6 @@ class ServingEngine:
             if self._spec_dead_probes >= 4:
                 self._spec_on = False
                 self._spec_dead_probes = 0
-        # Draft-length adaptation: the acceptance FRACTION
-        # (accepted drafts / drafted) prices K directly — verify cost
-        # grows with K while unaccepted tail drafts emit nothing.
-        # Shrink fast below 35%, regrow above 70% (fractions bracket
-        # the break-even of the chunk-verify cost model).
-        if self.spec_adaptive and self.spec_draft > 1:
-            frac = (self._spec_tps - 1.0) / max(self._spec_k, 1)
-            if frac < 0.35 and self._spec_k > 1:
-                self._spec_k -= 1
-            elif frac > 0.70 and self._spec_k < self.spec_draft:
-                self._spec_k += 1
         self._plain_bursts_since_probe = 0
 
     def _pending(self) -> bool:
@@ -1133,10 +1215,21 @@ class ServingEngine:
         steps = 0
         if self.spec_draft:
             while self._pending() and steps < max_steps:
-                probe = (self.spec_adaptive and not self._spec_on
+                if self.spec_adaptive == "auto":
+                    # Resolution needs one landed plain burst (for
+                    # _plain_t); until then serve plainly — on the rigs
+                    # where auto matters (huge dispatch floor) plain
+                    # bursts are also the safe interim.
+                    if self._plain_t is None:
+                        self.step_burst(max(burst, 1))
+                        steps += 1
+                        continue
+                    self._resolve_spec_auto(max(burst, 1))
+                probe = (self.spec_adaptive is True and not self._spec_on
                          and self._plain_bursts_since_probe
-                         >= self._spec_probe_every)
-                if (self.spec_adaptive and self._spec_on
+                         >= self._spec_probe_every
+                         and self._probe_affordable())
+                if (self.spec_adaptive is True and self._spec_on
                         and self._spec_only_bursts >= 32):
                     # Long spec-only stretch: _plain_t may be stale
                     # (measured at a different occupancy — advisor r2).
@@ -1145,7 +1238,7 @@ class ServingEngine:
                     self.step_burst(max(burst, 1))
                     steps += 1
                     continue
-                if self._spec_on or not self.spec_adaptive or probe:
+                if self._spec_on or self.spec_adaptive is False or probe:
                     # Probes re-measure acceptance with a short burst so
                     # a traffic shift (repetitive text arriving) turns
                     # drafting back on quickly and cheaply; until the
@@ -1153,7 +1246,7 @@ class ServingEngine:
                     # least once), spec bursts stay probe-sized too —
                     # full-size bursts during EMA convergence are where
                     # unacceptable traffic loses its throughput.
-                    short = probe or (self.spec_adaptive
+                    short = probe or (self.spec_adaptive is True
                                       and not self._spec_confirmed)
                     self.step_spec_burst(min(max(burst, 1), 4) if short
                                          else max(burst, 1))

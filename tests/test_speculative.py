@@ -205,3 +205,102 @@ def test_verify_step_quantized_cache_close(model_and_params):
     ref = outs[False]
     scale = np.abs(ref).max()
     np.testing.assert_allclose(outs[True], ref, atol=0.12 * scale)
+
+
+# -- gate / probe-budget accounting (no device timing involved: the gate
+# runs on host state we set directly) ----------------------------------
+
+
+def _spec_engine(model_and_params, **kw):
+    model, params = model_and_params
+    return ServingEngine(model, params, max_batch=2, capacity=64,
+                         prefill_buckets=(8,), spec_draft=3, **kw)
+
+
+def test_spec_auto_resolves_false_on_huge_dispatch_floor(model_and_params):
+    """spec_adaptive="auto" must resolve to always-draft when the
+    measured per-dispatch fixed cost rivals a burst's compute (the dev
+    tunnel regime where gating probes each cost a burst-equivalent)."""
+    eng = _spec_engine(model_and_params)
+    assert eng.spec_adaptive == "auto"
+    eng._dispatch_floor = 0.031          # tunnel-like: 31 ms / dispatch
+    eng._plain_t = 0.002                 # 16-step burst ~= 32 ms wall
+    eng._resolve_spec_auto(16)
+    assert eng.spec_adaptive is False    # floor ~= compute -> no gate
+
+
+def test_spec_auto_resolves_true_on_cheap_dispatch(model_and_params):
+    eng = _spec_engine(model_and_params)
+    eng._dispatch_floor = 0.0001         # local runtime: ~0.1 ms
+    eng._plain_t = 0.002
+    eng._resolve_spec_auto(16)
+    assert eng.spec_adaptive is True
+
+
+def test_spec_gate_flip_accounting(model_and_params):
+    """Gate flips exactly at the hysteresis bounds of measured
+    efficiency = tokens/step / (spec_t / plain_t)."""
+    eng = _spec_engine(model_and_params, spec_adaptive=True)
+    eng._spec_t, eng._plain_t = 0.002, 0.001       # cost ratio 2.0
+    eng._spec_on = True
+    eng._spec_tps = 1.8                            # eff 0.9 < 0.95
+    eng._spec_gate()
+    assert eng._spec_on is False and eng._spec_confirmed is False
+    eng._spec_tps = 2.2                            # eff 1.1 > 1.05
+    eng._spec_gate()
+    assert eng._spec_on is True and eng._spec_confirmed is True
+    # Dead zone (0.95 <= eff <= 1.05) leaves the gate untouched.
+    eng._spec_tps = 2.0
+    eng._spec_gate()
+    assert eng._spec_on is True
+
+
+def test_spec_probe_budget_in_dispatch_cost_units(model_and_params):
+    """A probe may fire only once its measured cost is within
+    spec_probe_overhead of the plain wall accumulated since the last
+    spec burst — step counts alone never license one."""
+    eng = _spec_engine(model_and_params, spec_adaptive=True)
+    eng._spec_burst_wall = 0.05          # measured probe cost: 50 ms
+    eng._plain_wall_since_probe = 0.1    # only 100 ms of plain since
+    assert not eng._probe_affordable()   # 50/0.02 = 2.5 s needed
+    eng._plain_wall_since_probe = 3.0
+    assert eng._probe_affordable()
+    # Unmeasured probe cost estimates from floor + 4 plain steps.
+    eng2 = _spec_engine(model_and_params, spec_adaptive=True)
+    eng2._dispatch_floor, eng2._plain_t = 0.031, 0.001
+    eng2._plain_wall_since_probe = 1.0
+    assert not eng2._probe_affordable()  # (31+4) ms / 0.02 = 1.75 s
+    eng2._plain_wall_since_probe = 2.0
+    assert eng2._probe_affordable()
+
+
+def test_spec_k_ladder_independent_of_gate(model_and_params):
+    """The draft-length ladder adapts in ALWAYS-draft mode too (it is
+    what rescued the random worst case — BASELINE.md round 3)."""
+    eng = _spec_engine(model_and_params, spec_adaptive=False)
+    assert eng._spec_k == 3
+    eng._spec_tps = 1.2                  # acceptance frac ~0.07 -> shrink
+    eng._adapt_k()
+    assert eng._spec_k == 2
+    eng._spec_tps = 1.0                  # keep shrinking to the floor
+    eng._adapt_k()
+    assert eng._spec_k == 1
+    eng._adapt_k()
+    assert eng._spec_k == 1              # never below 1
+    eng._spec_tps = 1.9                  # frac 0.9 -> regrow
+    eng._adapt_k()
+    assert eng._spec_k == 2
+
+
+def test_spec_engine_auto_mode_generates(model_and_params):
+    """End-to-end: the default (auto) spec engine resolves its mode
+    during run() and produces greedy-exact output."""
+    model, params = model_and_params
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [5, 6, 5, 6, 5, 6, 5, 6]]
+    plain = ServingEngine(model, params, max_batch=2, capacity=64,
+                          prefill_buckets=(8,)).generate(
+                              prompts, max_new_tokens=8)
+    eng = _spec_engine(model_and_params)
+    out = eng.generate(prompts, max_new_tokens=8, burst=4)
+    assert eng.spec_adaptive in (True, False)   # resolved
+    assert out == plain
