@@ -66,7 +66,7 @@ class ServingEngine:
                  spec_draft=0, spec_ngram=3, spec_adaptive="auto",
                  spec_cost=1.9, spec_probe_every=16,
                  spec_k_adaptive=True, spec_probe_overhead=0.02,
-                 logprobs=False, tail_window=None):
+                 logprobs=False, tail_window=None, overlap=False):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -93,6 +93,14 @@ class ServingEngine:
                 import copy
                 model = copy.copy(model)
                 model.mesh = mesh
+                if overlap:
+                    # Ring-overlapped TP decode projections
+                    # (parallel/tp_overlap.py): decode_step runs as one
+                    # shard_map whose collectives are per-chunk
+                    # ppermutes riding under the projection matmuls.
+                    model.overlap = True
+        else:
+            assert not overlap, "overlap=True requires a mesh"
         self.model = model
         self.params = params
         self.max_batch = max_batch
@@ -134,33 +142,65 @@ class ServingEngine:
             # jitted burst, and on the host before any admission /
             # speculative burst. Single-chip flat-kernel configs only.
             cfg = getattr(model, "config", None)
+            # Tail under a MESH (round-3 verdict item 3a): the bf16
+            # window shards exactly like the KV buffers (batch/data,
+            # head-features/model), appends+flat-kernel reads run
+            # inside the per-layer shard_map island, and flushes run as
+            # their own island (parallel/sharding.py::flush_tail_island)
+            # — so the headline fast path survives scaling out. The
+            # per-shard shapes must satisfy the same flat-kernel
+            # constraints the single-chip gate checks globally.
+            tp = dp = 1
+            mesh_tail_ok = True
+            if mesh is not None:
+                sizes = dict(mesh.shape)
+                tp = sizes.get("model", 1)
+                dp = sizes.get("data", 1) * sizes.get("dcn", 1)
+                mesh_tail_ok = (
+                    not overlap      # tp_overlap islands are tail-less
+                    and not any(n > 1 and ax not in
+                                ("data", "model", "dcn")
+                                for ax, n in sizes.items())
+                    and cfg is not None and cfg.n_heads % tp == 0
+                    and cfg.n_kv_heads % tp == 0
+                    and max_batch % dp == 0)
+
+            def tail_shape_ok():
+                if cfg is None or not mesh_tail_ok:
+                    return False
+                h_l = cfg.n_heads // tp
+                f_l = (cfg.n_kv_heads // tp) * cfg.head_dim
+                b_l = max_batch // dp
+                return (capacity < 2048 and capacity % 64 == 0
+                        and f_l % 128 == 0
+                        and any(b_l % g == 0 and b_l >= 2 * g
+                                for g in (16, 8, 4, 2))
+                        # flash_decode_flat's E-matrix must fit VMEM
+                        and (-(-h_l // 8) * 8) * cfg.head_dim * f_l * 4
+                        <= 4 * 1024 * 1024)
+
             if tail_window is not None:
                 # Explicit override (0 disables; tests/A-B tooling). A
                 # nonzero override must satisfy the same exclusions as
-                # the auto-gate: under a mesh the shard_map island
-                # builds tail-less local caches (appends would go
-                # packed while flush_tail overwrites them with zeros
-                # from the never-written window — silent corruption),
-                # and speculative verify appends chunks that bypass the
-                # window (advisor r3 finding 3).
+                # the auto-gate: speculative verify appends chunks
+                # that bypass the window (advisor r3 finding 3), and a
+                # mesh config must pass the per-shard island checks
+                # (a tail-less island would silently corrupt the
+                # packed cache at flush time).
                 if tail_window:
-                    assert quantized_cache and mesh is None \
-                        and spec_draft == 0, \
-                        "tail_window requires a quantized cache, no " \
-                        "mesh, and spec_draft == 0"
+                    assert quantized_cache and spec_draft == 0 \
+                        and (mesh is None or (mesh_tail_ok
+                                              and cfg.use_pallas
+                                              and tail_shape_ok())), \
+                        "tail_window requires a quantized cache, " \
+                        "spec_draft == 0, and (single chip or an " \
+                        "island-compatible mesh)"
                 self._tail_flush = int(tail_window)
-            elif (spec_draft == 0 and quantized_cache and mesh is None
+            elif (spec_draft == 0 and quantized_cache
                     and cfg is not None and cfg.use_pallas
                     and getattr(cfg, "decode_attn", "auto")
                     in ("auto", "flat")
-                    and capacity < 2048 and capacity % 64 == 0
-                    and (cfg.n_kv_heads * cfg.head_dim) % 128 == 0
-                    and any(max_batch % g == 0 and max_batch >= 2 * g
-                            for g in (16, 8, 4, 2))
-                    # flash_decode_flat's E-matrix must fit VMEM
-                    and (-(-cfg.n_heads // 8) * 8) * cfg.head_dim
-                    * cfg.n_kv_heads * cfg.head_dim * 4
-                    <= 4 * 1024 * 1024):
+                    and tail_shape_ok()):
                 self._tail_flush = 16
             self.cache = model.new_cache(max_batch, capacity,
                                          quantized=quantized_cache,
@@ -173,9 +213,18 @@ class ServingEngine:
         # reset by flushes — no device fetch needed).
         self._tail_fill = 0
 
-        def flush_fn(cache, t):
-            return cache.flush_tail(t)
+        if mesh is not None and self._tail_flush:
+            from ..parallel.sharding import flush_tail_island
 
+            def flush_fn(cache, t):
+                return flush_tail_island(cache, t, mesh)
+        else:
+            def flush_fn(cache, t):
+                return cache.flush_tail(t)
+
+        # The raw (traceable) flush — burst_fn inlines it between
+        # chunks; the jitted form below serves host-side flushes.
+        self._flush_impl = flush_fn
         self._flush_tail = jax.jit(flush_fn, donate_argnums=(0,),
                                    static_argnums=(1,))
 
@@ -324,7 +373,8 @@ class ServingEngine:
                     carry, outs = jax.lax.scan(body, carry, None,
                                                length=fl)
                     tokens, cache, key = carry
-                    return (tokens, cache.flush_tail(fl), key), outs
+                    return (tokens, self._flush_impl(cache, fl),
+                            key), outs
 
                 carry = (tokens, cache, key)
                 toks = lps = None

@@ -357,6 +357,156 @@ def _int4_kernel(x_ref, wp_ref, s_ref, out_ref, acc_ref, *, n_k, group, bk):
         out_ref[:] = acc_ref[:]
 
 
+def _int4w_kernel(x_ref, xq_ref, xsum_ref, wp_ref, s_ref, out_ref,
+                  acc_ref, *, n_k, group, bk, dot_mode):
+    """WORD-packed int4 kernel (round 4, the "bitcast treatment"): the
+    per-weight unpack is two int32 mask/shift ops (8 weights per lane
+    element — 0.375 VPU ops/weight) plus a FREE sublane bitcast, exactly
+    the inverse-packing discipline of the token-packed int8 KV cache.
+    The stored value is offset-binary u = q + 8 ∈ [0, 15]; the −8 offset
+    is corrected ONCE on the accumulator via the zero-point identity
+    x·(u−8)·s = x·u·s − 8·(Σ_g x)·s — one [bm, n_g] × [n_g, bn] dot at
+    the first K-block — so there is no per-weight subtract.
+
+    dot_mode "bf16": u converts to bf16 and scales per-weight (exact
+    weight-only path, ~2.4 VPU ops/weight vs ~4.5 for the byte-packed
+    kernel).
+    dot_mode "int8": activations arrive row-quantized and group-
+    reordered ([n_g, bm, group] int8); one BATCHED int8×int8 MXU dot
+    per K-block with per-group scales applied to the int32 partials —
+    per-weight VPU work is the 0.375-op unpack alone."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        # Offset correction for the WHOLE contraction (sums over all
+        # groups, so it runs once): −8 · xsum @ scales.
+        acc_ref[:] = jnp.dot(
+            xsum_ref[:], s_ref[:],
+            preferred_element_type=jnp.float32) * (-8.0)
+
+    gpb = bk // group
+    w32 = wp_ref[:]                                # [bk/4, bn/2] int32
+    lo = jnp.bitwise_and(w32, 0x0F0F0F0F)
+    hi = jnp.bitwise_and(jax.lax.shift_right_logical(w32, 4),
+                         0x0F0F0F0F)
+    u8 = pltpu.bitcast(jnp.concatenate([lo, hi], axis=-1),
+                       jnp.int8)                   # [bk, bn] u in 0..15
+    if n_k == 1:
+        s_rows = s_ref[:]                          # [gpb, bn]
+    else:
+        # gpb is a multiple of 8 when n_k > 1 (wrapper sizing), so the
+        # sublane-dim dynamic slice is Mosaic-legal.
+        s_rows = s_ref[pl.ds(kk * gpb, gpb), :]
+
+    if dot_mode == "bf16":
+        xb = x_ref[:].astype(jnp.bfloat16)         # [bm, bk]
+        # w_scaled = u * s (no per-weight subtract — see above).
+        w = (u8.astype(jnp.bfloat16).reshape(gpb, group, -1)
+             * s_rows.astype(jnp.bfloat16)[:, None, :])
+        acc_ref[:] += jnp.dot(xb, w.reshape(bk, -1),
+                              preferred_element_type=jnp.float32)
+    else:
+        # Batched int8×int8 dot: lhs [gpb, bm, group] × rhs
+        # [gpb, group, bn] (batch dims LEADING on both — Mosaic).
+        if n_k == 1:
+            xq = xq_ref[:]
+        else:
+            xq = xq_ref[pl.ds(kk * gpb, gpb)]
+        acc32 = jax.lax.dot_general(
+            xq, u8.reshape(gpb, group, -1),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)      # [gpb, bm, bn]
+        acc_ref[:] += jnp.sum(
+            acc32.astype(jnp.float32) * s_rows[:, None, :], axis=0)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "block_m",
+                                             "block_k", "dot_mode"))
+def matmul_int4_words(x, words, scales, group=INT4_GROUP, block_m=256,
+                      block_k=512, dot_mode="bf16"):
+    """``x`` f32/bf16 [M, K] × WORD-packed group-wise int4 weights
+    (``words`` int32 [K/4, N//2] from quant.pack_int4_words, ``scales``
+    f32 [K//group, N]) → f32 [M, N]. See :func:`_int4w_kernel`.
+
+    dot_mode "int8" row-quantizes the activations (per-row symmetric
+    int8) so the main contraction runs int8×int8 on the MXU — adds
+    ~0.4% relative activation error; "bf16" keeps activations exact."""
+    m = x.shape[0]
+    k = words.shape[0] * 4
+    n = words.shape[1] * 2
+    assert x.shape[1] == k, f"contraction mismatch {x.shape[1]} vs {k}"
+    assert k % group == 0
+    assert n % _INT4_BN == 0
+    bn = _INT4_BN
+    bm = min(block_m, _round_up(m, 8))
+    step = 8 * group
+    if k <= max(block_k, step):
+        bk = k
+    else:
+        bk = max(step, block_k - block_k % step)
+    assert k % bk == 0, "quantizer pads K to the group grid"
+    mp = _round_up(m, bm)
+    x = _pad_to(x.astype(jnp.float32), mp, k)
+    n_k = k // bk
+    n_g = k // group
+
+    if dot_mode == "int8":
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        xscale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        xq = jnp.clip(jnp.round(x / xscale), -127, 127)
+        # Group-reordered [n_g, mp, group] so the kernel's batched dot
+        # needs no in-kernel transpose.
+        xq_r = xq.reshape(mp, n_g, group).transpose(1, 0, 2
+                                                    ).astype(jnp.int8)
+        # The offset correction must use the QUANTIZED activations'
+        # group sums (the int8 dot contracts xq, not x).
+        xsum = jnp.sum(xq.reshape(mp, n_g, group), axis=2)
+    else:
+        xq_r = jnp.zeros((1, 8, group), jnp.int8)         # dummy
+        xscale = None
+        xsum = jnp.sum(x.reshape(mp, n_g, group), axis=2)
+
+    kernel = functools.partial(_int4w_kernel, n_k=n_k, group=group,
+                               bk=bk, dot_mode=dot_mode)
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // bm, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_g, bm, group), lambda i, j, kk: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+            if dot_mode == "int8" else
+            pl.BlockSpec(xq_r.shape, lambda i, j, kk: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n_g), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 4, bn // 2), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_g, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=4 * mp * k + k * n // 2 + 4 * mp * n,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, xq_r, xsum.astype(jnp.float32), words,
+      jnp.asarray(scales, jnp.float32))
+    if dot_mode == "int8":
+        out = out * xscale
+    return out[:m]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("group", "block_m", "block_k"))
 def matmul_int4(x, w_packed, scales, group=INT4_GROUP, block_m=256,

@@ -135,3 +135,70 @@ def dequantize_int4_groupwise(packed, scales, group=INT4_GROUP):
     k, n = q.shape
     s = jnp.repeat(scales, group, axis=0)         # [K, N]
     return q.astype(jnp.float32) * s
+
+
+def pack_int4_words(q, tile=INT4_PACK_TILE):
+    """WORD-packed int4 layout (round 4): offset-binary nibbles packed so
+    the in-kernel unpack is two int32 mask/shift ops plus a FREE Mosaic
+    sublane bitcast — the same inverse-of-bitcast discipline that made
+    the token-packed int8 KV cache free to unpack
+    (generate/kv_cache.py:28-52).
+
+    q: int values in [-8, 7], shape [K, N] with K % 4 == 0 and
+    N % tile == 0. Layout: as in :func:`pack_int4`, column j's nibble
+    sits in the LOW nibble and column j + tile/2's in the HIGH nibble of
+    one byte (tile-planar, lane-contiguous concat on unpack); four
+    consecutive K-rows' bytes then pack little-endian into one int32
+    word, so ``pltpu.bitcast(words, int8)`` restores the byte rows in K
+    order. Returns int32 [K/4, N/2]."""
+    q = np.asarray(q)
+    k, n = q.shape
+    assert k % 4 == 0 and n % tile == 0
+    u = (q + 8).astype(np.uint32).reshape(k, n // tile, tile)
+    byte = u[..., :tile // 2] | (u[..., tile // 2:] << 4)  # [K, nt, t/2]
+    byte = byte.reshape(k, n // 2)
+    g = byte.reshape(k // 4, 4, n // 2)
+    words = (g[:, 0] | (g[:, 1] << 8) | (g[:, 2] << 16)
+             | (g[:, 3] << 24))
+    return words.astype(np.int32)
+
+
+def unpack_int4_words(words, tile=INT4_PACK_TILE):
+    """Inverse of :func:`pack_int4_words` (jnp reference). int32
+    [K/4, N/2] → int8 values in [-8, 7], [K, N]."""
+    w = jnp.asarray(words)
+    r, n_half = w.shape
+    bytes_ = jnp.stack([(w >> (8 * i)) & 0xFF for i in range(4)],
+                       axis=1).reshape(4 * r, n_half)
+    half = tile // 2
+    b = bytes_.reshape(4 * r, n_half // half, half)
+    lo = (b & 0xF) - 8
+    hi = ((b >> 4) & 0xF) - 8
+    return jnp.concatenate([lo, hi], axis=-1).reshape(
+        4 * r, n_half * 2).astype(jnp.int8)
+
+
+def quantize_int4_words(w, group=INT4_GROUP):
+    """Group-wise symmetric int4 quantization into the WORD-packed
+    layout. Returns (words int32 [K/4, N//2], scales f32 [K//group, N]).
+    K additionally pads to a multiple of 4 (word height)."""
+    w = np.asarray(w, dtype=np.float32)
+    k, n = w.shape
+    k_pad = (-k) % max(group, 4)
+    n_pad = (-n) % INT4_PACK_TILE
+    if k_pad or n_pad:
+        w = np.pad(w, ((0, k_pad), (0, n_pad)))
+        k, n = w.shape
+    grouped = w.reshape(k // group, group, n)
+    absmax = np.max(np.abs(grouped), axis=1, keepdims=True)
+    scales = np.where(absmax == 0, 1.0, absmax / 7.0).astype(np.float32)
+    q = np.clip(np.round(grouped / scales), -8, 7).astype(np.int8)
+    return pack_int4_words(q.reshape(k, n)), scales[:, 0, :]
+
+
+def dequantize_int4_words(words, scales, group=INT4_GROUP):
+    """Reference (jnp) dequantization of word-packed int4 weights."""
+    q = unpack_int4_words(words)                  # [K, N] int8
+    k, n = q.shape
+    return (q.astype(jnp.float32).reshape(k // group, group, n)
+            * jnp.asarray(scales, jnp.float32)[:, None, :]).reshape(k, n)

@@ -189,19 +189,28 @@ def linear(x, w, bias=None):
                               127).astype(jnp.int8)
                 out = gk.matmul_int8(xq, w.data, x_scale, w.scales)
         elif w.kind == "int4":
-            k_packed = w.data.shape[0]
+            words = w.data.dtype == jnp.int32     # word-packed (round 4)
+            k_packed = w.data.shape[0] * (4 if words else 1)
             if x2.shape[1] < k_packed:
                 # Quantization pads K up to the group size; padded weight
                 # rows are zero, so zero-padding x is exact.
                 x2 = jnp.pad(x2, ((0, 0), (0, k_packed - x2.shape[1])))
             if x2.shape[0] <= 64 and \
-                    w.data.size * 2 < _WO_PALLAS_MIN_ELEMENTS:
+                    w.data.size * (8 if words else 2) \
+                    < _WO_PALLAS_MIN_ELEMENTS:
                 # Small weight at decode M: XLA dot on the loop-hoisted
                 # dequantized bf16 copy (same rationale as int8).
-                wf = qt.dequantize_int4_groupwise(
-                    w.data, w.scales, group=w.group).astype(jnp.bfloat16)
+                deq = (qt.dequantize_int4_words if words
+                       else qt.dequantize_int4_groupwise)
+                wf = deq(w.data, w.scales,
+                         group=w.group).astype(jnp.bfloat16)
                 out = jnp.matmul(x2.astype(jnp.bfloat16), wf,
                                  preferred_element_type=jnp.float32)
+            elif words:
+                import os
+                out = gk.matmul_int4_words(
+                    x2, w.data, w.scales, group=w.group,
+                    dot_mode=os.environ.get("RTEN_INT4_DOT", "bf16"))
             else:
                 out = gk.matmul_int4(x2, w.data, w.scales, group=w.group)
             out = out[:, :w.n]
@@ -216,7 +225,8 @@ def linear(x, w, bias=None):
     return out
 
 
-def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
+def quantize_weights(params, kind="int8", group=qt.INT4_GROUP,
+                     int4_packing="bytes"):
     """Convert all 2-D projection weights in a parameter pytree to
     quantized storage. Embeddings / norms stay in float.
 
@@ -252,7 +262,13 @@ def quantize_weights(params, kind="int8", group=qt.INT4_GROUP):
             q, scales = qt.abs_max_quantize_int8(arr, axis=0)
             return QuantWeight("int8", jnp.asarray(q), jnp.asarray(scales),
                                n=arr.shape[1])
-        packed, scales = qt.quantize_int4_groupwise(arr, group=group)
+        if int4_packing == "words":
+            # WORD-packed layout (round 4): in-kernel unpack is two
+            # int32 masks + a free sublane bitcast (kernels/gemm.py::
+            # matmul_int4_words).
+            packed, scales = qt.quantize_int4_words(arr, group=group)
+        else:
+            packed, scales = qt.quantize_int4_groupwise(arr, group=group)
         return QuantWeight("int4", jnp.asarray(packed), jnp.asarray(scales),
                            group=group, n=arr.shape[1])
 
@@ -353,6 +369,13 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
         if getattr(cache, "tail", None) is not None:
             tail = cache.tail[layer_idx]
             tc = cache.tail_count + 1       # incl. the current token
+            import os
+            if os.environ.get("RTEN_ABLATE_TAIL_ROUND"):
+                # Profiling-only ablation (tools/profile_decode.py):
+                # skip the kernel's tail round entirely — output is
+                # WRONG (newest tokens unread); timing isolates the
+                # tail round's cost in situ.
+                tail = tc = None
         # int8_scores measured SLOWER with the flat kernel (v5e
         # live-128: 178 vs 89 us packed-scales) — keep it off here.
         return flash_decode_flat(
@@ -728,15 +751,21 @@ class TransformerLM:
         tp = dict(mesh.shape).get("model", 1)
         kvh_l = kvh // tp
         quant = cache.quant_scales is not None
+        has_tail = cache.tail is not None
         batch_ax = tuple(a for a in ("dcn", "data")
                          if a in mesh.axis_names) or None
         head_spec = P(batch_ax, "model", None, None)
         buf_spec = P(batch_ax, None, None, "model")
         dummy = jnp.zeros((), jnp.int32)
 
-        def body(q_l, k_l, v_l, buf_l, sbuf_l, lens_l):
+        def body(q_l, k_l, v_l, buf_l, sbuf_l, lens_l, tail_l, tc):
+            # The tail write-buffer shards exactly like the KV buffer
+            # (batch over data, head-features over model): the local
+            # window IS a standard single-chip tail for the local
+            # heads, and tail_count is a replicated scalar.
             local = KVCache([buf_l], lens_l,
-                            [sbuf_l] if quant else None, kvh_l, hd)
+                            [sbuf_l] if quant else None, kvh_l, hd,
+                            [tail_l] if has_tail else None, tc)
             local = local.append(0, k_l, v_l,
                                  position=None if s == 1 else 0)
             if s == 1:
@@ -751,26 +780,36 @@ class TransformerLM:
                 out = flash_attention(q_l, k_f, v_f, causal=True)
             out = out.astype(q_l.dtype)
             return (out, local.kv[0],
-                    local.quant_scales[0] if quant else dummy)
+                    local.quant_scales[0] if quant else dummy,
+                    local.tail[0] if has_tail else dummy)
 
-        out, new_buf, new_sbuf = shard_map(
+        out, new_buf, new_sbuf, new_tail = shard_map(
             body, mesh=mesh,
             in_specs=(head_spec, head_spec, head_spec, buf_spec,
-                      buf_spec if quant else P(), P(batch_ax)),
+                      buf_spec if quant else P(), P(batch_ax),
+                      buf_spec if has_tail else P(), P()),
             out_specs=(head_spec, buf_spec,
-                       buf_spec if quant else P()),
+                       buf_spec if quant else P(),
+                       buf_spec if has_tail else P()),
             check_vma=False,
         )(q, k, v, cache.fused_layer(layer_idx),
           cache.quant_scales[layer_idx] if quant else dummy,
-          cache.lengths)
+          cache.lengths,
+          cache.tail[layer_idx] if has_tail else dummy,
+          cache.tail_count if has_tail else dummy)
         kv_bufs = list(cache.kv)
         kv_bufs[layer_idx] = new_buf
         scales = None
         if quant:
             scales = list(cache.quant_scales)
             scales[layer_idx] = new_sbuf
+        tail = None
+        if has_tail:
+            tail = list(cache.tail)
+            tail[layer_idx] = new_tail
         return out, KVCache(kv_bufs, cache.lengths, scales,
-                            cache.kv_heads, cache.head_dim)
+                            cache.kv_heads, cache.head_dim, tail,
+                            cache.tail_count)
 
     def _mlp(self, layer_params, x):
         cfg = self.config
@@ -885,7 +924,15 @@ class TransformerLM:
         return logits.astype(jnp.float32), cache
 
     def decode_step(self, params, tokens, cache):
-        """tokens: [B] int32 — one token per sequence."""
+        """tokens: [B] int32 — one token per sequence.
+
+        With ``model.mesh`` set and ``model.overlap = True`` the step
+        runs as one shard_map with ring-overlapped TP projections
+        (parallel/tp_overlap.py) — sequence-parallel scattered
+        residuals, collective-permute-only HLO."""
+        if self.mesh is not None and getattr(self, "overlap", False):
+            from ..parallel.tp_overlap import decode_step_overlap
+            return decode_step_overlap(self, params, tokens, cache)
         logits, cache = self.forward(params, tokens[:, None], cache)
         return logits[:, 0], cache
 

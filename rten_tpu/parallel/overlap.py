@@ -30,13 +30,17 @@ def _perm(axis_size: int, shift: int):
     return [(j, (j + shift) % axis_size) for j in range(axis_size)]
 
 
-def ring_all_gather_matmul(x, w, axis_name: str, bidirectional=True):
+def ring_all_gather_matmul(x, w, axis_name: str, bidirectional=True,
+                           mm=None):
     """``all_gather(x, axis) @ w`` as a matmul-overlapped ring.
 
     Args (per-shard views inside shard_map):
       x: [m_local, k] — row shard of the [m_local * P, k] global operand.
       w: [k, n] — local weight (replicated or column shard; the ring
          never moves it).
+      mm: optional chunk-matmul hook ``rows -> rows @ w`` (overrides
+         ``w``; lets quantized-storage weights ride the ring through
+         :func:`rten_tpu.models.transformer.linear`).
     Returns [m_local * P, n] — the full gathered product, every shard
     identical to ``all_gather(x) @ w``.
 
@@ -44,21 +48,23 @@ def ring_all_gather_matmul(x, w, axis_name: str, bidirectional=True):
     ppermute-ing it onward — the transfer of chunk c+1 overlaps the
     MXU work on chunk c.
     """
+    if mm is None:
+        mm = lambda rows: rows @ w           # noqa: E731
     p = jax.lax.axis_size(axis_name)
     i = jax.lax.axis_index(axis_name)
     m = x.shape[0]
-    n = w.shape[1]
-    out_dtype = jnp.result_type(x.dtype, w.dtype)
-    out = jnp.zeros((p * m, n), out_dtype)
+    probe = jax.eval_shape(mm, jax.ShapeDtypeStruct((m, x.shape[1]),
+                                                    x.dtype))
+    out = jnp.zeros((p * m, probe.shape[1]), probe.dtype)
     if p == 1:
-        return jax.lax.dynamic_update_slice(out, (x @ w).astype(out_dtype),
-                                            (0, 0))
+        return jax.lax.dynamic_update_slice(
+            out, mm(x).astype(out.dtype), (0, 0))
 
     if not bidirectional:
         buf = x
         for c in range(p):
             src = (i - c) % p                      # origin of buf
-            y = (buf @ w).astype(out_dtype)
+            y = mm(buf).astype(out.dtype)
             out = jax.lax.dynamic_update_slice(out, y, (src * m, 0))
             if c + 1 < p:
                 buf = jax.lax.ppermute(buf, axis_name, _perm(p, 1))
@@ -71,8 +77,8 @@ def ring_all_gather_matmul(x, w, axis_name: str, bidirectional=True):
     for c in range(p):
         sf = (i - c) % p                           # origin of fwd half
         sb = (i + c) % p                           # origin of bwd half
-        yf = (fwd @ w).astype(out_dtype)
-        yb = (bwd @ w).astype(out_dtype)
+        yf = mm(fwd).astype(out.dtype)
+        yb = mm(bwd).astype(out.dtype)
         out = jax.lax.dynamic_update_slice(out, yf, (sf * m, 0))
         out = jax.lax.dynamic_update_slice(out, yb, (sb * m + h, 0))
         if c + 1 < p:
@@ -81,12 +87,38 @@ def ring_all_gather_matmul(x, w, axis_name: str, bidirectional=True):
     return out
 
 
-def ring_matmul_reduce_scatter(x, w, axis_name: str, bidirectional=True):
+def ring_all_gather(x, axis_name: str):
+    """Plain all-gather along the LAST dim decomposed into ppermutes —
+    for SMALL activations whose gather must not appear as an all-gather
+    op (the overlap decode path keeps its HLO free of bare gather
+    collectives; at decode sizes the p-1 hops of a [B, cols] tile are
+    noise). Returns [..., P * cols] with shard ``i``'s columns at
+    ``i * cols``."""
+    p = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    cl = x.shape[-1]
+    out = jnp.zeros(x.shape[:-1] + (p * cl,), x.dtype)
+    buf = x
+    for c in range(p):
+        src = (i - c) % p
+        out = jax.lax.dynamic_update_slice(
+            out, buf, (0,) * (x.ndim - 1) + (src * cl,))
+        if c + 1 < p:
+            buf = jax.lax.ppermute(buf, axis_name, _perm(p, 1))
+    return out
+
+
+def ring_matmul_reduce_scatter(x, w, axis_name: str, bidirectional=True,
+                               mm=None):
     """``reduce_scatter(x @ w, axis, rows)`` as a matmul-overlapped ring.
 
     Args (per-shard views inside shard_map):
       x: [m, k_local] — contraction shard of the activations.
       w: [k_local, n] — row shard of the weight (row-parallel layout).
+      mm: optional chunk-matmul hook ``rows -> rows @ w`` (overrides
+         ``w``; quantized-storage weights). Bidirectional mode needs the
+         plain ``w`` (it splits the weight's columns), so ``mm`` forces
+         unidirectional.
     Returns [m // P, n]: shard ``i`` of ``psum_scatter(x @ w)`` over the
     output's row dim — bit-comparable to
     ``jax.lax.psum_scatter(x @ w, axis, scatter_dimension=0)`` up to
@@ -101,10 +133,12 @@ def ring_matmul_reduce_scatter(x, w, axis_name: str, bidirectional=True):
     m = x.shape[0]
     assert m % p == 0, "rows must divide the axis for reduce-scatter"
     c = m // p
+    if mm is not None:
+        bidirectional = False
 
     def partial(j):
         rows = jax.lax.dynamic_slice_in_dim(x, j * c, c, 0)
-        return rows @ w
+        return rows @ w if mm is None else mm(rows)
 
     if p == 1:
         return partial(jnp.int32(0))

@@ -167,3 +167,38 @@ def shard_cache(cache, mesh: Mesh):
     shardings = cache_shardings(cache, mesh)
     import jax.tree_util as jtu
     return jtu.tree_map(lambda x, s: jax.device_put(x, s), cache, shardings)
+
+
+def flush_tail_island(cache, t: int, mesh: Mesh):
+    """Tail write-buffer flush under a mesh: run ``KVCache.flush_tail``
+    as a shard_map island — each device flushes its local (batch/data,
+    head-features/model) shard with the UNCHANGED single-chip Pallas
+    flush kernel (the same per-shard discipline as the decode island,
+    models/transformer.py::_attn_island). Per-(token, head) quant scales
+    never cross head boundaries and the TP lane-group scale layout keeps
+    whole heads per shard, so the local flush is exact."""
+    from jax import shard_map
+    from ..generate.kv_cache import KVCache
+
+    sizes = dict(mesh.shape)
+    tp = sizes.get("model", 1)
+    kvh_l = cache.kv_heads // tp
+    specs = jax.tree_util.tree_map(lambda s: s.spec,
+                                   cache_shardings(cache, mesh))
+
+    def body(kv, lengths, scales, tail, tc):
+        local = KVCache(kv, lengths, scales, kvh_l, cache.head_dim,
+                        tail, tc)
+        f = local.flush_tail(t)
+        return f.kv, f.quant_scales, f.tail_count
+
+    kv, scales, tc = shard_map(
+        body, mesh=mesh,
+        in_specs=(specs.kv, specs.lengths, specs.quant_scales,
+                  specs.tail, specs.tail_count),
+        out_specs=(specs.kv, specs.quant_scales, specs.tail_count),
+        check_vma=False,
+    )(cache.kv, cache.lengths, cache.quant_scales, cache.tail,
+      cache.tail_count)
+    return KVCache(kv, cache.lengths, scales, cache.kv_heads,
+                   cache.head_dim, cache.tail, tc)

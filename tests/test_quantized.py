@@ -265,3 +265,68 @@ def test_matmul_argmax_int8_tie_breaks_to_first():
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(scales),
     ))
     assert (got == 7).all()
+
+
+# -- word-packed int4 (round 4 "bitcast treatment") ---------------------
+
+
+def test_pack_int4_words_roundtrip():
+    from rten_tpu.kernels.quant import pack_int4_words, unpack_int4_words
+    rng = np.random.RandomState(0)
+    q = rng.randint(-8, 8, size=(64, 512)).astype(np.int8)
+    words = pack_int4_words(q)
+    assert words.shape == (16, 256) and words.dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(unpack_int4_words(words)), q)
+
+
+@pytest.mark.parametrize("k,block_k", [(256, 512), (2048, 1024)])
+def test_matmul_int4_words_bf16_matches_reference(k, block_k):
+    from rten_tpu.kernels.gemm import matmul_int4_words
+    from rten_tpu.kernels.quant import (dequantize_int4_words,
+                                        quantize_int4_words)
+    rng = np.random.RandomState(1)
+    w = rng.randn(k, 256).astype(np.float32)
+    x = rng.randn(8, k).astype(np.float32)
+    words, scales = quantize_int4_words(w)
+    want = np.asarray(jnp.asarray(x) @ dequantize_int4_words(
+        words, scales))
+    got = np.asarray(matmul_int4_words(jnp.asarray(x), jnp.asarray(words),
+                                       jnp.asarray(scales),
+                                       block_k=block_k))
+    # bf16 product rounding over K accumulations.
+    np.testing.assert_allclose(got, want, rtol=0.02,
+                               atol=0.05 * np.abs(want).max())
+
+
+def test_matmul_int4_words_int8_dot_close():
+    from rten_tpu.kernels.gemm import matmul_int4_words
+    from rten_tpu.kernels.quant import (dequantize_int4_words,
+                                        quantize_int4_words)
+    rng = np.random.RandomState(2)
+    w = rng.randn(512, 256).astype(np.float32)
+    x = rng.randn(4, 512).astype(np.float32)
+    words, scales = quantize_int4_words(w)
+    want = np.asarray(jnp.asarray(x) @ dequantize_int4_words(
+        words, scales))
+    got = np.asarray(matmul_int4_words(jnp.asarray(x), jnp.asarray(words),
+                                       jnp.asarray(scales),
+                                       dot_mode="int8"))
+    # Adds per-row int8 activation quantization (~0.4% rel).
+    np.testing.assert_allclose(got, want, rtol=0.05,
+                               atol=0.05 * np.abs(want).max())
+
+
+def test_linear_routes_word_packed_int4():
+    """quantize_weights(int4_packing="words") must produce int32-packed
+    QuantWeights whose linear() outputs track the byte-packed path."""
+    from rten_tpu.models.transformer import linear, quantize_weights
+    rng = np.random.RandomState(3)
+    params = {"w_up": jnp.asarray(rng.randn(256, 256), jnp.float32)}
+    pb = quantize_weights(params, "int4")
+    pw = quantize_weights(params, "int4", int4_packing="words")
+    assert pw["w_up"].data.dtype == jnp.int32
+    x = jnp.asarray(rng.randn(4, 256), jnp.float32)
+    a = np.asarray(linear(x, pb["w_up"]))
+    b = np.asarray(linear(x, pw["w_up"]))
+    np.testing.assert_allclose(a, b, rtol=0.02,
+                               atol=0.02 * np.abs(a).max() + 1e-5)

@@ -69,15 +69,23 @@ def build(cfg_kw, ablate=()):
 
 
 def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
-               qcache=False, cache_dtype=None, fused_head=False):
+               qcache=False, cache_dtype=None, fused_head=False,
+               tail_window=0, live=64):
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    if "tailround" in ablate:
+        os.environ["RTEN_ABLATE_TAIL_ROUND"] = "1"
+    else:
+        os.environ.pop("RTEN_ABLATE_TAIL_ROUND", None)
     cache = model.new_cache(batch, capacity, quantized=qcache,
-                            cache_dtype=cache_dtype)
+                            cache_dtype=cache_dtype,
+                            tail_window=tail_window)
     # Fake a prefill depth so attention reads a realistic cache span.
-    cache = cache.advance(64)
+    cache = cache.with_lengths(jnp.full(batch, live, jnp.int32))
     tokens = jnp.zeros(batch, jnp.int32)
 
     def burst(params, tokens, cache):
@@ -109,6 +117,36 @@ def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, cache), None
 
+        if tail_window:
+            # Mirror the engine's burst: chunks of tail_window steps
+            # with an in-device flush between (engine.burst_fn). The
+            # "noflush" ablation resets the window counter WITHOUT the
+            # flush kernel — every other read/write keeps identical
+            # shape and traffic (packed rows just hold garbage), so the
+            # difference is the amortized flush cost alone.
+            from rten_tpu.generate.kv_cache import KVCache
+            chunks, rem = divmod(n_steps, tail_window)
+
+            def do_flush(c):
+                if "noflush" in ablate:
+                    return KVCache(c.kv, c.lengths, c.quant_scales,
+                                   c.kv_heads, c.head_dim, c.tail,
+                                   jnp.zeros((), jnp.int32))
+                return c.flush_tail(tail_window)
+
+            def chunk_body(carry, _):
+                carry, _ = jax.lax.scan(body, carry, None,
+                                        length=tail_window)
+                tokens, cache = carry
+                return (tokens, do_flush(cache)), None
+
+            carry = (tokens, cache)
+            if chunks:
+                carry, _ = jax.lax.scan(chunk_body, carry, None,
+                                        length=chunks)
+            if rem:
+                carry, _ = jax.lax.scan(body, carry, None, length=rem)
+            return carry
         (tokens, cache), _ = jax.lax.scan(body, (tokens, cache), None,
                                           length=n_steps)
         return tokens, cache
@@ -190,6 +228,14 @@ def main():
                     help="ablate the SERVING config (int8 weights + bf16 "
                          "cache + fused head/argmax) instead of f32; use "
                          "with --batch 256 for the headline-config table")
+    ap.add_argument("--serving-tail", action="store_true",
+                    help="ablate the round-3 HEADLINE config: int8 "
+                         "weights + token-packed int8 cache + bf16 tail "
+                         "write-buffer (flat kernel) + fused head — the "
+                         "in-situ decomposition profile_decode could "
+                         "not see before (round-3 verdict item 1)")
+    ap.add_argument("--live", type=int, default=64,
+                    help="initial cache depth (bench decodes 64->448)")
     args = ap.parse_args()
 
     import jax
@@ -223,7 +269,8 @@ def main():
     results = {}
 
     def run(name, cfg_kw, ablate=(), quant=None, qcache=False,
-            cache_dtype=None, fused_head=False):
+            cache_dtype=None, fused_head=False, tail_window=0,
+            live=None):
         if args.only and not any(tok in name
                                  for tok in args.only.split(",")):
             return
@@ -241,13 +288,79 @@ def main():
                                        args.steps, ablate=ablate,
                                        qcache=qcache,
                                        cache_dtype=cache_dtype,
-                                       fused_head=fused_head)
+                                       fused_head=fused_head,
+                                       tail_window=tail_window,
+                                       live=live if live is not None
+                                       else args.live)
         results[name] = (per_step, kernels)
         kinfo = ""
         if kernels:
             kinfo = (f" launches/step={kernels['ops']}"
                      f" {kernels['breakdown']}")
         print(f"{name:30s} {per_step * 1e6:9.1f} us/step{kinfo}", flush=True)
+
+    if args.serving_tail:
+        # The round-3 headline config end-to-end: tail write-buffer +
+        # flat kernel + int8 cache + fused head, with the engine's
+        # in-burst flush cadence. Differences give the in-situ
+        # per-component costs the old --serving mode could not see.
+        L0 = layer_counts[0]
+        L1 = layer_counts[1]
+        tw = 16
+        sv = dict(quant="int8", qcache=True, fused_head=True,
+                  tail_window=tw)
+        run(f"tail L={L0}", {**base_kw, "n_layers": L0}, **sv)
+        run(f"tail L={L1}", {**base_kw, "n_layers": L1}, **sv)
+        run("tail no-attn", {**base_kw, "n_layers": L0},
+            ablate=("attn",), **sv)
+        run("tail no-append", {**base_kw, "n_layers": L0},
+            ablate=("append",), **sv)
+        run("tail no-tailround", {**base_kw, "n_layers": L0},
+            ablate=("tailround",), **sv)
+        run("tail no-flush", {**base_kw, "n_layers": L0},
+            ablate=("noflush",), **sv)
+        run("tail no-mlp", {**base_kw, "n_layers": L0},
+            ablate=("mlp",), **sv)
+        nohead = {k: v for k, v in sv.items() if k != "fused_head"}
+        run("tail no-head", {**base_kw, "n_layers": L0},
+            ablate=("head",), **nohead)
+        run("tail live=384", {**base_kw, "n_layers": L0}, live=384,
+            **sv)
+        run("tail no-tail(rmw)", {**base_kw, "n_layers": L0},
+            **{**sv, "tail_window": 0})
+        full = results.get(f"tail L={L0}")
+        if full:
+            t = full[0]
+            print(f"\nserving-tail step {t * 1e6:.1f} us "
+                  f"({batch / t:.0f} tok/s at batch {batch}, "
+                  f"live {args.live})")
+            if f"tail L={L1}" in results:
+                per_layer = (t - results[f"tail L={L1}"][0]) / (L0 - L1)
+                print(f"per-layer {per_layer * 1e6:.1f} us; fixed "
+                      f"{(t - per_layer * L0) * 1e6:.1f} us")
+            for k, label in (("tail no-attn", "attention(all)+append"),
+                             ("tail no-append", "append"),
+                             ("tail no-tailround", "tail round"),
+                             ("tail no-mlp", "mlp")):
+                if k in results:
+                    print(f"per-layer {label} "
+                          f"{(t - results[k][0]) / L0 * 1e6:.1f} us")
+            if "tail no-flush" in results:
+                print(f"flush amortized "
+                      f"{(t - results['tail no-flush'][0]) * 1e6:.1f}"
+                      f" us/step")
+            if "tail no-head" in results:
+                print(f"head+argmax tail "
+                      f"{(t - results['tail no-head'][0]) * 1e6:.1f} us")
+            if "tail live=384" in results:
+                print(f"live 384 vs {args.live}: "
+                      f"{(results['tail live=384'][0] - t) * 1e6:+.1f}"
+                      f" us/step")
+            if "tail no-tail(rmw)" in results:
+                print(f"rmw(no-tail) config delta "
+                      f"{(results['tail no-tail(rmw)'][0] - t) * 1e6:+.1f}"
+                      f" us/step")
+        return
 
     if args.serving:
         # The headline serving config (bench.py): int8 weights, the

@@ -68,10 +68,18 @@ def main():
 
     fn = jax.jit(burst, donate_argnums=(2,))
 
-    for name, p in [("bf16 dense", params),
-                    ("int4 weight-only",
-                     quantize_weights(params, "int4")),
-                    ("int8", quantize_weights(params, "int8"))]:
+    import os
+    variants = [("bf16 dense", params),
+                ("int4 weight-only",
+                 quantize_weights(params, "int4")),
+                ("int4 words bf16",
+                 quantize_weights(params, "int4", int4_packing="words")),
+                ("int8", quantize_weights(params, "int8"))]
+    if os.environ.get("RTEN_INT4_DOT") == "int8":
+        # The int8-dot A/B reuses the words params; the env var flips
+        # the kernel's dot mode at trace time.
+        variants[2] = ("int4 words int8dot", variants[2][1])
+    for name, p in variants:
         cache = model.new_cache(args.batch, args.capacity)
         cache = cache.advance(64)
         tokens = jnp.zeros(args.batch, jnp.int32)
