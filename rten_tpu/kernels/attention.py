@@ -1197,8 +1197,9 @@ def _head_expander(h, kv_heads, head_dim, hd_tot, dtype):
     return e.astype(dtype)
 
 
-def _decode_flat_kernel(len_ref, q_all, e_ref, kv_hbm, o_hbm, *, scale,
-                        block_k, hp, head_dim, hd_tot, group, nprog):
+def _decode_flat_kernel(len_ref, nb_ref, q_all, lv_ref, e_ref, kv_hbm,
+                        o_hbm, *, scale, block_k, hp, head_dim, hd_tot,
+                        group, nprog, dyn_q):
     dp = -(-head_dim // 128) * 128
     """ONE program for the whole batch: an in-kernel loop over all
     ``nprog`` sequence groups with a DMA pipeline that runs CONTINUOUSLY
@@ -1225,25 +1226,38 @@ def _decode_flat_kernel(len_ref, q_all, e_ref, kv_hbm, o_hbm, *, scale,
         kv_dma(0, 0, 0).start()
 
         def outer(grp, r):
-            lens = [len_ref[grp * group + g] for g in range(group)]
-            mx = lens[0]
-            for g in range(1, group):
-                mx = jnp.maximum(mx, lens[g])
-            nb = pl.cdiv(mx, block_k)
+            # Per-group block count precomputed in the wrapper (one
+            # scalar read instead of a G-long SMEM load + max chain).
+            nb = nb_ref[grp]
 
             m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
             l_ref[:] = jnp.zeros_like(l_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
-            g_of = jax.lax.broadcasted_iota(jnp.int32,
-                                            (group, hp, block_k), 0)
-            limit = jnp.zeros((group, hp, block_k), jnp.int32)
-            for g in range(group):
-                limit = jnp.where(g_of == g, lens[g], limit)
-            # Static-index select chain (dynamic VMEM vector indexing
-            # needs tile-aligned trailing dims); the q rows are tiny.
-            q_t = q_all[0]
-            for gg in range(1, nprog):
-                q_t = jnp.where(grp == gg, q_all[gg], q_t)
+            if dyn_q:
+                # Per-group state via ONE dynamic leading-index VMEM
+                # load each (legal: trailing dims are whole and
+                # tile-aligned — q is lane-padded to dp by the wrapper
+                # and G is a sublane-tile multiple). The old static
+                # select chains were O(nprog) VPU tile-selects per
+                # group — O(nprog²) per call.
+                lv = lv_ref[grp]                       # [G, 128] i32
+                limit = jnp.broadcast_to(lv[:, 0:1][:, :, None],
+                                         (group, hp, block_k))
+                q_t = q_all[grp][..., :head_dim]
+            else:
+                lens = [len_ref[grp * group + g] for g in range(group)]
+                g_of = jax.lax.broadcasted_iota(jnp.int32,
+                                                (group, hp, block_k), 0)
+                limit = jnp.zeros((group, hp, block_k), jnp.int32)
+                for g in range(group):
+                    limit = jnp.where(g_of == g, lens[g], limit)
+                # Static-index select chain (dynamic VMEM vector
+                # indexing needs tile-aligned trailing dims); the q
+                # rows are tiny.
+                q_t = q_all[0]
+                for gg in range(1, nprog):
+                    q_t = jnp.where(grp == gg, q_all[gg], q_t)
+                q_t = q_t[..., :head_dim]
             # [Hp, G, D] × E [Hp, D, F] → block-diagonal [Hp, G, F]
             # (Mosaic batched matmuls need the batch dim leading on
             # BOTH operands), then a leading-dims swap to the score
@@ -1349,11 +1363,12 @@ def _decode_flat_kernel(len_ref, q_all, e_ref, kv_hbm, o_hbm, *, scale,
     )
 
 
-def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
-                              sc_hbm, o_hbm, *, scale, block_k, hp,
-                              head_dim, hd_tot, group, nprog,
+def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
+                              kv_hbm, sc_hbm, o_hbm, *, scale, block_k,
+                              hp, head_dim, hd_tot, group, nprog,
                               scale_lanes, qs_ref=None, ei_ref=None,
-                              tc_ref=None, tail_hbm=None):
+                              tc_ref=None, tail_hbm=None, lv_ref=None,
+                              dyn_q=False):
     dp = -(-head_dim // 128) * 128
     """Token-packed int8 sibling of :func:`_decode_flat_kernel` (same
     flat single-program pipeline and compact q/out; same per-block math
@@ -1395,31 +1410,42 @@ def _decode_flat_quant_kernel(len_ref, q_all, e_ref, oh_ref, kv_hbm,
         sc_dma(0, 0, 0).start()
 
         def outer(grp, r):
-            lens = [len_ref[grp * group + g] for g in range(group)]
             if tc is not None:
                 # The tail window holds the newest tc tokens (incl. the
                 # current one); the packed region covers the rest.
                 t_dma(grp).start()
-                lens = [lg - tc for lg in lens]
-            mx = lens[0]
-            for g in range(1, group):
-                mx = jnp.maximum(mx, lens[g])
-            # Unused slots can leave a whole group's packed span empty
-            # (lens <= 0): still run one fully-masked block round so
-            # the DMA start/wait pairing stays balanced.
-            nb = jnp.maximum(pl.cdiv(mx, block_k), 1)
+            # Per-group block count precomputed in the wrapper (one
+            # scalar read instead of a G-long SMEM load + max chain);
+            # the wrapper subtracts the window depth and clamps to >= 1
+            # so the DMA start/wait pairing stays balanced even for a
+            # group of empty slots.
+            nb = nb_ref[grp]
 
             m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
             l_ref[:] = jnp.zeros_like(l_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
-            g_of = jax.lax.broadcasted_iota(jnp.int32,
-                                            (group, hp, block_k), 0)
-            limit = jnp.zeros((group, hp, block_k), jnp.int32)
-            for g in range(group):
-                limit = jnp.where(g_of == g, lens[g], limit)
-            q_t = q_all[0]
-            for gg in range(1, nprog):
-                q_t = jnp.where(grp == gg, q_all[gg], q_t)
+            if dyn_q:
+                # One dynamic leading-index load per group instead of
+                # the O(nprog) select chains (see _decode_flat_kernel).
+                lv = lv_ref[grp]                       # [G, 128] i32
+                if tc is not None:
+                    lv = lv - tc
+                limit = jnp.broadcast_to(lv[:, 0:1][:, :, None],
+                                         (group, hp, block_k))
+                q_t = q_all[grp][..., :head_dim]
+            else:
+                lens = [len_ref[grp * group + g] for g in range(group)]
+                if tc is not None:
+                    lens = [lg - tc for lg in lens]
+                g_of = jax.lax.broadcasted_iota(jnp.int32,
+                                                (group, hp, block_k), 0)
+                limit = jnp.zeros((group, hp, block_k), jnp.int32)
+                for g in range(group):
+                    limit = jnp.where(g_of == g, lens[g], limit)
+                q_t = q_all[0]
+                for gg in range(1, nprog):
+                    q_t = jnp.where(grp == gg, q_all[gg], q_t)
+                q_t = q_t[..., :head_dim]
             if qs_ref is not None:
                 qs = qs_ref[0]
                 for gg in range(1, nprog):
@@ -1645,6 +1671,28 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
     if hp != h:
         q_c = jnp.pad(q_c, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
     lens = jnp.asarray(lengths, jnp.int32)
+    # Dynamic per-group q/lens loads need tile-aligned trailing dims:
+    # lanes padded to dp and G a sublane-tile multiple for q's dtype.
+    # The fallback is the O(nprog) static select chain per group.
+    import os
+    sub_tile = 16 if q_c.dtype == jnp.bfloat16 else 8
+    dyn_q = (group % sub_tile == 0 and not int8_scores
+             and not os.environ.get("RTEN_FLAT_NO_DYNQ"))
+    q_cd = q_c                      # unpadded (int8_scores quantizes it)
+    if q_c.shape[-1] != dp:
+        q_c = jnp.pad(q_c, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    lens_v = jnp.broadcast_to(
+        lens.reshape(nprog, group)[:, :, None],
+        (nprog, group, 128)).astype(jnp.int32)
+    # Per-group packed-block counts, precomputed so the kernel reads one
+    # scalar per group instead of G SMEM scalars + a max chain. Clamped
+    # to >= 1: a group of empty slots still runs one fully-masked round
+    # so the DMA start/wait pairing stays balanced.
+    gmax = jnp.max(lens.reshape(nprog, group), axis=1)
+    if tail is not None:
+        gmax = gmax - jnp.asarray(tail_count, jnp.int32)
+    nb_all = jnp.maximum((gmax + block_k - 1) // block_k, 1
+                         ).astype(jnp.int32)
 
     def vmem(shape):
         return pl.BlockSpec(shape, lambda i, *_: (0,) * len(shape),
@@ -1659,57 +1707,68 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
             else kv_scales.dtype)
         in_specs = [
             vmem(q_c.shape),                         # compact q
+            vmem(lens_v.shape),                      # lens (VMEM copy)
             vmem(e_mat.shape),                       # E (f32)
             vmem(oh_s.shape),                        # scale selector
             pl.BlockSpec(memory_space=pl.ANY),       # packed kv
             pl.BlockSpec(memory_space=pl.ANY),       # scale rows
         ]
         if int8_scores:
-            qsc = jnp.max(jnp.abs(q_c), axis=-1, keepdims=True)
+            qsc = jnp.max(jnp.abs(q_cd), axis=-1, keepdims=True)
             qsc = jnp.where(qsc == 0, 1.0, qsc / 127.0
                             ).astype(jnp.float32)
-            q_arg = jnp.clip(jnp.round(q_c / qsc), -127, 127
+            q_arg = jnp.clip(jnp.round(q_cd / qsc), -127, 127
                              ).astype(jnp.int8)
             qsc = qsc.transpose(0, 2, 1, 3)      # [nprog, G, Hp, 1]
             e_int8 = e_mat.astype(jnp.int8)
-            in_specs.insert(2, vmem(e_int8.shape))   # int8 E
-            in_specs.insert(3, vmem(qsc.shape))      # q scales
+            in_specs[0] = vmem(q_arg.shape)          # int8 q, unpadded
+            in_specs.insert(3, vmem(e_int8.shape))   # int8 E
+            in_specs.insert(4, vmem(qsc.shape))      # q scales
 
-            def kernel(len_ref, q_all, e_ref, ei, qs, oh_ref, kv_hbm,
-                       sc_hbm, o_hbm):
+            def kernel(len_ref, nb_ref, q_all, lv, e_ref, ei, qs,
+                       oh_ref, kv_hbm, sc_hbm, o_hbm):
                 return _decode_flat_quant_kernel(
-                    len_ref, q_all, e_ref, oh_ref, kv_hbm, sc_hbm,
-                    o_hbm, scale=scale, block_k=block_k, hp=hp,
+                    len_ref, nb_ref, q_all, e_ref, oh_ref, kv_hbm,
+                    sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES, qs_ref=qs,
-                    ei_ref=ei)
+                    ei_ref=ei, lv_ref=lv, dyn_q=False)
 
-            args = (lens, q_arg, e_mat.astype(jnp.float32), e_int8,
-                    qsc, oh_s, kv, kv_scales)
+            args = (lens, nb_all, q_arg, lens_v,
+                    e_mat.astype(jnp.float32), e_int8, qsc, oh_s, kv,
+                    kv_scales)
         elif tail is not None:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # tail
 
-            def kernel(len_ref, tc_ref, q_all, e_ref, oh_ref, kv_hbm,
-                       sc_hbm, tail_hbm, o_hbm):
+            def kernel(len_ref, tc_ref, nb_ref, q_all, lv, e_ref,
+                       oh_ref, kv_hbm, sc_hbm, tail_hbm, o_hbm):
                 return _decode_flat_quant_kernel(
-                    len_ref, q_all, e_ref, oh_ref, kv_hbm, sc_hbm,
-                    o_hbm, scale=scale, block_k=block_k, hp=hp,
+                    len_ref, nb_ref, q_all, e_ref, oh_ref, kv_hbm,
+                    sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES,
-                    tc_ref=tc_ref, tail_hbm=tail_hbm)
+                    tc_ref=tc_ref, tail_hbm=tail_hbm, lv_ref=lv,
+                    dyn_q=dyn_q)
 
             args = (lens, jnp.asarray(tail_count, jnp.int32).reshape(1),
-                    q_c, e_mat, oh_s, kv, kv_scales, tail)
+                    nb_all, q_c, lens_v, e_mat, oh_s, kv, kv_scales,
+                    tail)
         else:
-            kernel = functools.partial(
-                _decode_flat_quant_kernel, scale=scale, block_k=block_k,
-                hp=hp, head_dim=d, hd_tot=hd_tot, group=group,
-                nprog=nprog, scale_lanes=SCALE_LANES)
-            args = (lens, q_c, e_mat, oh_s, kv, kv_scales)
+            def kernel(len_ref, nb_ref, q_all, lv, e_ref, oh_ref,
+                       kv_hbm, sc_hbm, o_hbm):
+                return _decode_flat_quant_kernel(
+                    len_ref, nb_ref, q_all, e_ref, oh_ref, kv_hbm,
+                    sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
+                    head_dim=d, hd_tot=hd_tot, group=group,
+                    nprog=nprog, scale_lanes=SCALE_LANES, lv_ref=lv,
+                    dyn_q=dyn_q)
+
+            args = (lens, nb_all, q_c, lens_v, e_mat, oh_s, kv,
+                    kv_scales)
         out_full = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2 if tail is not None else 1,
+                num_scalar_prefetch=3 if tail is not None else 2,
                 grid=(1,),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -1726,12 +1785,14 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
         out_full = pl.pallas_call(
             functools.partial(_decode_flat_kernel, scale=scale,
                               block_k=block_k, hp=hp, head_dim=d,
-                              hd_tot=hd_tot, group=group, nprog=nprog),
+                              hd_tot=hd_tot, group=group, nprog=nprog,
+                              dyn_q=dyn_q),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,   # lengths
+                num_scalar_prefetch=2,   # lengths, per-group nb
                 grid=(1,),
                 in_specs=[
                     vmem(q_c.shape),                 # compact q
+                    vmem(lens_v.shape),              # lens (VMEM copy)
                     vmem(e_mat.shape),               # E
                     pl.BlockSpec(memory_space=pl.ANY),   # kv, HBM
                 ],
@@ -1744,7 +1805,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                 bytes_accessed=kv.size * kv.dtype.itemsize,
                 transcendentals=b * h * s_max),
             interpret=_interpret(),
-        )(lens, q_c, e_mat, kv)
+        )(lens, nb_all, q_c, lens_v, e_mat, kv)
     # [nprog, Hp, G, Dp] → [B, H, D] (small: B*Hp*Dp elements).
     return out_full.transpose(0, 2, 1, 3)[:, :, :h, :d].reshape(b, h, d)
 

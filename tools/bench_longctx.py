@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--cap", type=int, default=4096)
     ap.add_argument("--new", type=int, default=256)
     ap.add_argument("--burst", type=int, default=64)
+    ap.add_argument("--decode-attn", default="auto",
+                    choices=["auto", "grouped", "flat"],
+                    help="long-context kernel A/B: 'flat' forces the "
+                         "single-program kernel at cap >= 2048 (g8/"
+                         "b128 fits VMEM with packed scales: buf 6.3M "
+                         "+ E 3.1M + acc 0.4M + sbuf 0.5M ~= 10.9M)")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +52,8 @@ def main():
                                              TransformerLM,
                                              quantize_weights)
 
-    cfg = TransformerConfig.gpt2(max_seq_len=args.cap)
+    cfg = TransformerConfig.gpt2(max_seq_len=args.cap,
+                                 decode_attn=args.decode_attn)
     model = TransformerLM(cfg)
     params = quantize_weights(
         model.init_params(jax.random.PRNGKey(0)), "int8")
