@@ -174,26 +174,72 @@ def conv_integer(ctx, attrs, x, w, x_zero_point=None, w_zero_point=None):
 
     from .common import attr_ints, resolve_pads
 
-    x32 = x.astype(jnp.int32)
-    w32 = w.astype(jnp.int32)
-    if x_zero_point is not None:
-        x32 = x32 - jnp.asarray(x_zero_point).astype(jnp.int32)
-    if w_zero_point is not None:
-        w32 = w32 - jnp.asarray(w_zero_point).astype(jnp.int32)
-    squeeze_h = x32.ndim == 3
+    import os
+
+    # Native low-precision conv path (round 4, the int8-GEMM A/B
+    # pattern applied to convs — kernels/gemm.py:70-80): keep the int8
+    # operands NARROW into conv_general_dilated so XLA can use the
+    # MXU's native int8 rate, and correct the activation zero point on
+    # the int32 accumulator: conv(x - zp, w) = conv(x, w) - zp *
+    # conv(1, w), where the ones-conv runs at batch 1 (broadcast over
+    # N) and counts only REAL (unpadded) taps — exactly matching the
+    # subtract-then-zero-pad semantics of the wide path. Integer math
+    # is exact either way. Opt-in via RTEN_CONVINT_NATIVE=1 until the
+    # hardware A/B decides the default.
+    native = (os.environ.get("RTEN_CONVINT_NATIVE") == "1"
+              and w.dtype == jnp.int8
+              and x.dtype in (jnp.int8, jnp.uint8)
+              and _zp_is_zero(w_zero_point))
+
+    zp_eff = None
+    if native:
+        if x.dtype == jnp.uint8:
+            # XLA convs need matching dtypes: shift u8 to s8 exactly
+            # via the top-bit flip (u8 v ^ 0x80 reinterpreted as s8 ==
+            # v - 128) and fold the 128 into the zero-point term.
+            xn = jax.lax.bitwise_xor(x, jnp.uint8(0x80)
+                                     ).astype(jnp.int8)
+            zp_eff = (jnp.asarray(x_zero_point).astype(jnp.int32)
+                      if x_zero_point is not None else 0) - 128
+        else:
+            xn = x
+            if x_zero_point is not None \
+                    and not _zp_is_zero(x_zero_point):
+                zp_eff = jnp.asarray(x_zero_point).astype(jnp.int32)
+        wn = w
+    else:
+        xn = x.astype(jnp.int32)
+        wn = w.astype(jnp.int32)
+        if x_zero_point is not None:
+            xn = xn - jnp.asarray(x_zero_point).astype(jnp.int32)
+        if w_zero_point is not None:
+            wn = wn - jnp.asarray(w_zero_point).astype(jnp.int32)
+    squeeze_h = xn.ndim == 3
     if squeeze_h:
-        x32, w32 = x32[:, :, None, :], w32[:, :, None, :]
+        xn, wn = xn[:, :, None, :], wn[:, :, None, :]
     strides = attr_ints(attrs, "strides") or [1, 1]
     dilations = attr_ints(attrs, "dilations") or [1, 1]
     groups = int(attrs.get("groups") or 1)
-    pads = resolve_pads(attrs, 2, x32.shape[2:], w32.shape[2:], strides,
+    pads = resolve_pads(attrs, 2, xn.shape[2:], wn.shape[2:], strides,
                         dilations)
-    acc = lax.conv_general_dilated(
-        x32, w32, window_strides=strides, padding=pads,
-        rhs_dilation=dilations,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.int32)
+
+    def run_conv(lhs, rhs):
+        return lax.conv_general_dilated(
+            lhs, rhs, window_strides=strides, padding=pads,
+            rhs_dilation=dilations,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32)
+
+    acc = run_conv(xn, wn)
+    if native and zp_eff is not None:
+        # conv(x - zp, w) == conv(x_shifted, w) - zp_eff * conv(1, w):
+        # the ones-conv runs at batch 1 (1/N of the conv) and counts
+        # only real (unpadded) taps, matching the wide path's
+        # subtract-then-zero-pad semantics exactly.
+        ones = jnp.ones((1,) + xn.shape[1:], jnp.int8)
+        taps = run_conv(ones, wn)               # [1, C_out, H', W']
+        acc = acc - jnp.asarray(zp_eff, jnp.int32) * taps
     if squeeze_h:
         acc = acc[:, :, 0, :]
     return acc

@@ -330,3 +330,30 @@ def test_linear_routes_word_packed_int4():
     b = np.asarray(linear(x, pw["w_up"]))
     np.testing.assert_allclose(a, b, rtol=0.02,
                                atol=0.02 * np.abs(a).max() + 1e-5)
+
+
+def test_conv_integer_native_path_exact(monkeypatch):
+    """RTEN_CONVINT_NATIVE=1 (narrow int8/uint8 operands into XLA's
+    conv + zero-point correction on the accumulator) must be bit-exact
+    vs the widen-to-int32 path, including padding borders and groups."""
+    import os
+    from rten_tpu.ops.quantized import conv_integer
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randint(0, 256, (2, 8, 9, 9)), jnp.uint8)
+    w = jnp.asarray(rng.randint(-128, 128, (16, 8, 3, 3)), jnp.int8)
+    zp = jnp.asarray(131, jnp.uint8)
+    attrs = {"strides": [2, 2], "pads": [1, 1, 1, 1], "groups": 1}
+    monkeypatch.delenv("RTEN_CONVINT_NATIVE", raising=False)
+    want = np.asarray(conv_integer(None, attrs, x, w, zp))
+    monkeypatch.setenv("RTEN_CONVINT_NATIVE", "1")
+    got = np.asarray(conv_integer(None, attrs, x, w, zp))
+    np.testing.assert_array_equal(got, want)
+    # Depthwise/grouped + no zero point (symmetric int8 activations).
+    xg = jnp.asarray(rng.randint(-128, 128, (2, 8, 7, 7)), jnp.int8)
+    wg = jnp.asarray(rng.randint(-128, 128, (8, 1, 3, 3)), jnp.int8)
+    ag = {"strides": [1, 1], "pads": [1, 1, 1, 1], "groups": 8}
+    monkeypatch.delenv("RTEN_CONVINT_NATIVE", raising=False)
+    want = np.asarray(conv_integer(None, ag, xg, wg))
+    monkeypatch.setenv("RTEN_CONVINT_NATIVE", "1")
+    got = np.asarray(conv_integer(None, ag, xg, wg))
+    np.testing.assert_array_equal(got, want)

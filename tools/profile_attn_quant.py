@@ -121,6 +121,27 @@ def main():
                     lambda q, kv, s, l: flash_decode_flat(
                         q, kv, l, kvh, block_k=blk, group=g),
                     kv_bf16, None, bytes_f)
+        if kind == "qqo":
+            # Same-process dyn-q A/B: the OLD static select chains via
+            # env, with a trace-forcing scale nudge (the inner jit would
+            # otherwise reuse the dyn trace; 1e-12 relative on the
+            # softmax scale is far below measurement noise).
+            import math as _m
+            import os as _os
+            nbytes = bytes_quant(2)
+
+            def old_chains(q, kv, s, l):
+                _os.environ["RTEN_FLAT_NO_DYNQ"] = "1"
+                try:
+                    return flash_decode_flat(
+                        q, kv, l, kvh, block_k=blk, group=g,
+                        kv_scales=s,
+                        scale=(1.0 / _m.sqrt(d)) * (1 + 1e-12))
+                finally:
+                    _os.environ.pop("RTEN_FLAT_NO_DYNQ", None)
+
+            return (f"int8 FLAT g={g} b{blk} OLD-chains", old_chains,
+                    kv_q, scales, nbytes)
         if kind in ("qq", "qqs", "qqf32"):
             sarr = scales_f32 if kind == "qqf32" else scales
             nbytes = bytes_quant(2 if sarr.dtype == jnp.int32 else 4)
