@@ -195,9 +195,14 @@ def linear(x, w, bias=None):
                 # Quantization pads K up to the group size; padded weight
                 # rows are zero, so zero-padding x is exact.
                 x2 = jnp.pad(x2, ((0, 0), (0, k_packed - x2.shape[1])))
+            # Word-packed int4 streams at 0.5 B/elt vs the hoisted bf16
+            # copy's 2 B/elt (a 4x saving, vs int8's 2x), so its
+            # Pallas-call overhead amortizes at ~4x smaller weights —
+            # TinyLlama's 5.2M-element qkv projections take the kernel.
+            min_elems = (_WO_PALLAS_MIN_ELEMENTS // 4 if words
+                         else _WO_PALLAS_MIN_ELEMENTS)
             if x2.shape[0] <= 64 and \
-                    w.data.size * (8 if words else 2) \
-                    < _WO_PALLAS_MIN_ELEMENTS:
+                    w.data.size * (8 if words else 2) < min_elems:
                 # Small weight at decode M: XLA dot on the loop-hoisted
                 # dequantized bf16 copy (same rationale as int8).
                 deq = (qt.dequantize_int4_words if words
