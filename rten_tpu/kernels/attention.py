@@ -1676,8 +1676,15 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
     # The fallback is the O(nprog) static select chain per group.
     import os
     sub_tile = 16 if q_c.dtype == jnp.bfloat16 else 8
+    # Dynamic per-group q/lens VMEM loads measured SLOWER than the
+    # static select chains on v5e (round-4 same-process A/B at
+    # batch 256: 259.5 vs 175.3 us/call at live 96, 276 vs 268 at
+    # live 256 — a dynamic-offset VMEM load lowers to a slow local
+    # copy that outweighs the O(nprog) selects). Kept opt-in for
+    # future re-evaluation; the per-group block-count precompute
+    # (nb_ref) is unconditional — it is in both sides of that A/B.
     dyn_q = (group % sub_tile == 0 and not int8_scores
-             and not os.environ.get("RTEN_FLAT_NO_DYNQ"))
+             and bool(os.environ.get("RTEN_FLAT_DYNQ")))
     q_cd = q_c                      # unpadded (int8_scores quantizes it)
     if q_c.shape[-1] != dp:
         q_c = jnp.pad(q_c, ((0, 0), (0, 0), (0, 0), (0, dp - d)))

@@ -417,6 +417,14 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
     parser.add_argument("--chat-template", default="plain",
                         help="chat template for /v1/chat/completions: "
                              "plain | zephyr | chatml")
+    parser.add_argument("--mesh", metavar="DATAxMODEL",
+                        help="shard the engine over a device mesh, e.g. "
+                             "'2x4' = data 2 × model(TP) 4; weights and "
+                             "KV shard per parallel/sharding.py")
+    parser.add_argument("--overlap", action="store_true",
+                        help="with --mesh: ring-overlapped TP decode "
+                             "(permute-only collectives riding under "
+                             "the projection matmuls)")
     args = parser.parse_args(argv)
 
     import jax
@@ -446,13 +454,20 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
     sampler = (ArgMaxSampler() if args.fixed_greedy or args.spec_draft
                else PerRequestSampler())
     kv = args.kv_cache or ("bf16" if args.quantize else "f32")
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        data, tp = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(data=data, model=tp,
+                         devices=jax.devices()[:data * tp])
     engine = ServingEngine(model, params, max_batch=args.max_batch,
                            capacity=args.capacity, sampler=sampler,
                            cache_dtype="bfloat16" if kv == "bf16" else None,
                            quantized_cache=kv == "int8",
                            paged=args.paged, page_size=args.page_size,
                            spec_draft=args.spec_draft,
-                           logprobs=args.logprobs)
+                           logprobs=args.logprobs, mesh=mesh,
+                           overlap=args.overlap)
     server, driver = serve(engine, tok, args.host, args.port,
                            burst=args.burst, quiet=False,
                            chat_template=args.chat_template)

@@ -322,3 +322,43 @@ def test_logprobs_in_response():
         srv.shutdown()
         driver.stop()
         srv.server_close()
+
+
+def test_serve_demo_mesh_overlap():
+    """--mesh/--overlap surface: the HTTP engine built over a (2,2)
+    mesh with ring-overlap decode serves a completion (driver thread
+    runs without a mesh context manager — NamedShardings carry it)."""
+    import json
+    import urllib.request
+
+    import jax
+
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.generate.sampler import ArgMaxSampler
+    from rten_tpu.models.transformer import TransformerConfig, TransformerLM
+    from rten_tpu.parallel import make_mesh
+    from rten_tpu.serve import serve
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    eng = ServingEngine(model, params, max_batch=8, capacity=64,
+                        prefill_buckets=(16,), sampler=ArgMaxSampler(),
+                        mesh=mesh, overlap=True)
+    server, driver = serve(eng, None, "127.0.0.1", 0, burst=2, quiet=True)
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"prompt": [1, 2, 3], "max_tokens": 4}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=900) as resp:
+            out = json.loads(resp.read())
+        assert len(out["choices"][0]["token_ids"]) == 4
+    finally:
+        driver.stop()
+        server.server_close()
