@@ -116,6 +116,15 @@ class ServingEngine:
         self.page_size = page_size
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= capacity) or (capacity,)
+        # Admission groups must shard over the mesh batch axes: a
+        # single-request admission under data=2 built a batch-1 group
+        # cache the shard_map island cannot split (round-4 fix). The
+        # dummy pad rows prefill one token and are never scattered.
+        self._admit_multiple = 1
+        if mesh is not None:
+            sizes = dict(mesh.shape)
+            self._admit_multiple = (sizes.get("data", 1)
+                                    * sizes.get("dcn", 1))
         self._key = jax.random.PRNGKey(seed)
         # logprobs=True: every decode step also emits the sampled
         # token's log-probability (one logsumexp over logits the step
@@ -679,13 +688,14 @@ class ServingEngine:
                                  []).append((req, slot))
         for bucket, group_pairs in by_bucket.items():
             group = len(group_pairs)
-            # Pad the admission group to a power of two: the prefill
-            # program compiles per (bucket, group) signature, and
-            # arbitrary arrival patterns would otherwise compile one
-            # program per distinct group size (a compile storm through
-            # a minutes-per-compile link). Dummy rows prefill one pad
-            # token and are never scattered into a slot.
-            gpad = 1
+            # Pad the admission group to a power of two (times the mesh
+            # batch-axis size): the prefill program compiles per
+            # (bucket, group) signature, and arbitrary arrival patterns
+            # would otherwise compile one program per distinct group
+            # size (a compile storm through a minutes-per-compile
+            # link). Dummy rows prefill one pad token and are never
+            # scattered into a slot.
+            gpad = self._admit_multiple
             while gpad < group:
                 gpad *= 2
             tokens = np.zeros((gpad, bucket), np.int32)

@@ -449,11 +449,17 @@ def matmul_int4_words(x, words, scales, group=INT4_GROUP, block_m=256,
         bk = k
     else:
         bk = max(step, block_k - block_k % step)
-    assert k % bk == 0, "quantizer pads K to the group grid"
-    mp = _round_up(m, bm)
-    x = _pad_to(x.astype(jnp.float32), mp, k)
-    n_k = k // bk
-    n_g = k // group
+    mp, kp = _round_up(m, bm), _round_up(k, bk)
+    # K pads to the block grid (e.g. TinyLlama's d_ff=5632 is 44 groups
+    # but not a multiple of the 8-group block): zero x columns make the
+    # padded rows exact regardless of the padded words/scales (both
+    # accumulator terms contract against x).
+    x = _pad_to(x.astype(jnp.float32), mp, kp)
+    words = _pad_to(words, kp // 4, n // 2)
+    scales = _pad_to(jnp.asarray(scales, jnp.float32), kp // group, n)
+    k = kp
+    n_k = kp // bk
+    n_g = kp // group
 
     if dot_mode == "int8":
         absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
@@ -500,8 +506,7 @@ def matmul_int4_words(x, words, scales, group=INT4_GROUP, block_m=256,
             bytes_accessed=4 * mp * k + k * n // 2 + 4 * mp * n,
             transcendentals=0),
         interpret=_interpret(),
-    )(x, xq_r, xsum.astype(jnp.float32), words,
-      jnp.asarray(scales, jnp.float32))
+    )(x, xq_r, xsum.astype(jnp.float32), words, scales)
     if dot_mode == "int8":
         out = out * xscale
     return out[:m]

@@ -343,3 +343,23 @@ def test_sharded_engine_tail_write_buffer_parity():
                                max_new_tokens=plain._tail_flush + 4)
     assert got == want
     assert int(sharded.cache.tail_count) == sharded._tail_fill
+
+
+def test_sharded_engine_single_request_admission():
+    """A single queued request under data=2 must admit: the prefill
+    group pads to the mesh batch-axis multiple (round-4 fix — a batch-1
+    group cache cannot shard over data=2 and crashed the island)."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(7))
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    eng = ServingEngine(model, params, max_batch=8, capacity=64,
+                        prefill_buckets=(16,), mesh=mesh)
+    with mesh:
+        out = eng.generate([[1, 2, 3]], max_new_tokens=4)
+    assert len(out[0]) == 4

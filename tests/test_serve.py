@@ -350,6 +350,8 @@ def test_serve_demo_mesh_overlap():
                         prefill_buckets=(16,), sampler=ArgMaxSampler(),
                         mesh=mesh, overlap=True)
     server, driver = serve(eng, None, "127.0.0.1", 0, burst=2, quiet=True)
+    import threading
+    threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
         port = server.server_address[1]
         body = json.dumps({"prompt": [1, 2, 3], "max_tokens": 4}).encode()
