@@ -184,9 +184,15 @@ def conv_integer(ctx, attrs, x, w, x_zero_point=None, w_zero_point=None):
     # conv(1, w), where the ones-conv runs at batch 1 (broadcast over
     # N) and counts only REAL (unpadded) taps — exactly matching the
     # subtract-then-zero-pad semantics of the wide path. Integer math
-    # is exact either way. Opt-in via RTEN_CONVINT_NATIVE=1 until the
-    # hardware A/B decides the default.
-    native = (os.environ.get("RTEN_CONVINT_NATIVE") == "1"
+    # is exact either way. v5e A/B at batch 64 (tools/bench_vision.py,
+    # round 4): native 1.71x on ResNet-50, 1.20x on DETR, but 0.85x on
+    # MobileNetV3 — the regression tracks DEPTHWISE convs, so the
+    # default ("auto") uses the native path for ungrouped convs only.
+    # RTEN_CONVINT_NATIVE=1 forces it everywhere, =0 disables.
+    knob = os.environ.get("RTEN_CONVINT_NATIVE", "auto")
+    groups_ = int(attrs.get("groups") or 1)
+    native = (knob != "0"
+              and (knob == "1" or groups_ == 1)
               and w.dtype == jnp.int8
               and x.dtype in (jnp.int8, jnp.uint8)
               and _zp_is_zero(w_zero_point))

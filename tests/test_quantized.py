@@ -343,7 +343,7 @@ def test_conv_integer_native_path_exact(monkeypatch):
     w = jnp.asarray(rng.randint(-128, 128, (16, 8, 3, 3)), jnp.int8)
     zp = jnp.asarray(131, jnp.uint8)
     attrs = {"strides": [2, 2], "pads": [1, 1, 1, 1], "groups": 1}
-    monkeypatch.delenv("RTEN_CONVINT_NATIVE", raising=False)
+    monkeypatch.setenv("RTEN_CONVINT_NATIVE", "0")
     want = np.asarray(conv_integer(None, attrs, x, w, zp))
     monkeypatch.setenv("RTEN_CONVINT_NATIVE", "1")
     got = np.asarray(conv_integer(None, attrs, x, w, zp))
@@ -352,7 +352,7 @@ def test_conv_integer_native_path_exact(monkeypatch):
     xg = jnp.asarray(rng.randint(-128, 128, (2, 8, 7, 7)), jnp.int8)
     wg = jnp.asarray(rng.randint(-128, 128, (8, 1, 3, 3)), jnp.int8)
     ag = {"strides": [1, 1], "pads": [1, 1, 1, 1], "groups": 8}
-    monkeypatch.delenv("RTEN_CONVINT_NATIVE", raising=False)
+    monkeypatch.setenv("RTEN_CONVINT_NATIVE", "0")
     want = np.asarray(conv_integer(None, ag, xg, wg))
     monkeypatch.setenv("RTEN_CONVINT_NATIVE", "1")
     got = np.asarray(conv_integer(None, ag, xg, wg))

@@ -107,14 +107,17 @@ def main():
         if args.f32:
             m = build_model(name, quantize=False)
             measure(m, f"{name} f32", args.batch)
-        os.environ.pop("RTEN_CONVINT_NATIVE", None)
+        os.environ.pop("RTEN_CONVINT_NATIVE", None)   # default: auto
         m = build_model(name, quantize=True)
-        measure(m, f"{name} int8 (widened conv)", args.batch)
+        measure(m, f"{name} int8 (auto conv policy)", args.batch)
         if not args.no_ab:
+            os.environ["RTEN_CONVINT_NATIVE"] = "0"
+            m0 = build_model(name, quantize=True)
+            measure(m0, f"{name} int8 (widened conv)", args.batch)
             os.environ["RTEN_CONVINT_NATIVE"] = "1"
             m2 = build_model(name, quantize=True)
             try:
-                measure(m2, f"{name} int8 (native conv)", args.batch)
+                measure(m2, f"{name} int8 (native conv, forced)", args.batch)
             except Exception as exc:
                 print(f"  native conv FAILED: {type(exc).__name__}: "
                       f"{str(exc)[:200]}", flush=True)
