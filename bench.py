@@ -84,6 +84,8 @@ def main():
         # the measured run() emits zero tokens (div-by-zero).
         burst = max(1, decode_steps // 3)
 
+    tail_env = os.environ.get("RTEN_BENCH_TAIL")
+
     def measure(p, cache_dtype=None, quantized_cache=False, repeats=1):
         """Median decode rate over ``repeats`` runs on ONE engine.
 
@@ -95,7 +97,10 @@ def main():
         eng = ServingEngine(model, p, max_batch=batch, capacity=capacity,
                             prefill_buckets=(prompt_len,),
                             cache_dtype=cache_dtype,
-                            quantized_cache=quantized_cache)
+                            quantized_cache=quantized_cache,
+                            tail_window=(int(tail_env)
+                                         if tail_env and quantized_cache
+                                         else None))
         rates, ttfts_all = [], None
         for rep in range(repeats):
             reqs = [eng.submit(pr, max_new_tokens=decode_steps)

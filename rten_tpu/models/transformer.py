@@ -231,7 +231,7 @@ def linear(x, w, bias=None):
 
 
 def quantize_weights(params, kind="int8", group=qt.INT4_GROUP,
-                     int4_packing="bytes"):
+                     int4_packing="words"):
     """Convert all 2-D projection weights in a parameter pytree to
     quantized storage. Embeddings / norms stay in float.
 
@@ -268,9 +268,12 @@ def quantize_weights(params, kind="int8", group=qt.INT4_GROUP,
             return QuantWeight("int8", jnp.asarray(q), jnp.asarray(scales),
                                n=arr.shape[1])
         if int4_packing == "words":
-            # WORD-packed layout (round 4): in-kernel unpack is two
+            # WORD-packed layout — the default since the round-4 v5e
+            # A/B (TinyLlama batch 4: 1443 us/step vs the byte-packed
+            # kernel's 1915; with RTEN_INT4_DOT=int8, 1017 us — 25%
+            # FASTER than int8 weight-only): in-kernel unpack is two
             # int32 masks + a free sublane bitcast (kernels/gemm.py::
-            # matmul_int4_words).
+            # matmul_int4_words). "bytes" keeps the legacy layout.
             packed, scales = qt.quantize_int4_words(arr, group=group)
         else:
             packed, scales = qt.quantize_int4_groupwise(arr, group=group)

@@ -322,9 +322,10 @@ def test_linear_routes_word_packed_int4():
     from rten_tpu.models.transformer import linear, quantize_weights
     rng = np.random.RandomState(3)
     params = {"w_up": jnp.asarray(rng.randn(256, 256), jnp.float32)}
-    pb = quantize_weights(params, "int4")
-    pw = quantize_weights(params, "int4", int4_packing="words")
+    pb = quantize_weights(params, "int4", int4_packing="bytes")
+    pw = quantize_weights(params, "int4")   # words is the default
     assert pw["w_up"].data.dtype == jnp.int32
+    assert pb["w_up"].data.dtype == jnp.uint8
     x = jnp.asarray(rng.randn(4, 256), jnp.float32)
     a = np.asarray(linear(x, pb["w_up"]))
     b = np.asarray(linear(x, pw["w_up"]))

@@ -70,10 +70,10 @@ def main():
 
     import os
     variants = [("bf16 dense", params),
-                ("int4 weight-only",
-                 quantize_weights(params, "int4")),
+                ("int4 bytes (legacy)",
+                 quantize_weights(params, "int4", int4_packing="bytes")),
                 ("int4 words bf16",
-                 quantize_weights(params, "int4", int4_packing="words")),
+                 quantize_weights(params, "int4")),
                 ("int8", quantize_weights(params, "int8"))]
     if os.environ.get("RTEN_INT4_DOT") == "int8":
         # The int8-dot A/B reuses the words params; the env var flips
