@@ -90,6 +90,7 @@ class GraphExecutor:
         self.graph = graph
         self._jit_cache: dict = {}
         self._jit_unsupported: dict = {}
+        self._const_device: dict = {}   # node_id -> device-resident array
 
     # ------------------------------------------------------------------
     # Plan evaluation (shared by trace and eager paths)
@@ -350,9 +351,23 @@ class GraphExecutor:
                        for a in input_arrays]
         jitted, const_ids, has_random = self.build_jitted(
             input_ids, input_specs, output_ids)
-        const_arrays = [graph.nodes[i].data.array for i in const_ids]
+        const_arrays = [self._device_const(i) for i in const_ids]
         key = jax.random.PRNGKey(options.seed) if has_random else None
         return list(jitted(tuple(input_arrays), tuple(const_arrays), key))
+
+    def _device_const(self, node_id):
+        """Device-RESIDENT constant for jit-argument weights. Passing the
+        host numpy array re-uploads every weight on every call — through
+        a remote dispatch link that was ~1.3 s of fixed cost per
+        ResNet-50 run (round-4 finding: batch-8 vision throughput was
+        upload-bound, not compute-bound). The device copy is made once
+        and pinned for the executor's lifetime, the analog of the
+        reference keeping weights mmapped (src/constant_storage.rs)."""
+        arr = self._const_device.get(node_id)
+        if arr is None:
+            arr = jnp.asarray(self.graph.nodes[node_id].data.array)
+            self._const_device[node_id] = arr
+        return arr
 
     def run(self, inputs: dict, output_ids=None,
             options: Optional[RunOptions] = None):
