@@ -53,6 +53,7 @@ def run(engine_kwargs, model, params, prompts, max_new, burst):
     if eng.spec_draft:
         s = eng.stats()
         extra = (f" spec_on={s.get('spec_on')}"
+                 f" adaptive={s.get('spec_adaptive')}"
                  f" acc={s.get('spec_tokens_per_step')}")
     return emitted / dt, emitted, steps, extra
 
@@ -71,6 +72,10 @@ def main():
     parser.add_argument("--always-ab", action="store_true",
                         help="also measure spec_adaptive=False "
                              "(always-draft) for the gating A/B")
+    parser.add_argument("--auto", action="store_true",
+                        help="also measure the DEFAULT spec_adaptive="
+                             "'auto' config (dispatch-floor-resolved "
+                             "at warmup; round 4)")
     parser.add_argument("--decode-attn", default="auto",
                         choices=["auto", "fused", "stream", "grouped"],
                         help="decode/verify attention kernel (A/B: 'fused'"
@@ -109,8 +114,12 @@ def main():
         print(f"plain {name:<11}: {tps:8.0f} tok/s "
               f"({emitted} tokens / {steps} steps)", flush=True)
         plain_tps = tps
-        for label, adaptive in (("spec", True), ("spec-always", False)):
-            if not adaptive and not args.always_ab:
+        for label, adaptive in (("spec-auto", "auto"), ("spec", True),
+                                ("spec-always", False)):
+            if adaptive == "auto" and not args.auto:
+                continue
+            if adaptive is not True and adaptive != "auto" \
+                    and not args.always_ab:
                 continue
             tps, emitted, steps, extra = run(
                 {**base, "spec_draft": args.draft,
