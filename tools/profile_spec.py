@@ -22,26 +22,42 @@ def run(engine_kwargs, model, params, prompts, max_new, burst):
     from rten_tpu.generate.engine import ServingEngine
 
     eng = ServingEngine(model, params, **engine_kwargs)
-    reqs = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
+    # Warm on THROWAWAY requests (the rung warmup below consumes enough
+    # steps to finish short requests), then time fresh submissions.
+    warm = [eng.submit(p, max_new_tokens=10 ** 6) for p in prompts]
     eng._admit()
-    # Warm the decode program at the SAME static burst size the run
-    # uses (a different n is a different compiled program).
+    # Warm the decode programs at the SAME static burst sizes the run
+    # uses (a different (k, n) is a different compiled program). The
+    # K ladder visits every draft length 1..K, so each rung's burst
+    # must compile OUTSIDE the timed region — a mid-run rung compile
+    # through the dev tunnel is ~a minute and was misread as a 50x
+    # spec slowdown (round-4 note).
     if eng.spec_draft:
-        eng.step_spec_burst(burst)
-        if eng.spec_adaptive:
-            # The gate may fall back to plain bursts (and probes at
-            # min(burst, 4)) mid-run — compile those too, outside the
-            # timed region.
-            eng.step_burst(burst)
-            if min(burst, 4) != burst:
+        k0 = eng._spec_k
+        for k in range(1, eng.spec_draft + 1):
+            eng._spec_k = k
+            eng.step_spec_burst(burst)
+            if eng.spec_adaptive and min(burst, 4) != burst:
                 eng.step_spec_burst(min(burst, 4))
+        eng._spec_k = k0
+        if eng.spec_adaptive:
+            # The gate may fall back to plain bursts mid-run.
+            eng.step_burst(burst)
     else:
         eng.step_burst(burst)
+    for r in warm:
+        eng.cancel(r)
+    reqs = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
+    eng._admit()
     if eng.spec_draft:
         # Warmup calls include compile time; start the gate's cost EMAs
         # clean so the A/B reflects steady-state behavior.
         eng._plain_t = eng._spec_t = eng._spec_tps = None
+        eng._spec_burst_wall = None
+        eng._plain_wall_since_probe = 0.0
         eng._spec_on = True
+        eng._spec_confirmed = False
+        eng._spec_k = eng.spec_draft
     t0 = time.perf_counter()
     before = sum(len(r.tokens) for r in reqs)
     steps0 = eng.counters["decode_steps"]
