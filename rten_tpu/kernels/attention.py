@@ -1686,7 +1686,9 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
     dyn_q = (group % sub_tile == 0 and not int8_scores
              and bool(os.environ.get("RTEN_FLAT_DYNQ")))
     q_cd = q_c                      # unpadded (int8_scores quantizes it)
-    if q_c.shape[-1] != dp:
+    if dyn_q and q_c.shape[-1] != dp:
+        # Lane padding is only needed by the (opt-in) dynamic-load
+        # path; the default select chains keep q compact.
         q_c = jnp.pad(q_c, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
     lens_v = jnp.broadcast_to(
         lens.reshape(nprog, group)[:, :, None],

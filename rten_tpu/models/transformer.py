@@ -373,22 +373,13 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
             "the tail (engine gating bug)")
     if kind == "flat" and group:
         from ..kernels.attention import flash_decode_flat
-        # The flat kernel's cost is dominated by per-GROUP overhead at
-        # serving lives (round-4 decomposition), so prefer the widest
-        # group whose buffers fit VMEM — v5e sweep at batch 256
-        # (g16/b64 -> g32/b64): 195.6 -> 145.6 us at live 96, 366.6 ->
-        # 355.3 at live 448 (231 -> 241 at live 256 — the trajectory
-        # average wins). The grouped-kernel fallback keeps the
-        # conservative group (g32 exceeds ITS per-program VMEM).
-        if scales is not None:   # packed-kv buffer arithmetic (1 B/elt)
-            f_tot = kvh * cache.head_dim
-            hp8 = -(-cfg.n_heads // 8) * 8
-            for g2 in (32, 16):
-                if g2 > group and b % g2 == 0 and b >= 2 * g2 \
-                        and (2 * g2 * (blk // 4) * 2 * f_tot * 4
-                             + g2 * hp8 * f_tot * 4) <= 9 * 1024 * 1024:
-                    group = g2
-                    break
+        # Group width: a g=32 widening was A/B'd in round 4 (no-tail
+        # sweep at batch 256: g32/b64 145.6 vs g16/b64's 195.6 us at
+        # live 96) but the SERVING config cannot use it — with the
+        # bf16 tail buffer g32/b64 exceeds scoped VMEM (17.76 M > 16 M,
+        # hardware compile failure), and the fitting g32/b32 is a wash
+        # across the live 64-448 trajectory (156/264/374 vs
+        # 196/231/367). g16/b64 stands.
         tail = tc = None
         if getattr(cache, "tail", None) is not None:
             tail = cache.tail[layer_idx]
