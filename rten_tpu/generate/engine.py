@@ -134,13 +134,29 @@ class ServingEngine:
 
         self._tail_flush = 0
         if paged:
-            assert mesh is None, "paged mode is single-mesh for now"
             from .paged_cache import PagedKVCache
-            n_pages = pool_pages or max_batch * (-(-capacity // page_size))
+            dp = 1
+            if mesh is not None:
+                # Data-parallel paged serving (round 4): the page pool
+                # shards over the batch axes with partition-aware
+                # allocation; paged × TENSOR parallelism stays
+                # excluded (no lane-group layout for scale pages).
+                sizes = dict(mesh.shape)
+                assert sizes.get("model", 1) == 1 and not any(
+                    n > 1 and ax not in ("data", "dcn")
+                    for ax, n in sizes.items()), \
+                    "paged mode shards over data axes only"
+                dp = sizes.get("data", 1) * sizes.get("dcn", 1)
+                assert max_batch % dp == 0
+            n_pages = pool_pages or (
+                max_batch * (-(-capacity // page_size)) + dp)
+            n_pages = -(-n_pages // dp) * dp   # even partitions
             self.cache = model.new_paged_cache(max_batch, capacity,
                                                page_size, n_pages,
                                                quantized=quantized_cache)
-            self.allocator = PagedKVCache.make_allocator(n_pages)
+            self.allocator = PagedKVCache.make_allocator(
+                n_pages, partitions=dp,
+                slots_per_partition=max_batch // dp)
         else:
             # bf16 tail write-buffer (generate/kv_cache.py): decode
             # appends become ONE dense row write at a global window slot

@@ -327,8 +327,8 @@ class PagedKVCache:
     # -- host-side page allocator -----------------------------------------
 
     @staticmethod
-    def make_allocator(n_pages):
-        return _PageAllocator(n_pages)
+    def make_allocator(n_pages, partitions=1, slots_per_partition=None):
+        return _PageAllocator(n_pages, partitions, slots_per_partition)
 
 
 class _PageAllocator:
@@ -337,21 +337,42 @@ class _PageAllocator:
 
     Page 0 is RESERVED as the garbage page: finished slots' in-flight
     decode appends clamp to it (see PagedKVCache.append), so it may
-    never hold live data."""
+    never hold live data.
 
-    def __init__(self, n_pages):
-        assert n_pages >= 2, "pool needs the reserved garbage page + data"
-        self.free = list(range(n_pages - 1, 0, -1))
+    Under a data-sharded mesh (round 4) the pool's page dim shards over
+    the batch axes, so allocation is PARTITIONED: slot ``s`` (owned by
+    data shard ``s // slots_per_partition``) only receives pages from
+    its shard's contiguous page range, keeping every table entry local
+    to the shard that owns the row — the per-shard island then remaps
+    global ids by subtracting the shard base. Each partition reserves
+    its own local page 0 as the garbage page (the decode append's
+    unmapped-slot clamp is per-shard)."""
 
-    def alloc(self) -> int:
-        if not self.free:
+    def __init__(self, n_pages, partitions=1, slots_per_partition=None):
+        assert n_pages % partitions == 0
+        self.npl = n_pages // partitions
+        assert self.npl >= 2, \
+            "each partition needs its reserved garbage page + data"
+        self.partitions = partitions
+        self.slots_per_partition = slots_per_partition
+        self.free = [list(range((p + 1) * self.npl - 1, p * self.npl, -1))
+                     for p in range(partitions)]
+
+    def _partition(self, slot):
+        if self.partitions == 1:
+            return 0
+        return slot // self.slots_per_partition
+
+    def alloc(self, slot=0) -> int:
+        free = self.free[self._partition(slot)]
+        if not free:
             raise MemoryError("KV page pool exhausted")
-        return self.free.pop()
+        return free.pop()
 
     def release(self, pages):
         for page in pages:
             if page >= 0:
-                self.free.append(int(page))
+                self.free[int(page) // self.npl].append(int(page))
 
     def ensure_capacity(self, cache: PagedKVCache, slot: int,
                         tokens_ahead: int, length: int | None = None):
@@ -369,8 +390,13 @@ class _PageAllocator:
         for i in range(mapped, needed_pages):
             if i >= cache.max_pages_per_seq:
                 raise MemoryError("sequence exceeds max pages")
-            new_table[slot, i] = self.alloc()
-        return PagedKVCache(cache.pools, jnp.asarray(new_table),
+            new_table[slot, i] = self.alloc(slot)
+        # Preserve the table's sharding (data-sharded paged serving):
+        # a plain jnp.asarray would land the update unsharded and make
+        # the next donated decode step reshard or mismatch.
+        table_dev = jax.device_put(new_table,
+                                   cache.page_table.sharding)
+        return PagedKVCache(cache.pools, table_dev,
                             cache.lengths, cache.page_size, cache.kv_heads,
                             cache.head_dim,
                             quant_scales=cache.quant_scales)
@@ -382,7 +408,10 @@ class _PageAllocator:
         new_table[slot] = -1
         lengths = np.asarray(cache.lengths).copy()
         lengths[slot] = 0
-        return PagedKVCache(cache.pools, jnp.asarray(new_table),
-                            jnp.asarray(lengths), cache.page_size,
-                            cache.kv_heads, cache.head_dim,
-                            quant_scales=cache.quant_scales)
+        return PagedKVCache(
+            cache.pools,
+            jax.device_put(new_table, cache.page_table.sharding),
+            jax.device_put(lengths.astype(np.int32),
+                           cache.lengths.sharding),
+            cache.page_size, cache.kv_heads, cache.head_dim,
+            quant_scales=cache.quant_scales)

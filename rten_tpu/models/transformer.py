@@ -412,6 +412,38 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
                               cache.lengths + 1, kvh, kv_scales=scales)
 
 
+def _pallas_paged_decode_attn(cfg, q3, cache, layer_idx, kvh):
+    """Paged sibling of :func:`_pallas_decode_attn`: grouped paged /
+    grid paged / gather-reference selection. ``q3``: [B, H, D];
+    ``cache``: a PagedKVCache (full, or a shard-LOCAL view with
+    shard-local page ids built inside the paged mesh island). Returns
+    [B, H, D]."""
+    b, h, _ = q3.shape
+    pscales = (cache.quant_scales[layer_idx]
+               if cache.quant_scales is not None else None)
+    group = next((g for g in (8, 4, 2) if b % g == 0 and
+                  b >= 2 * g), 0)
+    if group and cfg.decode_attn in ("auto", "grouped"):
+        from ..kernels.attention import flash_decode_paged_grouped
+        return flash_decode_paged_grouped(
+            q3, cache.fused_layer(layer_idx), cache.page_table,
+            cache.lengths + 1, kvh, group=group, kv_scales=pscales)
+    if pscales is not None:
+        # No viable group (tiny batch): dequantized-gather reference
+        # path (the grid paged kernel is float-only).
+        from ..kernels.attention import _attn_reference
+        kc, vc = cache.layer_kv(layer_idx)
+        if kvh != h:
+            kc = jnp.repeat(kc, h // kvh, axis=1)
+            vc = jnp.repeat(vc, h // kvh, axis=1)
+        return _attn_reference(q3[:, :, None, :], kc, vc, False,
+                               1.0 / math.sqrt(cache.head_dim),
+                               cache.lengths + 1)[:, :, 0]
+    from ..kernels.attention import flash_decode_paged
+    return flash_decode_paged(q3, cache.fused_layer(layer_idx),
+                              cache.page_table, cache.lengths + 1, kvh)
+
+
 class TransformerLM:
     def __init__(self, config: TransformerConfig):
         self.config = config
@@ -518,8 +550,11 @@ class TransformerLM:
         if self._use_attn_island(cache, chunk):
             # Pallas × mesh composition: append + attention run as one
             # shard_map island on (batch/data, heads/model) shards —
-            # see _attn_island.
-            out, cache = self._attn_island(q, k, v, cache, layer_idx)
+            # see _attn_island / _attn_island_paged.
+            island = (self._attn_island_paged
+                      if getattr(cache, "paged", False)
+                      else self._attn_island)
+            out, cache = island(q, k, v, cache, layer_idx)
             out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
             return (linear(out, layer_params["wo"],
                            layer_params.get("bo")), cache)
@@ -556,36 +591,9 @@ class TransformerLM:
             # (kernels/attention.py::flash_decode_fused). int8 caches
             # dequantize on the MXU inside the kernel.
             if cfg.use_pallas and getattr(cache, "paged", False):
-                pscales = (cache.quant_scales[layer_idx]
-                           if cache.quant_scales is not None else None)
-                group = next((g for g in (8, 4, 2) if b % g == 0 and
-                              b >= 2 * g), 0)
-                if group and cfg.decode_attn in ("auto", "grouped"):
-                    from ..kernels.attention import \
-                        flash_decode_paged_grouped
-                    out = flash_decode_paged_grouped(
-                        q[:, :, 0, :], cache.fused_layer(layer_idx),
-                        cache.page_table, cache.lengths + 1, kvh,
-                        group=group, kv_scales=pscales)
-                elif pscales is not None:
-                    # No viable group (tiny batch): dequantized-gather
-                    # reference path (the grid paged kernel is
-                    # float-only).
-                    from ..kernels.attention import _attn_reference
-                    kc, vc = cache.layer_kv(layer_idx)
-                    if kvh != h:
-                        kc = jnp.repeat(kc, h // kvh, axis=1)
-                        vc = jnp.repeat(vc, h // kvh, axis=1)
-                    out = _attn_reference(q, kc, vc, False,
-                                          1.0 / math.sqrt(hd),
-                                          cache.lengths + 1)[:, :, 0]
-                else:
-                    from ..kernels.attention import flash_decode_paged
-                    out = flash_decode_paged(q[:, :, 0, :],
-                                             cache.fused_layer(layer_idx),
-                                             cache.page_table,
-                                             cache.lengths + 1, kvh)
-                out = out[:, :, None, :]
+                out = _pallas_paged_decode_attn(
+                    cfg, q[:, :, 0, :], cache, layer_idx,
+                    kvh)[:, :, None, :]
             elif cfg.use_pallas:
                 # quant_scales is a per-layer list (never stacked, where
                 # layer_idx may be traced — create() forbids the combo).
@@ -720,13 +728,21 @@ class TransformerLM:
         mesh = self.mesh
         cfg = self.config
         if (mesh is None or not cfg.use_pallas or cache is None or chunk
-                or getattr(cache, "paged", False) or cache.stacked):
+                or cache.stacked):
             return False
         sizes = dict(mesh.shape)
         if any(n > 1 and ax not in ("data", "model", "dcn")
                for ax, n in sizes.items()):
             return False           # seq/pipe/expert axes: GSPMD paths
         tp = sizes.get("model", 1)
+        if getattr(cache, "paged", False):
+            # Data-parallel paged islands (round 4): the pool's page dim
+            # shards over the batch axes and each shard runs the
+            # unchanged paged kernels on shard-local page ids. Paged ×
+            # TENSOR parallelism stays excluded (quant scale pages have
+            # no lane-group layout).
+            return (tp == 1
+                    and (cfg.n_kv_heads * cfg.head_dim) % 128 == 0)
         if cfg.n_heads % tp or cfg.n_kv_heads % tp:
             return False
         if ((cfg.n_kv_heads // tp) * cfg.head_dim) % 128:
@@ -825,6 +841,75 @@ class TransformerLM:
         return out, KVCache(kv_bufs, cache.lengths, scales,
                             cache.kv_heads, cache.head_dim, tail,
                             cache.tail_count)
+
+    def _attn_island_paged(self, q, k, v, cache, layer_idx):
+        """Paged sibling of :meth:`_attn_island` for DATA-parallel
+        meshes: the pool's page dim, the table, and lengths shard over
+        the batch axes; each shard remaps its table entries to
+        shard-local page ids (the partition-aware allocator guarantees
+        every slot's pages live in its shard's contiguous page range —
+        generate/paged_cache.py::_PageAllocator) and runs the unchanged
+        single-chip paged kernels."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..generate.paged_cache import PagedKVCache
+        cfg = self.config
+        mesh = self.mesh
+        b, h, s, hd = q.shape
+        kvh = cfg.n_kv_heads
+        quant = cache.quant_scales is not None
+        batch_ax = tuple(a for a in ("dcn", "data")
+                         if a in mesh.axis_names) or None
+        row_spec = P(batch_ax, None, None, None)
+        dummy = jnp.zeros((), jnp.int32)
+
+        def body(q_l, k_l, v_l, pool_l, spool_l, table_l, lens_l):
+            npl = pool_l.shape[0]
+            di = jnp.int32(0)
+            for ax in (batch_ax or ()):
+                di = di * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+            # Global -> shard-local page ids (unmapped -1 stays -1; its
+            # clamp then lands on the shard's own garbage page 0).
+            local_table = jnp.where(table_l >= 0, table_l - di * npl,
+                                    table_l)
+            local = PagedKVCache([pool_l], local_table, lens_l,
+                                 cache.page_size, kvh, hd,
+                                 quant_scales=[spool_l] if quant
+                                 else None)
+            local = local.append(0, k_l, v_l,
+                                 position=None if s == 1 else 0)
+            if s == 1:
+                out = _pallas_paged_decode_attn(
+                    cfg, q_l[:, :, 0, :], local, 0, kvh)[:, :, None, :]
+            else:
+                k_f, v_f = k_l, v_l
+                if kvh != h:
+                    k_f = jnp.repeat(k_l, h // kvh, axis=1)
+                    v_f = jnp.repeat(v_l, h // kvh, axis=1)
+                out = flash_attention(q_l, k_f, v_f, causal=True)
+            return (out.astype(q_l.dtype), local.pools[0],
+                    local.quant_scales[0] if quant else dummy)
+
+        out, new_pool, new_spool = shard_map(
+            body, mesh=mesh,
+            in_specs=(row_spec, row_spec, row_spec, row_spec,
+                      row_spec if quant else P(),
+                      P(batch_ax, None), P(batch_ax)),
+            out_specs=(row_spec, row_spec,
+                       row_spec if quant else P()),
+            check_vma=False,
+        )(q, k, v, cache.pools[layer_idx],
+          cache.quant_scales[layer_idx] if quant else dummy,
+          cache.page_table, cache.lengths)
+        pools = list(cache.pools)
+        pools[layer_idx] = new_pool
+        scales = None
+        if quant:
+            scales = list(cache.quant_scales)
+            scales[layer_idx] = new_spool
+        return out, PagedKVCache(pools, cache.page_table, cache.lengths,
+                                 cache.page_size, cache.kv_heads,
+                                 cache.head_dim, quant_scales=scales)
 
     def _mlp(self, layer_params, x):
         cfg = self.config

@@ -98,7 +98,33 @@ def shard_params(params, mesh: Mesh):
         lambda x, s: jax.device_put(x, s), params, shardings)
 
 
+def paged_cache_shardings(cache, mesh: Mesh):
+    """Sharding for a block-paged cache (round 4, data-parallel paged
+    serving): the pool's PAGE dim and the table/lengths batch dim shard
+    over the batch axes (the partition-aware allocator keeps every
+    slot's pages inside its shard's page range); the feature dim rides
+    the ``model`` axis like the contiguous cache (paged × tensor
+    parallelism is still excluded by the engine — model is size 1
+    here). Scale pages keep their 128 lanes replicated."""
+    from ..generate.paged_cache import PagedKVCache
+    batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
+                  else ("data",))
+    pools = [NamedSharding(mesh, P(batch_axes, None, None, "model"))
+             for _ in cache.pools]
+    table = NamedSharding(mesh, P(batch_axes, None))
+    lengths = NamedSharding(mesh, P(batch_axes))
+    scales = None
+    if cache.quant_scales is not None:
+        scales = [NamedSharding(mesh, P(batch_axes, None, None, None))
+                  for _ in cache.quant_scales]
+    return PagedKVCache(pools, table, lengths, cache.page_size,
+                        cache.kv_heads, cache.head_dim,
+                        quant_scales=scales)
+
+
 def cache_shardings(cache, mesh: Mesh):
+    if getattr(cache, "paged", False):
+        return paged_cache_shardings(cache, mesh)
     # Token-major fused layout [B, cap, 2, KVH*D]: batch over the data
     # axis (and the cross-host dcn axis on hybrid meshes — batch is the
     # ONLY thing that crosses DCN), the head-fused last dim over the

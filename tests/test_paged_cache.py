@@ -125,7 +125,8 @@ def test_paged_engine_matches_contiguous_engine():
     got = eng.generate(prompts, max_new_tokens=6, burst=3)
     assert got == ref
     # All pages returned to the pool after completion (page 0 reserved).
-    assert len(eng.allocator.free) == eng.cache.n_pages - 1
+    assert sum(len(f) for f in eng.allocator.free) == \
+        eng.cache.n_pages - eng.allocator.partitions
     assert (np.asarray(eng.cache.page_table) == -1).all()
 
 
@@ -144,7 +145,8 @@ def test_paged_pool_oversubscription():
                         pool_pages=6)
     outs = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=4, burst=2)
     assert all(len(t) == 4 for t in outs)
-    assert len(eng.allocator.free) == 5  # page 0 reserved
+    assert sum(len(f) for f in eng.allocator.free) == \
+        eng.cache.n_pages - 1  # page 0 reserved
 
 
 def test_dead_slot_appends_go_to_garbage_page():
@@ -291,3 +293,57 @@ def test_engine_paged_quantized_generates():
                         quantized_cache=True).generate(
                             prompts, max_new_tokens=6)
     assert all(len(o) == 6 for o in ref)
+
+
+# -- data-parallel paged serving (round 4) ------------------------------
+
+
+def test_page_allocator_partitions():
+    from rten_tpu.generate.paged_cache import _PageAllocator
+    a = _PageAllocator(8, partitions=2, slots_per_partition=2)
+    # Partition 0 owns pages 1..3 (0 = its garbage), partition 1 owns
+    # 5..7 (4 = its garbage).
+    p0 = {a.alloc(0), a.alloc(1), a.alloc(1)}
+    assert p0 == {1, 2, 3}
+    p1 = {a.alloc(2), a.alloc(3)}
+    assert p1 <= {5, 6, 7}
+    a.release([2, 6])
+    assert 2 in a.free[0] and 6 in a.free[1]
+    import pytest as _pytest
+    a.alloc(0)  # page 2 back
+    with _pytest.raises(MemoryError):
+        a.alloc(0)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_engine_data_mesh_parity(quant):
+    """Paged serving over a data=2 mesh (pool pages partitioned across
+    shards, per-shard paged islands) must match the single-chip paged
+    engine token-for-token."""
+    import jax
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM)
+    from rten_tpu.parallel import make_mesh
+
+    cfg = TransformerConfig.tiny_test(n_heads=2, kv_heads=2, d_model=128,
+                                      use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(11))
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=64,
+                          prefill_buckets=(16,), paged=True,
+                          page_size=16, quantized_cache=quant)
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    sharded = ServingEngine(model, params, max_batch=8, capacity=64,
+                            prefill_buckets=(16,), paged=True,
+                            page_size=16, quantized_cache=quant,
+                            mesh=mesh)
+    assert sharded.allocator.partitions == 2
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
