@@ -546,6 +546,14 @@ class ServingEngine:
             # gate's probes cost ~spec_probe_overhead and gating wins
             # the low-acceptance regime.
             self.spec_adaptive = spec_adaptive
+            # Gate start-state resolution (round-4 on-rig A/B): with
+            # the gate ON at t=0 and unconfirmed, the engine runs
+            # probe-sized spec bursts until the EMAs converge — on a
+            # dispatch-floor-heavy rig that convergence phase alone
+            # cost ~10x on random traffic. Resolved at first run():
+            # start OFF when one dispatch round trip exceeds ~5 ms
+            # (probes then re-arm drafting when traffic pays).
+            self._spec_started = False
             # Draft-length (K) adaptation is independent of the on/off
             # gate since round 4 — always-draft mode needs the K ladder
             # too (it is what rescued the random worst case).
@@ -1195,6 +1203,20 @@ class ServingEngine:
         compute = max(burst_n * self._plain_t - floor, 0.0)
         self.spec_adaptive = bool(floor < 0.5 * compute)
 
+    def _resolve_spec_start(self):
+        """Gate start state (round-4 on-rig A/B): starting ON while
+        unconfirmed runs probe-sized spec bursts until the EMAs
+        converge — on a dispatch-floor-heavy rig that phase alone cost
+        ~10x on random traffic. When one dispatch round trip exceeds
+        ~5 ms, start OFF and let the wall-budgeted probes re-arm
+        drafting when traffic pays."""
+        if self._spec_started or self.spec_adaptive is not True:
+            return
+        self._spec_started = True
+        if self._measure_dispatch_floor() > 0.005:
+            self._spec_on = False
+            self._plain_bursts_since_probe = self._spec_probe_every
+
     def _probe_affordable(self):
         """Probe budget in measured dispatch-cost units: a probe may fire
         once its estimated cost is <= ``spec_probe_overhead`` of the
@@ -1301,6 +1323,7 @@ class ServingEngine:
                         steps += 1
                         continue
                     self._resolve_spec_auto(max(burst, 1))
+                self._resolve_spec_start()
                 probe = (self.spec_adaptive is True and not self._spec_on
                          and self._plain_bursts_since_probe
                          >= self._spec_probe_every

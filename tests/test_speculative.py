@@ -304,3 +304,24 @@ def test_spec_engine_auto_mode_generates(model_and_params):
     out = eng.generate(prompts, max_new_tokens=8, burst=4)
     assert eng.spec_adaptive in (True, False)   # resolved
     assert out == plain
+
+
+def test_spec_gate_start_state_resolution(model_and_params):
+    """Explicit spec_adaptive=True resolves its START state from the
+    measured dispatch floor: floor-heavy rigs begin gated-OFF (the
+    unconfirmed probe phase cost ~10x on random traffic through the dev
+    tunnel); cheap-dispatch rigs keep the optimistic ON start."""
+    eng = _spec_engine(model_and_params, spec_adaptive=True)
+    eng._dispatch_floor = 0.031          # tunnel-like
+    eng._resolve_spec_start()
+    assert eng._spec_on is False
+    assert eng._plain_bursts_since_probe >= eng._spec_probe_every
+    # Resolution is one-shot.
+    eng._spec_on = True
+    eng._resolve_spec_start()
+    assert eng._spec_on is True
+
+    eng2 = _spec_engine(model_and_params, spec_adaptive=True)
+    eng2._dispatch_floor = 0.0002        # local runtime
+    eng2._resolve_spec_start()
+    assert eng2._spec_on is True
