@@ -1193,15 +1193,19 @@ class ServingEngine:
         return self._dispatch_floor
 
     def _resolve_spec_auto(self, burst_n):
-        """Resolve ``spec_adaptive="auto"`` from measured costs: gating
-        probes each pay one dispatch round trip, so when that fixed cost
-        rivals a whole burst's compute, the gate cannot probe cheaply —
-        always-draft with the adaptive-K ladder is the better default
-        (v5e tunnel A/B, BASELINE.md round 3). Needs ``_plain_t`` (one
-        landed plain burst)."""
-        floor = self._measure_dispatch_floor()
-        compute = max(burst_n * self._plain_t - floor, 0.0)
-        self.spec_adaptive = bool(floor < 0.5 * compute)
+        """Resolve ``spec_adaptive="auto"``: the GATE, with its start
+        state picked from the measured dispatch floor
+        (:meth:`_resolve_spec_start`). With the floor-aware OFF start
+        and wall-budgeted probes (round 4) the gate's worst case is
+        bounded on any rig (~2% probe overhead), while always-draft
+        loses ~2x on unacceptable traffic whenever dispatch is cheap
+        enough for compute to show — so the gate is the resolution and
+        ``spec_adaptive=False`` stays the explicit choice for traffic
+        the operator KNOWS drafts well (v5e A/B, BASELINE.md round 4).
+        ``burst_n`` kept for telemetry/compat."""
+        del burst_n
+        self._measure_dispatch_floor()
+        self.spec_adaptive = True
 
     def _resolve_spec_start(self):
         """Gate start state (round-4 on-rig A/B): starting ON while

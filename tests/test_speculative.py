@@ -217,24 +217,28 @@ def _spec_engine(model_and_params, **kw):
                          prefill_buckets=(8,), spec_draft=3, **kw)
 
 
-def test_spec_auto_resolves_false_on_huge_dispatch_floor(model_and_params):
-    """spec_adaptive="auto" must resolve to always-draft when the
-    measured per-dispatch fixed cost rivals a burst's compute (the dev
-    tunnel regime where gating probes each cost a burst-equivalent)."""
+def test_spec_auto_resolves_to_gate_with_floor_start(model_and_params):
+    """spec_adaptive="auto" resolves to the GATE; the measured dispatch
+    floor picks the START state instead (round 4: with the floor-aware
+    OFF start + wall-budgeted probes the gate's worst case is bounded
+    on any rig, while always-draft loses ~2x on unacceptable
+    traffic)."""
     eng = _spec_engine(model_and_params)
     assert eng.spec_adaptive == "auto"
     eng._dispatch_floor = 0.031          # tunnel-like: 31 ms / dispatch
-    eng._plain_t = 0.002                 # 16-step burst ~= 32 ms wall
-    eng._resolve_spec_auto(16)
-    assert eng.spec_adaptive is False    # floor ~= compute -> no gate
-
-
-def test_spec_auto_resolves_true_on_cheap_dispatch(model_and_params):
-    eng = _spec_engine(model_and_params)
-    eng._dispatch_floor = 0.0001         # local runtime: ~0.1 ms
     eng._plain_t = 0.002
     eng._resolve_spec_auto(16)
     assert eng.spec_adaptive is True
+    eng._resolve_spec_start()
+    assert eng._spec_on is False         # floor-heavy: probe-driven
+
+    eng2 = _spec_engine(model_and_params)
+    eng2._dispatch_floor = 0.0001        # local runtime: ~0.1 ms
+    eng2._plain_t = 0.002
+    eng2._resolve_spec_auto(16)
+    assert eng2.spec_adaptive is True
+    eng2._resolve_spec_start()
+    assert eng2._spec_on is True         # cheap dispatch: optimistic
 
 
 def test_spec_gate_flip_accounting(model_and_params):
