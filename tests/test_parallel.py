@@ -363,3 +363,32 @@ def test_sharded_engine_single_request_admission():
     with mesh:
         out = eng.generate([[1, 2, 3]], max_new_tokens=4)
     assert len(out[0]) == 4
+
+
+def test_sharded_engine_overlap_gqa_rope_parity():
+    """Ring-overlap decode with the Llama-family layer shape (GQA +
+    RoPE + RMSNorm + SwiGLU): exercises the overlap body's rope path,
+    kv_heads < heads head slicing, and the fused gate|up ring. Token-
+    exact vs the single-chip engine."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=8, kv_heads=4, d_model=256,
+        d_ff=192, max_seq_len=64, pos="rope", norm="rmsnorm",
+        act="swiglu", tie_embeddings=False, use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(13))
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=64,
+                          prefill_buckets=(16,))
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = ServingEngine(model, params, max_batch=8, capacity=64,
+                            prefill_buckets=(16,), mesh=mesh,
+                            overlap=True)
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
