@@ -1368,7 +1368,7 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
                               hp, head_dim, hd_tot, group, nprog,
                               scale_lanes, qs_ref=None, ei_ref=None,
                               tc_ref=None, tail_hbm=None, lv_ref=None,
-                              dyn_q=False):
+                              dyn_q=False, r0_fold=False):
     dp = -(-head_dim // 128) * 128
     """Token-packed int8 sibling of :func:`_decode_flat_kernel` (same
     flat single-program pipeline and compact q/out; same per-block math
@@ -1421,9 +1421,10 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
             # group of empty slots.
             nb = nb_ref[grp]
 
-            m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-            l_ref[:] = jnp.zeros_like(l_ref)
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            if not r0_fold:
+                m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+                l_ref[:] = jnp.zeros_like(l_ref)
+                acc_ref[:] = jnp.zeros_like(acc_ref)
             if dyn_q:
                 # One dynamic leading-index load per group instead of
                 # the O(nprog) select chains (see _decode_flat_kernel).
@@ -1509,6 +1510,42 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
                 k_pos = i * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (group, hp, block_k), 2)
                 s = jnp.where(k_pos < limit, s, _NEG_INF)
+                if r0_fold:
+                    # Round-0 fold (round-4 experiment): the first
+                    # round WRITES m/l/acc directly — no resets, no
+                    # alpha-rescale read-modify pass on the [G, hp, F]
+                    # accumulator.
+                    s_max = jnp.max(s, axis=2, keepdims=True)
+
+                    @pl.when(i == 0)
+                    def _():
+                        pmat0 = jnp.exp(s - s_max)
+                        m_ref[:] = s_max
+                        l_ref[:] = jnp.sum(pmat0, axis=2, keepdims=True)
+                        acc_ref[:] = jax.lax.dot_general(
+                            pmat0 * kvs[:, hp:2 * hp],
+                            vblk.astype(jnp.float32),
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+
+                    @pl.when(i > 0)
+                    def _():
+                        m_prev = m_ref[:]
+                        m_new = jnp.maximum(m_prev, s_max)
+                        alpha = jnp.exp(m_prev - m_new)
+                        pmat = jnp.exp(s - m_new)
+                        l_ref[:] = (l_ref[:] * alpha
+                                    + jnp.sum(pmat, axis=2,
+                                              keepdims=True))
+                        acc_ref[:] = (acc_ref[:] * alpha
+                                      + jax.lax.dot_general(
+                                          pmat * kvs[:, hp:2 * hp],
+                                          vblk.astype(jnp.float32),
+                                          (((2,), (1,)), ((0,), (0,))),
+                                          preferred_element_type=jnp
+                                          .float32))
+                        m_ref[:] = m_new
+                    return 0
                 m_prev = m_ref[:]
                 m_new = jnp.maximum(m_prev,
                                     jnp.max(s, axis=2, keepdims=True))
@@ -1614,10 +1651,10 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
-                                    "group", "int8_scores"))
+                                    "group", "int8_scores", "r0_fold"))
 def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                       group=16, kv_scales=None, int8_scores=False,
-                      tail=None, tail_count=None):
+                      tail=None, tail_count=None, r0_fold=False):
     """Flat single-program decode attention: same contract as
     :func:`flash_decode_grouped`, but (a) the whole batch runs as ONE
     Pallas program whose DMA pipeline never drains between sequence
@@ -1741,7 +1778,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                     sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES, qs_ref=qs,
-                    ei_ref=ei, lv_ref=lv, dyn_q=False)
+                    ei_ref=ei, lv_ref=lv, dyn_q=False, r0_fold=r0_fold)
 
             args = (lens, nb_all, q_arg, lens_v,
                     e_mat.astype(jnp.float32), e_int8, qsc, oh_s, kv,
@@ -1757,7 +1794,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES,
                     tc_ref=tc_ref, tail_hbm=tail_hbm, lv_ref=lv,
-                    dyn_q=dyn_q)
+                    dyn_q=dyn_q, r0_fold=r0_fold)
 
             args = (lens, jnp.asarray(tail_count, jnp.int32).reshape(1),
                     nb_all, q_c, lens_v, e_mat, oh_s, kv, kv_scales,
@@ -1770,7 +1807,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                     sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES, lv_ref=lv,
-                    dyn_q=dyn_q)
+                    dyn_q=dyn_q, r0_fold=r0_fold)
 
             args = (lens, nb_all, q_c, lens_v, e_mat, oh_s, kv,
                     kv_scales)

@@ -142,6 +142,19 @@ def main():
 
             return (f"int8 FLAT g={g} b{blk} OLD-chains", old_chains,
                     kv_q, scales, nbytes)
+        if kind == "qqr":
+            # Round-0 fold A/B (trace-forced like qqo).
+            import math as _m
+            nbytes = bytes_quant(2)
+
+            def r0(q, kv, s, l):
+                return flash_decode_flat(
+                    q, kv, l, kvh, block_k=blk, group=g, kv_scales=s,
+                    r0_fold=True,
+                    scale=(1.0 / _m.sqrt(d)) * (1 + 2e-12))
+
+            return (f"int8 FLAT g={g} b{blk} R0-FOLD", r0, kv_q,
+                    scales, nbytes)
         if kind in ("qq", "qqs", "qqf32"):
             sarr = scales_f32 if kind == "qqf32" else scales
             nbytes = bytes_quant(2 if sarr.dtype == jnp.int32 else 4)
