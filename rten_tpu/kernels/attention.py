@@ -1368,7 +1368,8 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
                               hp, head_dim, hd_tot, group, nprog,
                               scale_lanes, qs_ref=None, ei_ref=None,
                               tc_ref=None, tail_hbm=None, lv_ref=None,
-                              dyn_q=False, r0_fold=False):
+                              dyn_q=False, r0_fold=False,
+                              q_stream=False):
     dp = -(-head_dim // 128) * 128
     """Token-packed int8 sibling of :func:`_decode_flat_kernel` (same
     flat single-program pipeline and compact q/out; same per-block math
@@ -1382,8 +1383,12 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
     sc_rows = block_k // 2 if sc_packed else block_k
 
     def body(buf, sbuf, obuf, sem, ssem, osem, m_ref, l_ref, acc_ref,
-             tbuf, tsem):
+             tbuf, tsem, qbuf, qsem):
         tc = None if tc_ref is None else tc_ref[0]
+
+        def q_dma(slot, grp):
+            return pltpu.make_async_copy(q_all.at[grp], qbuf.at[slot],
+                                         qsem.at[slot])
 
         def kv_dma(slot, grp, blk):
             return pltpu.make_async_copy(
@@ -1408,8 +1413,17 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
 
         kv_dma(0, 0, 0).start()
         sc_dma(0, 0, 0).start()
+        if q_stream:
+            q_dma(0, 0).start()
 
         def outer(grp, r):
+            if q_stream:
+                # Prefetch the NEXT group's q rows on their own
+                # double-buffered channel — the previous consumer of
+                # slot (grp+1)%2 was group grp-1, already complete.
+                @pl.when(grp + 1 < nprog)
+                def _():
+                    q_dma((grp + 1) % 2, grp + 1).start()
             if tc is not None:
                 # The tail window holds the newest tc tokens (incl. the
                 # current one); the packed region covers the rest.
@@ -1425,7 +1439,20 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
                 m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
                 l_ref[:] = jnp.zeros_like(l_ref)
                 acc_ref[:] = jnp.zeros_like(acc_ref)
-            if dyn_q:
+            if q_stream:
+                # q rows arrive by DMA (started one group ahead): zero
+                # VPU work in place of the O(nprog) select chain.
+                q_dma(jax.lax.rem(grp, 2), grp).wait()
+                q_t = qbuf[jax.lax.rem(grp, 2)][..., :head_dim]
+                lens = [len_ref[grp * group + g] for g in range(group)]
+                if tc is not None:
+                    lens = [lg - tc for lg in lens]
+                g_of = jax.lax.broadcasted_iota(jnp.int32,
+                                                (group, hp, block_k), 0)
+                limit = jnp.zeros((group, hp, block_k), jnp.int32)
+                for g in range(group):
+                    limit = jnp.where(g_of == g, lens[g], limit)
+            elif dyn_q:
                 # One dynamic leading-index load per group instead of
                 # the O(nprog) select chains (see _decode_flat_kernel).
                 lv = lv_ref[grp]                       # [G, 128] i32
@@ -1646,15 +1673,20 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
         tbuf=pltpu.VMEM(tbuf_shape, jnp.bfloat16 if tail_hbm is None
                         else tail_hbm.dtype),
         tsem=pltpu.SemaphoreType.DMA((1,)),
+        qbuf=pltpu.VMEM((2,) + tuple(q_all.shape[1:])
+                        if q_stream else (2, 1, 1, 128), q_all.dtype),
+        qsem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
-                                    "group", "int8_scores", "r0_fold"))
+                                    "group", "int8_scores", "r0_fold",
+                                    "q_stream"))
 def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                       group=16, kv_scales=None, int8_scores=False,
-                      tail=None, tail_count=None, r0_fold=False):
+                      tail=None, tail_count=None, r0_fold=False,
+                      q_stream=False):
     """Flat single-program decode attention: same contract as
     :func:`flash_decode_grouped`, but (a) the whole batch runs as ONE
     Pallas program whose DMA pipeline never drains between sequence
@@ -1722,8 +1754,11 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
     # (nb_ref) is unconditional — it is in both sides of that A/B.
     dyn_q = (group % sub_tile == 0 and not int8_scores
              and bool(os.environ.get("RTEN_FLAT_DYNQ")))
+    q_stream = q_stream and quant and not int8_scores
+    if q_stream:
+        dyn_q = False
     q_cd = q_c                      # unpadded (int8_scores quantizes it)
-    if dyn_q and q_c.shape[-1] != dp:
+    if (dyn_q or q_stream) and q_c.shape[-1] != dp:
         # Lane padding is only needed by the (opt-in) dynamic-load
         # path; the default select chains keep q compact.
         q_c = jnp.pad(q_c, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
@@ -1752,7 +1787,8 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
             onehot, jnp.bfloat16 if kv_scales.dtype == jnp.int32
             else kv_scales.dtype)
         in_specs = [
-            vmem(q_c.shape),                         # compact q
+            pl.BlockSpec(memory_space=pl.ANY) if q_stream
+            else vmem(q_c.shape),                    # compact q
             vmem(lens_v.shape),                      # lens (VMEM copy)
             vmem(e_mat.shape),                       # E (f32)
             vmem(oh_s.shape),                        # scale selector
@@ -1778,7 +1814,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                     sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES, qs_ref=qs,
-                    ei_ref=ei, lv_ref=lv, dyn_q=False, r0_fold=r0_fold)
+                    ei_ref=ei, lv_ref=lv, dyn_q=False, r0_fold=r0_fold, q_stream=q_stream)
 
             args = (lens, nb_all, q_arg, lens_v,
                     e_mat.astype(jnp.float32), e_int8, qsc, oh_s, kv,
@@ -1794,7 +1830,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES,
                     tc_ref=tc_ref, tail_hbm=tail_hbm, lv_ref=lv,
-                    dyn_q=dyn_q, r0_fold=r0_fold)
+                    dyn_q=dyn_q, r0_fold=r0_fold, q_stream=q_stream)
 
             args = (lens, jnp.asarray(tail_count, jnp.int32).reshape(1),
                     nb_all, q_c, lens_v, e_mat, oh_s, kv, kv_scales,
@@ -1807,7 +1843,7 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                     sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES, lv_ref=lv,
-                    dyn_q=dyn_q, r0_fold=r0_fold)
+                    dyn_q=dyn_q, r0_fold=r0_fold, q_stream=q_stream)
 
             args = (lens, nb_all, q_c, lens_v, e_mat, oh_s, kv,
                     kv_scales)

@@ -142,6 +142,19 @@ def main():
 
             return (f"int8 FLAT g={g} b{blk} OLD-chains", old_chains,
                     kv_q, scales, nbytes)
+        if kind == "qqm":
+            # q-DMA-stream A/B (trace-forced like qqo).
+            import math as _m
+            nbytes = bytes_quant(2)
+
+            def qstream(q, kv, s, l):
+                return flash_decode_flat(
+                    q, kv, l, kvh, block_k=blk, group=g, kv_scales=s,
+                    q_stream=True,
+                    scale=(1.0 / _m.sqrt(d)) * (1 + 3e-12))
+
+            return (f"int8 FLAT g={g} b{blk} Q-STREAM", qstream, kv_q,
+                    scales, nbytes)
         if kind == "qqr":
             # Round-0 fold A/B (trace-forced like qqo).
             import math as _m
