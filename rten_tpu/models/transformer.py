@@ -344,6 +344,7 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
     kernels are identical either way — that is the point of the local
     sub-cache layout, see KVCache.create(scale_lane_groups)). Returns
     [B, H, D]."""
+    import os
     b = q3.shape[0]
     scales = (cache.quant_scales[layer_idx]
               if cache.quant_scales is not None else None)
@@ -384,7 +385,6 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
         if getattr(cache, "tail", None) is not None:
             tail = cache.tail[layer_idx]
             tc = cache.tail_count + 1       # incl. the current token
-            import os
             if os.environ.get("RTEN_ABLATE_TAIL_ROUND"):
                 # Profiling-only ablation (tools/profile_decode.py):
                 # skip the kernel's tail round entirely — output is
@@ -396,7 +396,8 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
         return flash_decode_flat(
             q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,
             group=group, block_k=blk, kv_scales=scales,
-            tail=tail, tail_count=tc)
+            tail=tail, tail_count=tc,
+            q_stream=bool(os.environ.get("RTEN_FLAT_QSTREAM")))
     if kind == "grouped" or kind == "flat":
         from ..kernels.attention import flash_decode_grouped
         return flash_decode_grouped(
