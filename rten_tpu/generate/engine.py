@@ -692,12 +692,15 @@ class ServingEngine:
                 if len(ptoks) + sbucket >= self.capacity:
                     rest.append((req, slot))   # no room for the chunk
                     continue
-                tok = np.zeros((1, sbucket), np.int32)
+                gpad = max(1, self._admit_multiple)
+                tok = np.zeros((gpad, sbucket), np.int32)
                 tok[0, :len(suffix)] = suffix
+                slens = np.ones(gpad, np.int32)
+                slens[0] = len(suffix)
                 last_logits, filled = self._suffix_prefill(
                     self.params, jnp.asarray(tok), frag,
                     jnp.asarray(len(ptoks), jnp.int32),
-                    jnp.asarray([len(suffix)], jnp.int32))
+                    jnp.asarray(slens))
                 self.counters["prefix_hits"] += 1
                 self._finish_admission(
                     [(req, slot)], np.asarray([len(req.prompt_ids)]),
@@ -756,9 +759,17 @@ class ServingEngine:
         if self._per_request:
             sps = [req.sampling or SamplingParams.GREEDY
                    for req, _ in group_pairs]
-            gt = np.asarray([sp.temperature for sp in sps], np.float32)
-            gk = np.asarray([sp.top_k for sp in sps], np.float32)
-            gp = np.asarray([sp.top_p for sp in sps], np.float32)
+            # Pad the per-row knobs to the logits rows: admission groups
+            # are power-of-two / mesh-multiple padded, so last_logits can
+            # have more rows than group_pairs (pad rows sample greedily
+            # and are discarded below).
+            rows = int(last_logits.shape[0])
+            gt = np.zeros(rows, np.float32)
+            gk = np.zeros(rows, np.float32)
+            gp = np.ones(rows, np.float32)
+            gt[:len(sps)] = [sp.temperature for sp in sps]
+            gk[:len(sps)] = [sp.top_k for sp in sps]
+            gp[:len(sps)] = [sp.top_p for sp in sps]
             firsts = np.asarray(self._first_sample(
                 sub, last_logits, gt, gk, gp))
             for (req, slot), sp in zip(group_pairs, sps):
@@ -820,18 +831,21 @@ class ServingEngine:
         prefilling those tokens — admission runs ONE chunked forward over
         just the suffix (counted in ``stats()['prefix_hits']``). Returns
         the prefix length. Fragment memory: one full-capacity cache row
-        per registered prefix."""
-        assert not self.paged and self.mesh is None, \
-            "prefix cache is single-mesh, unpaged for now"
+        per registered prefix (``_admit_multiple`` rows under a mesh —
+        the fragment batch pads to the mesh batch-axis size exactly like
+        admission groups; only row 0 is real)."""
+        assert not self.paged, "prefix cache is unpaged for now"
         toks = tuple(int(t) for t in tokens)
         if not toks or len(toks) >= self.capacity:
             raise ValueError("prefix must be non-empty and below capacity")
         bucket = _bucket(len(toks), self.prefill_buckets)
-        arr = np.zeros((1, bucket), np.int32)
+        gpad = max(1, self._admit_multiple)
+        arr = np.zeros((gpad, bucket), np.int32)
         arr[0, :len(toks)] = toks
+        lens = np.ones(gpad, np.int32)
+        lens[0] = len(toks)
         _, frag = self._prefill(self.params, jnp.asarray(arr),
-                                jnp.asarray([len(toks)], np.int32),
-                                self.capacity)
+                                jnp.asarray(lens), self.capacity)
         self._prefixes.append((toks, frag))
         self._prefixes.sort(key=lambda kv: -len(kv[0]))
         return len(toks)

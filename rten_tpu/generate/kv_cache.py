@@ -393,10 +393,22 @@ class KVCache:
             bytes_kv = jnp.stack(
                 [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
                  v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
-            scales = jnp.ones((b, t, 1, SCALE_LANES), SCALE_DTYPE)
-            scales = scales.at[..., 0, 0:kvh].set(k_s)
-            scales = scales.at[..., 0,
-                               VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
+            # TP lane-group layout (scale_lane_groups > 1): a GLOBAL
+            # append (prefix-cache suffix chunks, meshed chunked verify)
+            # must scatter each head's scale into its owning lane group
+            # so every shard's local [.., 128] slice stays a standard
+            # scale row. Group g owns heads [g*kvh_l, (g+1)*kvh_l).
+            groups = self.quant_scales[0].shape[-1] // SCALE_LANES
+            kvh_l = kvh // groups
+            scales = jnp.ones((b, t, 1, groups * SCALE_LANES),
+                              SCALE_DTYPE)
+            for g in range(groups):
+                off = g * SCALE_LANES
+                scales = scales.at[..., 0, off:off + kvh_l].set(
+                    k_s[..., g * kvh_l:(g + 1) * kvh_l])
+                scales = scales.at[
+                    ..., 0, off + VSCALE_OFF:off + VSCALE_OFF
+                    + kvh_l].set(v_s[..., g * kvh_l:(g + 1) * kvh_l])
             return bytes_kv, scales
         packed = jnp.stack([k_t.reshape(b, t, kvh * d),
                             v_t.reshape(b, t, kvh * d)], axis=2)
@@ -655,28 +667,35 @@ class KVCache:
         kvh, d = self.kv_heads, self.head_dim
 
         if self.quant_scales is not None:
-            if (self.quant_scales[0].shape[-1] != SCALE_LANES
-                    and self.kv_heads * self.head_dim == buf.shape[-1]):
-                # TP lane-group layout (scale_lane_groups > 1): only the
-                # shard-LOCAL views inside a shard_map island may
-                # dequantize; a global read here would fold the wrong
-                # lanes silently.
-                raise ValueError(
-                    "layer_kv on a TP lane-grouped quantized cache — "
-                    "read it through the shard_map island "
-                    "(models/transformer.py::_attn_island)")
             kq = unpack_int8_tokens(buf[:, :, 0])      # [B, cap, KVH*D]
             vq = unpack_int8_tokens(buf[:, :, 1])
             s = self.quant_scales[layer][:, :, 0]
             if s.dtype == jnp.int32:
-                s = unpack_bf16_rows(s)                # [B, cap, 128]
+                s = unpack_bf16_rows(s)            # [B, cap, G*128]
+            if s.shape[-1] == SCALE_LANES:
+                s_k = s[:, :, :kvh]
+                s_v = s[:, :, VSCALE_OFF:VSCALE_OFF + kvh]
+            else:
+                # TP lane-group layout (scale_lane_groups > 1): head h's
+                # scale lives in lane group h // kvh_l at offset
+                # h % kvh_l — gather the global [B, cap, KVH] rows for a
+                # GSPMD (non-island) read such as a prefix-cache suffix
+                # chunk's attention.
+                groups = s.shape[-1] // SCALE_LANES
+                kvh_l = kvh // groups
+                s_k = jnp.concatenate(
+                    [s[:, :, g * SCALE_LANES:g * SCALE_LANES + kvh_l]
+                     for g in range(groups)], axis=-1)
+                s_v = jnp.concatenate(
+                    [s[:, :, g * SCALE_LANES + VSCALE_OFF:
+                       g * SCALE_LANES + VSCALE_OFF + kvh_l]
+                     for g in range(groups)], axis=-1)
 
             def deq(x, s_rows):
                 x = x.reshape(b, cap, kvh, d).astype(jnp.float32)
                 return (x * s_rows[..., None]).transpose(0, 2, 1, 3)
 
-            return (deq(kq, s[:, :, :kvh]),
-                    deq(vq, s[:, :, VSCALE_OFF:VSCALE_OFF + kvh]))
+            return deq(kq, s_k), deq(vq, s_v)
 
         def split(plane):
             x = buf[:, :, plane].reshape(b, cap, kvh, d)

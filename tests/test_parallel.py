@@ -392,3 +392,66 @@ def test_sharded_engine_overlap_gqa_rope_parity():
     with mesh:
         got = sharded.generate(prompts, max_new_tokens=5)
     assert got == want
+
+
+def test_sharded_engine_prefix_cache_parity():
+    """Prefix cache under a (data=2, model=2) mesh (round-5 plan item):
+    the pinned fragment pads its batch to the mesh multiple, the
+    suffix-only chunked forward runs through the GSPMD paths, and a hit
+    must generate exactly the cold-prefill tokens."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    system = [7, 3, 9, 9, 2, 1]
+    prompts = [system + [11, 12], system + [4], [5, 6, 7],
+               system + [8]]  # 3 hits, 1 miss
+
+    plain = ServingEngine(model, params, max_batch=4, capacity=64,
+                          prefill_buckets=(8, 16))
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = ServingEngine(model, params, max_batch=4, capacity=64,
+                            prefill_buckets=(8, 16), mesh=mesh)
+    with mesh:
+        sharded.register_prefix(system)
+        got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
+    assert sharded.stats()["prefix_hits"] == 3
+
+
+def test_sharded_engine_prefix_cache_quant_parity():
+    """Quantized-cache sibling: the fragment carries the TP lane-group
+    scale layout; suffix chunks append through the GSPMD quant path and
+    decode reads them through the meshed Pallas island."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(5))
+    system = [2, 4, 6, 8, 1]
+    prompts = [system + [9, 9], [5, 6], system + [3]]
+
+    plain = ServingEngine(model, params, max_batch=4, capacity=64,
+                          prefill_buckets=(8,), quantized_cache=True,
+                          tail_window=0)
+    plain.register_prefix(system)
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = ServingEngine(model, params, max_batch=4, capacity=64,
+                            prefill_buckets=(8,), quantized_cache=True,
+                            mesh=mesh, tail_window=0)
+    with mesh:
+        sharded.register_prefix(system)
+        got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
+    assert sharded.stats()["prefix_hits"] == 2
