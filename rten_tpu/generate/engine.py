@@ -137,15 +137,28 @@ class ServingEngine:
             from .paged_cache import PagedKVCache
             dp = 1
             if mesh is not None:
-                # Data-parallel paged serving (round 4): the page pool
-                # shards over the batch axes with partition-aware
-                # allocation; paged × TENSOR parallelism stays
-                # excluded (no lane-group layout for scale pages).
+                # Paged serving under a mesh: the page pool shards over
+                # the batch axes with partition-aware allocation
+                # (round 4); a `model` axis adds tensor parallelism via
+                # the lane-grouped scale-page layout + head-sharded
+                # paged island (round 5 — requires the Pallas island,
+                # so cfg.use_pallas and TP-divisible heads).
                 sizes = dict(mesh.shape)
-                assert sizes.get("model", 1) == 1 and not any(
-                    n > 1 and ax not in ("data", "dcn")
+                assert not any(
+                    n > 1 and ax not in ("data", "dcn", "model")
                     for ax, n in sizes.items()), \
-                    "paged mode shards over data axes only"
+                    "paged mode shards over data/model axes only"
+                tp_p = sizes.get("model", 1)
+                cfg_p = getattr(model, "config", None)
+                assert tp_p == 1 or (
+                    cfg_p is not None and cfg_p.use_pallas
+                    and cfg_p.n_heads % tp_p == 0
+                    and cfg_p.n_kv_heads % tp_p == 0
+                    and ((cfg_p.n_kv_heads // tp_p)
+                         * cfg_p.head_dim) % 128 == 0), \
+                    "paged x TP needs the Pallas island " \
+                    "(use_pallas, heads divisible by tp, " \
+                    "local features 128-lane aligned)"
                 dp = sizes.get("data", 1) * sizes.get("dcn", 1)
                 assert max_batch % dp == 0
             n_pages = pool_pages or (

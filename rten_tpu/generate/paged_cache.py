@@ -75,16 +75,25 @@ class PagedKVCache:
 
     @staticmethod
     def create(n_layers, n_pages, page_size, kv_heads, head_dim, batch,
-               max_pages_per_seq, dtype=jnp.float32, quantized=False):
+               max_pages_per_seq, dtype=jnp.float32, quantized=False,
+               scale_lane_groups=1):
+        """``scale_lane_groups=T``: tensor-parallel scale-page layout —
+        the lane dim becomes ``T * SCALE_LANES`` and shards over the
+        ``model`` axis, so each shard's local [.., SCALE_LANES] slice is
+        a standard single-chip scale page for its kv_heads/T local heads
+        (the paged sibling of KVCache.create(scale_lane_groups))."""
         table = jnp.full((batch, max_pages_per_seq), -1, jnp.int32)
         if quantized:
             from .kv_cache import SCALE_LANES, VSCALE_OFF
             f = kv_heads * head_dim
-            assert page_size % 4 == 0 and kv_heads <= VSCALE_OFF
+            t = scale_lane_groups
+            assert page_size % 4 == 0 and kv_heads % t == 0 \
+                and kv_heads // t <= VSCALE_OFF
             pools = [jnp.zeros((n_pages, page_size // 4, 2, f), jnp.int32)
                      for _ in range(n_layers)]
             from .kv_cache import _PACKED_ONES
-            scales = [jnp.full((n_pages, page_size // 2, 1, SCALE_LANES),
+            scales = [jnp.full((n_pages, page_size // 2, 1,
+                                t * SCALE_LANES),
                                _PACKED_ONES, jnp.int32)
                       for _ in range(n_layers)]
             return PagedKVCache(pools, table, jnp.zeros(batch, jnp.int32),
@@ -134,10 +143,20 @@ class PagedKVCache:
             bytes_kv = jnp.stack(
                 [k_q.astype(jnp.int32).reshape(b, t, kvh * d),
                  v_q.astype(jnp.int32).reshape(b, t, kvh * d)], axis=1)
-            scales = jnp.ones((b, t, 1, SCALE_LANES), jnp.float32)
-            scales = scales.at[..., 0, 0:kvh].set(k_s)
-            scales = scales.at[..., 0,
-                               VSCALE_OFF:VSCALE_OFF + kvh].set(v_s)
+            # Lane-group layout (scale_lane_groups > 1): scatter each
+            # head's scale into its owning lane group — see
+            # KVCache._pack for the layout contract.
+            groups = self.quant_scales[0].shape[-1] // SCALE_LANES
+            kvh_l = kvh // groups
+            scales = jnp.ones((b, t, 1, groups * SCALE_LANES),
+                              jnp.float32)
+            for g in range(groups):
+                off = g * SCALE_LANES
+                scales = scales.at[..., 0, off:off + kvh_l].set(
+                    k_s[..., g * kvh_l:(g + 1) * kvh_l])
+                scales = scales.at[
+                    ..., 0, off + VSCALE_OFF:off + VSCALE_OFF
+                    + kvh_l].set(v_s[..., g * kvh_l:(g + 1) * kvh_l])
             return bytes_kv, scales
         return jnp.stack(
             [k_new.transpose(0, 2, 1, 3).reshape(b, t, kvh * d),
@@ -273,8 +292,8 @@ class PagedKVCache:
         pages = pool[safe]          # [B, P, page(/4), 2, KVH*D]
         kvh, d = self.kv_heads, self.head_dim
         if self.quant_scales is not None:
-            from .kv_cache import (VSCALE_OFF, unpack_bf16_rows,
-                                   unpack_int8_tokens)
+            from .kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                   unpack_bf16_rows, unpack_int8_tokens)
             b, p = safe.shape
             rows = pages.transpose(0, 1, 3, 2, 4)  # [B, P, 2, page/4, F]
             kq = unpack_int8_tokens(rows[:, :, 0]).reshape(
@@ -284,13 +303,28 @@ class PagedKVCache:
             srows = unpack_bf16_rows(
                 self.quant_scales[layer][safe][:, :, :, 0])
             s = srows.reshape(b, p * self.page_size, -1)  # [B, cap, SL]
+            if s.shape[-1] == SCALE_LANES:
+                s_k = s[:, :, :kvh]
+                s_v = s[:, :, VSCALE_OFF:VSCALE_OFF + kvh]
+            else:
+                # Lane-group layout: gather each group's local heads
+                # back into global [B, cap, KVH] rows (see
+                # KVCache.layer_kv).
+                groups = s.shape[-1] // SCALE_LANES
+                kvh_l = kvh // groups
+                s_k = jnp.concatenate(
+                    [s[:, :, g * SCALE_LANES:g * SCALE_LANES + kvh_l]
+                     for g in range(groups)], axis=-1)
+                s_v = jnp.concatenate(
+                    [s[:, :, g * SCALE_LANES + VSCALE_OFF:
+                       g * SCALE_LANES + VSCALE_OFF + kvh_l]
+                     for g in range(groups)], axis=-1)
 
             def deq(x, sr):
                 return (x.astype(jnp.float32)
                         * sr[..., None]).transpose(0, 2, 1, 3)
 
-            return (deq(kq, s[:, :, :kvh]),
-                    deq(vq, s[:, :, VSCALE_OFF:VSCALE_OFF + kvh]))
+            return deq(kq, s_k), deq(vq, s_v)
         b, p, ps, _, r = pages.shape
         seq = pages.reshape(b, p * ps, 2, kvh, d)
         k = seq[:, :, 0].transpose(0, 2, 1, 3)

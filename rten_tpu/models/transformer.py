@@ -737,13 +737,25 @@ class TransformerLM:
             return False           # seq/pipe/expert axes: GSPMD paths
         tp = sizes.get("model", 1)
         if getattr(cache, "paged", False):
-            # Data-parallel paged islands (round 4): the pool's page dim
-            # shards over the batch axes and each shard runs the
-            # unchanged paged kernels on shard-local page ids. Paged ×
-            # TENSOR parallelism stays excluded (quant scale pages have
-            # no lane-group layout).
-            return (tp == 1
-                    and (cfg.n_kv_heads * cfg.head_dim) % 128 == 0)
+            # Paged islands: the pool's page dim shards over the batch
+            # axes (each shard remaps to shard-local page ids) and the
+            # feature dim over `model` (round 5: paged × TENSOR
+            # parallelism via lane-grouped scale pages — each TP
+            # shard's scale-page slice is a standard single-chip page
+            # for its local heads).
+            if cfg.n_heads % tp or cfg.n_kv_heads % tp:
+                return False
+            if ((cfg.n_kv_heads // tp) * cfg.head_dim) % 128:
+                return False
+            if tp > 1 and cache.quant_scales is not None:
+                from ..generate.kv_cache import SCALE_LANES
+                if cache.quant_scales[0].shape[-1] != tp * SCALE_LANES:
+                    raise ValueError(
+                        "quantized paged cache under a TP mesh needs "
+                        "the lane-group scale-page layout: create it "
+                        "via model.new_paged_cache with model.mesh set "
+                        "(scale_lane_groups=tp)")
+            return True
         if cfg.n_heads % tp or cfg.n_kv_heads % tp:
             return False
         if ((cfg.n_kv_heads // tp) * cfg.head_dim) % 128:
@@ -844,13 +856,16 @@ class TransformerLM:
                             cache.tail_count)
 
     def _attn_island_paged(self, q, k, v, cache, layer_idx):
-        """Paged sibling of :meth:`_attn_island` for DATA-parallel
-        meshes: the pool's page dim, the table, and lengths shard over
-        the batch axes; each shard remaps its table entries to
-        shard-local page ids (the partition-aware allocator guarantees
-        every slot's pages live in its shard's contiguous page range —
+        """Paged sibling of :meth:`_attn_island`: the pool's page dim,
+        the table, and lengths shard over the batch axes; each shard
+        remaps its table entries to shard-local page ids (the
+        partition-aware allocator guarantees every slot's pages live in
+        its shard's contiguous page range —
         generate/paged_cache.py::_PageAllocator) and runs the unchanged
-        single-chip paged kernels."""
+        single-chip paged kernels. Under TP (round 5) heads shard over
+        ``model``: the pool's feature dim and the lane-grouped scale
+        pages split so each shard's local pool is a standard single-chip
+        paged cache for its kvh/tp local heads."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         from ..generate.paged_cache import PagedKVCache
@@ -858,10 +873,13 @@ class TransformerLM:
         mesh = self.mesh
         b, h, s, hd = q.shape
         kvh = cfg.n_kv_heads
+        tp = dict(mesh.shape).get("model", 1)
+        kvh_l = kvh // tp
         quant = cache.quant_scales is not None
         batch_ax = tuple(a for a in ("dcn", "data")
                          if a in mesh.axis_names) or None
-        row_spec = P(batch_ax, None, None, None)
+        head_spec = P(batch_ax, "model", None, None)
+        pool_spec = P(batch_ax, None, None, "model")
         dummy = jnp.zeros((), jnp.int32)
 
         def body(q_l, k_l, v_l, pool_l, spool_l, table_l, lens_l):
@@ -874,30 +892,32 @@ class TransformerLM:
             local_table = jnp.where(table_l >= 0, table_l - di * npl,
                                     table_l)
             local = PagedKVCache([pool_l], local_table, lens_l,
-                                 cache.page_size, kvh, hd,
+                                 cache.page_size, kvh_l, hd,
                                  quant_scales=[spool_l] if quant
                                  else None)
             local = local.append(0, k_l, v_l,
                                  position=None if s == 1 else 0)
             if s == 1:
                 out = _pallas_paged_decode_attn(
-                    cfg, q_l[:, :, 0, :], local, 0, kvh)[:, :, None, :]
+                    cfg, q_l[:, :, 0, :], local, 0,
+                    kvh_l)[:, :, None, :]
             else:
                 k_f, v_f = k_l, v_l
-                if kvh != h:
-                    k_f = jnp.repeat(k_l, h // kvh, axis=1)
-                    v_f = jnp.repeat(v_l, h // kvh, axis=1)
+                if kvh_l != q_l.shape[1]:
+                    rep = q_l.shape[1] // kvh_l
+                    k_f = jnp.repeat(k_l, rep, axis=1)
+                    v_f = jnp.repeat(v_l, rep, axis=1)
                 out = flash_attention(q_l, k_f, v_f, causal=True)
             return (out.astype(q_l.dtype), local.pools[0],
                     local.quant_scales[0] if quant else dummy)
 
         out, new_pool, new_spool = shard_map(
             body, mesh=mesh,
-            in_specs=(row_spec, row_spec, row_spec, row_spec,
-                      row_spec if quant else P(),
+            in_specs=(head_spec, head_spec, head_spec, pool_spec,
+                      pool_spec if quant else P(),
                       P(batch_ax, None), P(batch_ax)),
-            out_specs=(row_spec, row_spec,
-                       row_spec if quant else P()),
+            out_specs=(head_spec, pool_spec,
+                       pool_spec if quant else P()),
             check_vma=False,
         )(q, k, v, cache.pools[layer_idx],
           cache.quant_scales[layer_idx] if quant else dummy,
@@ -1098,10 +1118,16 @@ class TransformerLM:
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         max_pages = -(-capacity // page_size)
+        # Pallas-under-mesh: quant scale PAGES take the TP lane-group
+        # layout, mirroring new_cache (see _attn_island_paged).
+        lane_groups = 1
+        if quantized and self.mesh is not None and cfg.use_pallas:
+            lane_groups = dict(self.mesh.shape).get("model", 1)
         cache = PagedKVCache.create(cfg.n_layers, n_pages, page_size,
                                     cfg.n_kv_heads, cfg.head_dim, batch,
                                     max_pages, dtype=dtype,
-                                    quantized=quantized)
+                                    quantized=quantized,
+                                    scale_lane_groups=lane_groups)
         if identity_table:
             assert n_pages >= batch * max_pages
             table = jnp.arange(batch * max_pages,

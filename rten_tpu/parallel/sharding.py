@@ -99,13 +99,14 @@ def shard_params(params, mesh: Mesh):
 
 
 def paged_cache_shardings(cache, mesh: Mesh):
-    """Sharding for a block-paged cache (round 4, data-parallel paged
-    serving): the pool's PAGE dim and the table/lengths batch dim shard
-    over the batch axes (the partition-aware allocator keeps every
-    slot's pages inside its shard's page range); the feature dim rides
-    the ``model`` axis like the contiguous cache (paged × tensor
-    parallelism is still excluded by the engine — model is size 1
-    here). Scale pages keep their 128 lanes replicated."""
+    """Sharding for a block-paged cache: the pool's PAGE dim and the
+    table/lengths batch dim shard over the batch axes (the
+    partition-aware allocator keeps every slot's pages inside its
+    shard's page range); the feature dim rides the ``model`` axis like
+    the contiguous cache. Lane-grouped scale pages
+    (PagedKVCache.create(scale_lane_groups=tp), the paged × TP path)
+    shard their lane dim over ``model``; the legacy single-chip layout
+    keeps its 128 lanes replicated."""
     from ..generate.paged_cache import PagedKVCache
     batch_axes = (("dcn", "data") if "dcn" in mesh.axis_names
                   else ("data",))
@@ -115,7 +116,11 @@ def paged_cache_shardings(cache, mesh: Mesh):
     lengths = NamedSharding(mesh, P(batch_axes))
     scales = None
     if cache.quant_scales is not None:
-        scales = [NamedSharding(mesh, P(batch_axes, None, None, None))
+        from ..generate.kv_cache import SCALE_LANES
+        lane_ax = ("model" if cache.quant_scales[0].shape[-1]
+                   != SCALE_LANES else None)
+        scales = [NamedSharding(mesh, P(batch_axes, None, None,
+                                        lane_ax))
                   for _ in cache.quant_scales]
     return PagedKVCache(pools, table, lengths, cache.page_size,
                         cache.kv_heads, cache.head_dim,

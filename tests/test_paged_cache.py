@@ -347,3 +347,47 @@ def test_paged_engine_data_mesh_parity(quant):
     with mesh:
         got = sharded.generate(prompts, max_new_tokens=5)
     assert got == want
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_engine_tp_mesh_parity(quant):
+    """Paged serving over a (data=2, model=2) mesh (round-5 plan item:
+    paged x TENSOR parallelism): heads shard over `model`, the pool's
+    feature dim splits with them, and quant scale PAGES take the
+    lane-group layout so each shard's slice is a standard single-chip
+    scale page. Token-exact vs the single-chip paged engine."""
+    import jax
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM)
+    from rten_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    # head_dim 64, kv_heads 4, tp 2 -> local features 2*64 = 128.
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(17))
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=64,
+                          prefill_buckets=(16,), paged=True,
+                          page_size=16, quantized_cache=quant)
+    want = plain.generate(prompts, max_new_tokens=5)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = ServingEngine(model, params, max_batch=8, capacity=64,
+                            prefill_buckets=(16,), paged=True,
+                            page_size=16, quantized_cache=quant,
+                            mesh=mesh)
+    assert sharded.allocator.partitions == 2   # data axes only
+    if quant:
+        from rten_tpu.generate.kv_cache import SCALE_LANES
+        assert sharded.cache.quant_scales[0].shape[-1] == 2 * SCALE_LANES
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
