@@ -1264,7 +1264,9 @@ def _decode_flat_kernel(len_ref, nb_ref, q_all, lv_ref, e_ref, kv_hbm,
             # layout [G, Hp, F].
             qx = jax.lax.dot_general(
                 q_t, e_ref[:], (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(jax.lax.Precision.HIGHEST
+                           if e_ref.dtype == jnp.float32 else
+                           jax.lax.Precision.DEFAULT),
                 preferred_element_type=jnp.float32)
             qx = jnp.swapaxes(qx, 0, 1).astype(q_all.dtype)
 
@@ -1316,8 +1318,11 @@ def _decode_flat_kernel(len_ref, nb_ref, q_all, lv_ref, e_ref, kv_hbm,
             oval = jnp.swapaxes(
                 acc_ref[:] / jnp.maximum(l_ref[:], 1e-30), 0, 1)
             oval = jax.lax.dot_general(
-                oval, e_ref[:], (((2,), (2,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST,
+                oval.astype(e_ref.dtype), e_ref[:],
+                (((2,), (2,)), ((0,), (0,))),
+                precision=(jax.lax.Precision.HIGHEST
+                           if e_ref.dtype == jnp.float32 else
+                           jax.lax.Precision.DEFAULT),
                 preferred_element_type=jnp.float32).astype(obuf.dtype)
             if dp != head_dim:
                 # DMA slices need 128-aligned lane extents: pad the
@@ -1369,8 +1374,8 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
                               scale_lanes, qs_ref=None, ei_ref=None,
                               tc_ref=None, tail_hbm=None, lv_ref=None,
                               dyn_q=False, r0_fold=False,
-                              q_stream=False):
-    dp = -(-head_dim // 128) * 128
+                              q_stream=False, partials=False):
+    dp = -(-(head_dim + (2 if partials else 0)) // 128) * 128
     """Token-packed int8 sibling of :func:`_decode_flat_kernel` (same
     flat single-program pipeline and compact q/out; same per-block math
     as :func:`_decode_grouped_quant_kernel`, including the merged K+V
@@ -1489,7 +1494,9 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
             else:
                 qx = jax.lax.dot_general(
                     q_t, e_ref[:], (((2,), (1,)), ((0,), (0,))),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=(jax.lax.Precision.HIGHEST
+                               if e_ref.dtype == jnp.float32 else
+                               jax.lax.Precision.DEFAULT),
                     preferred_element_type=jnp.float32)
                 qx = jnp.swapaxes(qx, 0, 1).astype(q_all.dtype)
             oh = oh_ref[:]                     # [2*Hp, SL]
@@ -1618,13 +1625,35 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
                     preferred_element_type=jnp.float32)
                 m_ref[:] = m_new
 
-            oval = jnp.swapaxes(
-                acc_ref[:] / jnp.maximum(l_ref[:], 1e-30), 0, 1)
+            num = (acc_ref[:] if partials
+                   else acc_ref[:] / jnp.maximum(l_ref[:], 1e-30))
+            oval = jnp.swapaxes(num, 0, 1)
+            # bf16-E mode: the compaction dot is a one-hot selection,
+            # so casting the f32 accumulator to bf16 first only rounds
+            # the already-bf16-bound output (q entered the kernel
+            # bf16-rounded).
             oval = jax.lax.dot_general(
-                oval, e_ref[:], (((2,), (2,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST,
+                oval.astype(e_ref.dtype), e_ref[:],
+                (((2,), (2,)), ((0,), (0,))),
+                precision=(jax.lax.Precision.HIGHEST
+                           if e_ref.dtype == jnp.float32 else
+                           jax.lax.Precision.DEFAULT),
                 preferred_element_type=jnp.float32).astype(obuf.dtype)
-            if dp != head_dim:
+            if partials:
+                # Seq-sharded decode (round 5): emit the UNNORMALIZED
+                # compact accumulator with the online-softmax state in
+                # the pad lanes — lane D holds m, lane D+1 holds l — so
+                # capacity shards merge outside the kernel:
+                # out = psum(acc*exp(m-m_g)) / psum(l*exp(m-m_g)).
+                m_t = jnp.swapaxes(m_ref[:], 0, 1).astype(oval.dtype)
+                l_t = jnp.swapaxes(l_ref[:], 0, 1).astype(oval.dtype)
+                parts = [oval, m_t, l_t]
+                if dp - head_dim - 2:
+                    parts.append(jnp.zeros(
+                        oval.shape[:2] + (dp - head_dim - 2,),
+                        oval.dtype))
+                oval = jnp.concatenate(parts, axis=-1)
+            elif dp != head_dim:
                 # DMA slices need 128-aligned lane extents: pad the
                 # compact rows to the obuf lane width (zero lanes are
                 # sliced off by the wrapper).
@@ -1682,11 +1711,11 @@ def _decode_flat_quant_kernel(len_ref, nb_ref, q_all, e_ref, oh_ref,
 @functools.partial(jax.jit,
                    static_argnames=("kv_heads", "scale", "block_k",
                                     "group", "int8_scores", "r0_fold",
-                                    "q_stream"))
+                                    "q_stream", "q_bf16", "partials"))
 def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                       group=16, kv_scales=None, int8_scores=False,
                       tail=None, tail_count=None, r0_fold=False,
-                      q_stream=False):
+                      q_stream=False, q_bf16=False, partials=False):
     """Flat single-program decode attention: same contract as
     :func:`flash_decode_grouped`, but (a) the whole batch runs as ONE
     Pallas program whose DMA pipeline never drains between sequence
@@ -1713,13 +1742,24 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
         scale = 1.0 / math.sqrt(d)
     block_k = min(block_k, s_max)
     hp = _round8(h)
-    dp = -(-d // 128) * 128
-    e_bytes = hp * d * hd_tot * 4
+    if partials:
+        # Seq-sharded merge mode: quantized exact-q path only; the
+        # online-softmax state rides the output pad lanes (lane D = m,
+        # lane D+1 = l) and the result is the UNNORMALIZED accumulator.
+        assert quant and not int8_scores and tail is None, \
+            "partials: quantized cache, exact-q, no tail"
+    dp = -(-(d + (2 if partials else 0)) // 128) * 128
+    q_bf16 = q_bf16 and not int8_scores
+    e_bytes = hp * d * hd_tot * (2 if q_bf16 else 4)
     if tail is not None:
         assert quant and not int8_scores, \
             "tail write-buffer: quantized caches, exact-q scores only"
     if b % group or s_max % block_k or (quant and block_k % 4) \
             or e_bytes > 4 * 1024 * 1024:
+        if partials:
+            raise ValueError(
+                "flash_decode_flat(partials=True): shape unsupported "
+                f"(b={b}, group={group}, cap={s_max})")
         if tail is not None:
             # No other kernel reads the tail window — a silent fallback
             # would drop the newest tokens.
@@ -1733,10 +1773,16 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                                     int8_scores=int8_scores)
     nprog = b // group
 
-    e_mat = _head_expander(h, kv_heads, d, hd_tot, q.dtype)
+    # bf16-E mode (round-5): q rounds to bf16 on entry and both E-dots
+    # plus the score dots run bf16 on the MXU — halves the E matrix and
+    # compact-q VMEM blocks (the VMEM headroom that unlocks group-32
+    # with the tail write-buffer) at a one-rounding accuracy cost (q is
+    # the only operand losing bits; K/V are int8-quantized already).
+    qdt = jnp.bfloat16 if q_bf16 else q.dtype
+    e_mat = _head_expander(h, kv_heads, d, hd_tot, qdt)
     # [nprog, Hp, G, D]: head-leading so the in-kernel E-dot has its
     # batch dim (Hp) leading on both operands (a Mosaic requirement).
-    q_c = q.reshape(nprog, group, h, d).transpose(0, 2, 1, 3)
+    q_c = q.astype(qdt).reshape(nprog, group, h, d).transpose(0, 2, 1, 3)
     if hp != h:
         q_c = jnp.pad(q_c, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
     lens = jnp.asarray(lengths, jnp.int32)
@@ -1843,7 +1889,8 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                     sc_hbm, o_hbm, scale=scale, block_k=block_k, hp=hp,
                     head_dim=d, hd_tot=hd_tot, group=group,
                     nprog=nprog, scale_lanes=SCALE_LANES, lv_ref=lv,
-                    dyn_q=dyn_q, r0_fold=r0_fold, q_stream=q_stream)
+                    dyn_q=dyn_q, r0_fold=r0_fold, q_stream=q_stream,
+                    partials=partials)
 
             args = (lens, nb_all, q_c, lens_v, e_mat, oh_s, kv,
                     kv_scales)
@@ -1888,8 +1935,11 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                 transcendentals=b * h * s_max),
             interpret=_interpret(),
         )(lens, nb_all, q_c, lens_v, e_mat, kv)
-    # [nprog, Hp, G, Dp] → [B, H, D] (small: B*Hp*Dp elements).
-    return out_full.transpose(0, 2, 1, 3)[:, :, :h, :d].reshape(b, h, d)
+    # [nprog, Hp, G, Dp] → [B, H, D] (small: B*Hp*Dp elements). With
+    # partials, keep the two state lanes: [B, H, D+2] = (acc, m, l).
+    do = d + 2 if partials else d
+    return out_full.transpose(0, 2, 1, 3)[:, :, :h, :do].reshape(
+        b, h, do)
 
 
 

@@ -145,7 +145,7 @@ def paged_append(rows, offsets, caches, news):
     return tuple(out) if isinstance(out, (list, tuple)) else (out,)
 
 
-def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
+def cache_append_quant(pos, kv, sbuf, bytes_kv, srows, masked=False):
     """Decode append into the token-packed int8 cache
     (generate/kv_cache.py): the new token owns byte ``pos%4`` of int32
     row ``pos//4`` in each plane, and halfword ``pos%2`` of packed
@@ -161,6 +161,9 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
               (aliased);
     bytes_kv: [B, 2, 1, F] int32 int8-range byte values;
     srows:    [B, 1, 1, SL] f32 new scale values (bf16-rounded).
+    ``masked=True``: sequences with ``pos[b] < 0`` are SKIPPED (no DMA
+    in either direction) — the seq-sharded append path passes -1 for
+    every non-owner capacity shard.
     Returns (kv, sbuf) updated in place under donation."""
     batch = bytes_kv.shape[0]
     posv = jnp.asarray(pos, jnp.int32)[:, None]
@@ -179,28 +182,49 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
         # One counting semaphore per sequence, shared by both row reads
         # and both write-backs: DMA semaphore space ('sflag') is ~2K
         # entries on v5e — three per-batch arrays blew it at batch 256.
-        reads = []
-        for b in range(batch):
-            row = pos_ref[b] >> 2
-            dma = pltpu.make_async_copy(
-                kv_out.at[b, pl.ds(row, 1)], old_ref.at[b],
+        # With ``masked``, every start AND wait for sequence b sits
+        # under the same pos >= 0 predicate (descriptors are recreated
+        # to wait — the established flat-kernel pattern).
+        def kv_rmw_read(b):
+            return pltpu.make_async_copy(
+                kv_out.at[b, pl.ds(pos_ref[b] >> 2, 1)], old_ref.at[b],
                 sem.at[b])
-            dma.start()
-            reads.append(dma)
+
+        def s_read(b):
             if s_packed:
-                sdma = pltpu.make_async_copy(
+                return pltpu.make_async_copy(
                     s_out.at[b, pl.ds(pos_ref[b] >> 1, 1)],
                     sold_ref.at[b], sem.at[b])
+            # f32 rows: the new token owns a whole row — plain
+            # HBM→HBM write, no RMW.
+            return pltpu.make_async_copy(
+                sbits_ref.at[b], s_out.at[b, pl.ds(pos_ref[b], 1)],
+                sem.at[b])
+
+        def kv_wb(b):
+            return pltpu.make_async_copy(
+                old_ref.at[b], kv_out.at[b, pl.ds(pos_ref[b] >> 2, 1)],
+                sem.at[b])
+
+        def s_wb(b):
+            return pltpu.make_async_copy(
+                sold_ref.at[b],
+                s_out.at[b, pl.ds(pos_ref[b] >> 1, 1)], sem.at[b])
+
+        def guarded(b, fn):
+            if masked:
+                @pl.when(pos_ref[b] >= 0)
+                def _():
+                    fn()
             else:
-                # f32 rows: the new token owns a whole row — plain
-                # HBM→HBM write, no RMW.
-                sdma = pltpu.make_async_copy(
-                    sbits_ref.at[b], s_out.at[b, pl.ds(pos_ref[b], 1)],
-                    sem.at[b])
-            sdma.start()
-            reads.append(sdma)
-        for dma in reads:
-            dma.wait()
+                fn()
+
+        for b in range(batch):
+            guarded(b, lambda b=b: (kv_rmw_read(b).start(),
+                                    s_read(b).start()))
+        for b in range(batch):
+            guarded(b, lambda b=b: (kv_rmw_read(b).wait(),
+                                    s_read(b).wait()))
         sh = ((posv_ref[:] & 3) * 8)[:, :, None, None]   # [B, 1, 1, 1]
         mask = jnp.left_shift(jnp.int32(0xFF), sh)
         old_ref[:] = ((old_ref[:] & ~mask)
@@ -210,22 +234,21 @@ def cache_append_quant(pos, kv, sbuf, bytes_kv, srows):
             smask = jnp.left_shift(jnp.int32(0xFFFF), ssh)
             sold_ref[:] = ((sold_ref[:] & ~smask)
                            | jnp.left_shift(sbits_ref[:] & 0xFFFF, ssh))
-        writes = []
-        for b in range(batch):
-            row = pos_ref[b] >> 2
-            dma = pltpu.make_async_copy(
-                old_ref.at[b], kv_out.at[b, pl.ds(row, 1)],
-                sem.at[b])
-            dma.start()
-            writes.append(dma)
+
+        def wb(b):
+            kv_wb(b).start()
             if s_packed:
-                sdma = pltpu.make_async_copy(
-                    sold_ref.at[b],
-                    s_out.at[b, pl.ds(pos_ref[b] >> 1, 1)], sem.at[b])
-                sdma.start()
-                writes.append(sdma)
-        for dma in writes:
-            dma.wait()
+                s_wb(b).start()
+
+        def wb_wait(b):
+            kv_wb(b).wait()
+            if s_packed:
+                s_wb(b).wait()
+
+        for b in range(batch):
+            guarded(b, lambda b=b: wb(b))
+        for b in range(batch):
+            guarded(b, lambda b=b: wb_wait(b))
 
     out = pl.pallas_call(
         kernel,

@@ -359,12 +359,19 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
         # Short-capacity QUANT caches: the flat single-program kernel
         # with compact q/out (v5e live-128 A/B: 238 vs 316 us grouped —
         # the per-program pipeline drain and the block-diagonal q
-        # traffic both dominate at live <= ~512). Long caches stay on
-        # the per-group grid (bandwidth-bound at 733 GB/s; the flat
-        # kernel's E-matrix + buffers don't fit VMEM at g16/b128), and
-        # float caches too (g8 flat measured slower — the per-group
-        # epilogue overhead doubles at 2x the group count).
-        kind = ("flat" if scales is not None and group and not long_ctx
+        # traffic both dominate at live <= ~512). Long caches stayed on
+        # the per-group grid while the f32 E-matrix + b128 buffers
+        # exceeded VMEM; the bf16-E mode (q_bf16) fits g16/b128 in
+        # ~11 MB, so RTEN_FLAT_LONGCTX=1 extends the flat kernel past
+        # cap 2048 (round-5 A/B pending — default stays grouped).
+        # Float caches stay grouped (g8 flat measured slower — the
+        # per-group epilogue overhead doubles at 2x the group count).
+        import os as _os
+        flat_long = (long_ctx and _os.environ.get("RTEN_FLAT_LONGCTX")
+                     and _os.environ.get("RTEN_FLAT_QBF16", "1") != "0"
+                     and cache.capacity % blk == 0)
+        kind = ("flat" if scales is not None and group
+                and (not long_ctx or flat_long)
                 else "grouped" if group else "fused")
     if getattr(cache, "tail", None) is not None and (kind != "flat"
                                                      or not group):
@@ -374,13 +381,30 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
             "the tail (engine gating bug)")
     if kind == "flat" and group:
         from ..kernels.attention import flash_decode_flat
-        # Group width: a g=32 widening was A/B'd in round 4 (no-tail
-        # sweep at batch 256: g32/b64 145.6 vs g16/b64's 195.6 us at
-        # live 96) but the SERVING config cannot use it — with the
-        # bf16 tail buffer g32/b64 exceeds scoped VMEM (17.76 M > 16 M,
-        # hardware compile failure), and the fitting g32/b32 is a wash
-        # across the live 64-448 trajectory (156/264/374 vs
-        # 196/231/367). g16/b64 stands.
+        # Group width: g=32 beat g16 by 26% at live 96 in the round-4
+        # no-tail sweep (145.6 vs 195.6 us at batch 256) but with the
+        # bf16 tail buffer g32/b64's f32-E VMEM footprint exceeded the
+        # chip (17.76 M > 16 M). Round 5: the bf16-E/bf16-q mode
+        # (RTEN_FLAT_QBF16, flash_decode_flat(q_bf16=True)) halves the
+        # E matrix + compact-q blocks, so widen to the largest group
+        # whose buffers fit scoped VMEM under that mode.
+        q_bf16 = os.environ.get("RTEN_FLAT_QBF16", "1") != "0"
+        if scales is not None and q_bf16:
+            f_tot = kvh * cache.head_dim
+            hp8 = -(-cfg.n_heads // 8) * 8
+            win = (cache.tail[layer_idx].shape[1]
+                   if getattr(cache, "tail", None) is not None else 0)
+            for g2 in (32,):
+                if g2 > group and b % g2 == 0 and b >= 2 * g2:
+                    vm = (2 * g2 * (blk // 4) * 2 * f_tot * 4   # kv buf
+                          + 2 * g2 * (blk // 2) * 128 * 4       # scales
+                          + g2 * hp8 * f_tot * 4                # acc
+                          + g2 * win * 2 * f_tot * 2            # tail
+                          + 2 * hp8 * g2 * 128 * 4              # obuf
+                          + hp8 * cache.head_dim * f_tot * 2)   # E bf16
+                    if vm <= 13 * 1024 * 1024:
+                        group = g2
+                        break
         tail = tc = None
         if getattr(cache, "tail", None) is not None:
             tail = cache.tail[layer_idx]
@@ -396,7 +420,7 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
         return flash_decode_flat(
             q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,
             group=group, block_k=blk, kv_scales=scales,
-            tail=tail, tail_count=tc,
+            tail=tail, tail_count=tc, q_bf16=q_bf16,
             q_stream=bool(os.environ.get("RTEN_FLAT_QSTREAM")))
     if kind == "grouped" or kind == "flat":
         from ..kernels.attention import flash_decode_grouped

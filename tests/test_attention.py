@@ -673,3 +673,105 @@ def test_flash_decode_flat_tail():
                            1.0 / np.sqrt(D), lengths)[:, :, 0, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_flash_decode_flat_q_bf16():
+    """bf16-E mode (q_bf16=True): q rounds to bf16 on entry; the result
+    must match reference attention computed with the bf16-rounded q
+    within bf16 tolerance (the one-hot E-dots and the out compaction
+    add no further error)."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_bf16_rows,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_flat)
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    rng = np.random.RandomState(31)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = np.asarray(jnp.asarray(
+        0.01 + 0.05 * rng.rand(B, cap, 2, KVH)
+    ).astype(jnp.bfloat16).astype(jnp.float32))
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    packed = pack_bf16_rows(
+        jnp.asarray(scales).swapaxes(1, 2)).swapaxes(1, 2)
+    lengths = jnp.asarray([5, 127, 64, 1], jnp.int32)
+
+    got = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64, group=2,
+                            kv_scales=packed, q_bf16=True)
+
+    qb = q.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def plane(i):
+        x = jnp.asarray({0: k_q, 1: v_q}[i]).reshape(
+            B, cap, KVH, D).astype(jnp.float32)
+        x = x * s_np[:, :, i][..., None]
+        return jnp.repeat(x.transpose(0, 2, 1, 3), H // KVH, axis=1)
+
+    want = _attn_reference(qb[:, :, None, :], plane(0), plane(1), False,
+                           1.0 / np.sqrt(D), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    # And vs full-f32 q: the bf16 rounding is the ONLY extra error.
+    want32 = _attn_reference(q[:, :, None, :], plane(0), plane(1),
+                             False, 1.0 / np.sqrt(D),
+                             lengths)[:, :, 0, :]
+    rel = (np.abs(np.asarray(got) - np.asarray(want32)).max()
+           / np.abs(np.asarray(want32)).max())
+    assert rel < 2e-2, rel
+
+
+def test_flash_decode_flat_q_bf16_tail_g32():
+    """q_bf16 with the tail round at the group-32 serving shape the
+    bf16-E VMEM headroom unlocks (batch 64, g32/b64 + window)."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_bf16_rows,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import (_attn_reference,
+                                            flash_decode_flat)
+    B, H, KVH, D, cap, R = 64, 8, 4, 32, 128, 8
+    rng = np.random.RandomState(37)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = np.asarray(jnp.asarray(
+        0.01 + 0.05 * rng.rand(B, cap, 2, KVH)
+    ).astype(jnp.bfloat16).astype(jnp.float32))
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    packed = pack_bf16_rows(
+        jnp.asarray(scales).swapaxes(1, 2)).swapaxes(1, 2)
+    tail = rng.randn(B, R, 2, KVH * D).astype(np.float32)
+    tail_j = jnp.asarray(tail).astype(jnp.bfloat16)
+    tc = 3
+    plens = rng.randint(1, cap - R, B)
+    lengths = jnp.asarray(plens + tc, jnp.int32)
+
+    got = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64,
+                            group=32, kv_scales=packed, tail=tail_j,
+                            tail_count=tc, q_bf16=True)
+
+    qb = q.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def plane(i):
+        x = jnp.asarray({0: k_q, 1: v_q}[i]).reshape(
+            B, cap, KVH, D).astype(jnp.float32)
+        x = x * s_np[:, :, i][..., None]
+        t = jnp.asarray(tail_j[:, :, i].astype(jnp.float32)).reshape(
+            B, R, KVH, D)
+        full = jnp.zeros((B, cap + R, KVH, D))
+        full = full.at[:, :cap].set(x)
+        for b in range(B):
+            full = full.at[b, plens[b]:plens[b] + tc].set(t[b, :tc])
+        return jnp.repeat(full.transpose(0, 2, 1, 3), H // KVH, axis=1)
+
+    want = _attn_reference(qb[:, :, None, :], plane(0), plane(1), False,
+                           1.0 / np.sqrt(D), lengths)[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
