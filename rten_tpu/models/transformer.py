@@ -336,7 +336,7 @@ def _rope(x, positions, theta):
                            axis=-1).astype(x.dtype)
 
 
-def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
+def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
     """Single-query Pallas decode-attention dispatch: grouped / stream /
     fused kernel selection per the v5e A/B history (BASELINE.md rounds
     5-6). ``q3``: [B, H, D]; ``cache`` may be a full engine cache or a
@@ -355,6 +355,18 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh):
     groups = (8, 4, 2) if scales is None else (16, 8, 4, 2)
     group = next((g for g in groups if b % g == 0 and b >= 2 * g), 0)
     blk = 128 if long_ctx else 64
+    if partials:
+        # Seq-sharded decode (capacity shards merge outside): the flat
+        # kernel's partials mode — unnormalized accumulator with m/l in
+        # the pad lanes (see _attn_island_seq).
+        from ..kernels.attention import flash_decode_flat
+        assert scales is not None and group, \
+            "partials decode needs the quantized flat kernel"
+        return flash_decode_flat(
+            q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,
+            group=group, block_k=blk, kv_scales=scales,
+            q_bf16=os.environ.get("RTEN_FLAT_QBF16", "1") != "0",
+            partials=True)
     if kind == "auto":
         # Short-capacity QUANT caches: the flat single-program kernel
         # with compact q/out (v5e live-128 A/B: 238 vs 316 us grouped —
@@ -572,13 +584,17 @@ class TransformerLM:
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
 
-        if self._use_attn_island(cache, chunk):
+        if self._use_attn_island(cache, chunk, s):
             # Pallas × mesh composition: append + attention run as one
             # shard_map island on (batch/data, heads/model) shards —
-            # see _attn_island / _attn_island_paged.
-            island = (self._attn_island_paged
-                      if getattr(cache, "paged", False)
-                      else self._attn_island)
+            # see _attn_island / _attn_island_paged / _attn_island_seq.
+            if "seq" in dict(self.mesh.shape) \
+                    and dict(self.mesh.shape)["seq"] > 1:
+                island = self._attn_island_seq
+            elif getattr(cache, "paged", False):
+                island = self._attn_island_paged
+            else:
+                island = self._attn_island
             out, cache = island(q, k, v, cache, layer_idx)
             out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
             return (linear(out, layer_params["wo"],
@@ -744,7 +760,7 @@ class TransformerLM:
 
     # -- Pallas × mesh composition ------------------------------------------
 
-    def _use_attn_island(self, cache, chunk):
+    def _use_attn_island(self, cache, chunk, s=1):
         """True when the append+attention pair should run as a shard_map
         island (model.mesh set + Pallas on + a supported configuration).
         Chunked verify (speculative decoding) and paged/stacked caches
@@ -756,9 +772,35 @@ class TransformerLM:
                 or cache.stacked):
             return False
         sizes = dict(mesh.shape)
+        if sizes.get("seq", 1) > 1:
+            # Seq-sharded Pallas decode (round 5): the cache CAPACITY
+            # dim shards over `seq`; each shard runs the flat kernel in
+            # partials mode with a masked owner-only append, and the
+            # online-softmax states psum-merge (_attn_island_seq).
+            # Decode only — prefill appends at position 0 through the
+            # GSPMD paths and its attention never reads the cache.
+            kvh_d = cfg.n_kv_heads * cfg.head_dim
+            tp_s = sizes.get("model", 1)
+            dp_s = sizes.get("data", 1) * sizes.get("dcn", 1)
+            batch = cache.lengths.shape[0]
+            b_l = batch // dp_s if batch % dp_s == 0 else 0
+            return (s == 1 and cache.quant_scales is not None
+                    and not getattr(cache, "paged", False)
+                    and cache.tail is None
+                    and not any(n > 1 and ax not in
+                                ("data", "model", "dcn", "seq")
+                                for ax, n in sizes.items())
+                    and cfg.n_heads % tp_s == 0
+                    and cfg.n_kv_heads % tp_s == 0
+                    and (kvh_d // tp_s) % 128 == 0
+                    # per-shard flat-kernel group must exist
+                    and any(b_l % g == 0 and b_l >= 2 * g
+                            for g in (16, 8, 4, 2))
+                    and cache.capacity % (4 * sizes["seq"]) == 0
+                    and (cache.capacity // sizes["seq"]) % 64 == 0)
         if any(n > 1 and ax not in ("data", "model", "dcn")
                for ax, n in sizes.items()):
-            return False           # seq/pipe/expert axes: GSPMD paths
+            return False           # pipe/expert axes: GSPMD paths
         tp = sizes.get("model", 1)
         if getattr(cache, "paged", False):
             # Paged islands: the pool's page dim shards over the batch
@@ -955,6 +997,84 @@ class TransformerLM:
         return out, PagedKVCache(pools, cache.page_table, cache.lengths,
                                  cache.page_size, cache.kv_heads,
                                  cache.head_dim, quant_scales=scales)
+
+    def _attn_island_seq(self, q, k, v, cache, layer_idx):
+        """Seq-sharded decode island (round 5): the quantized cache's
+        CAPACITY dim shards over the ``seq`` mesh axis (one sequence's
+        KV can exceed a chip's HBM — the long-context scaling axis).
+        Each capacity shard appends ONLY the rows it owns (masked
+        kernels/cache.py::cache_append_quant — non-owners pass pos=-1)
+        and runs the flat decode kernel in partials mode; the
+        per-shard online-softmax states (m, l) merge with one
+        pmax + two psums:
+
+            out = psum(acc * exp(m - pmax(m))) / psum(l * exp(m - pmax(m)))
+
+        Composes with batch/data and heads/model sharding (the
+        lane-grouped quant scale rows split over `model` exactly like
+        :meth:`_attn_island`). Decode only; prefill appends through the
+        GSPMD paths (engine admission) and never reads the cache."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..kernels.cache import cache_append_quant
+        cfg = self.config
+        mesh = self.mesh
+        b, h, s, hd = q.shape
+        assert s == 1
+        kvh = cfg.n_kv_heads
+        sizes = dict(mesh.shape)
+        tp = sizes.get("model", 1)
+        n_seq = sizes["seq"]
+        kvh_l = kvh // tp
+        cap = cache.capacity
+        cap_l = cap // n_seq
+        batch_ax = tuple(a for a in ("dcn", "data")
+                         if a in mesh.axis_names) or None
+        head_spec = P(batch_ax, "model", None, None)
+        buf_spec = P(batch_ax, "seq", None, "model")
+
+        def body(q_l, k_l, v_l, buf_l, sbuf_l, lens_l):
+            si = jax.lax.axis_index("seq")
+            local = KVCache([buf_l], lens_l,
+                            [sbuf_l], kvh_l, hd)
+            bytes_kv, srows = local._pack(k_l, v_l)
+            pos = jnp.minimum(lens_l, cap - 1) - si * cap_l
+            pos = jnp.where((pos >= 0) & (pos < cap_l), pos,
+                            jnp.int32(-1))
+            new_buf, new_sbuf = cache_append_quant(
+                pos, buf_l, sbuf_l, bytes_kv, srows, masked=True)
+            # Local live count (incl. the token just appended): the
+            # partials call reads lengths + 1, so store count - 1.
+            lens_local = jnp.clip(lens_l + 1 - si * cap_l, 0, cap_l) - 1
+            local = KVCache([new_buf], lens_local, [new_sbuf],
+                            kvh_l, hd)
+            part = _pallas_decode_attn(cfg, q_l[:, :, 0, :], local, 0,
+                                       kvh_l, partials=True)
+            acc = part[..., :hd]
+            m = part[..., hd]
+            li = part[..., hd + 1]
+            m_g = jax.lax.pmax(m, "seq")
+            w = jnp.exp(m - m_g)
+            num = jax.lax.psum(acc * w[..., None], "seq")
+            den = jax.lax.psum(li * w, "seq")
+            out = (num / jnp.maximum(den, 1e-30)[..., None]
+                   )[:, :, None, :]
+            return out.astype(q_l.dtype), new_buf, new_sbuf
+
+        out, new_buf, new_sbuf = shard_map(
+            body, mesh=mesh,
+            in_specs=(head_spec, head_spec, head_spec, buf_spec,
+                      buf_spec, P(batch_ax)),
+            out_specs=(head_spec, buf_spec, buf_spec),
+            check_vma=False,
+        )(q, k, v, cache.fused_layer(layer_idx),
+          cache.quant_scales[layer_idx], cache.lengths)
+        kv_bufs = list(cache.kv)
+        kv_bufs[layer_idx] = new_buf
+        scales = list(cache.quant_scales)
+        scales[layer_idx] = new_sbuf
+        return out, KVCache(kv_bufs, cache.lengths, scales,
+                            cache.kv_heads, cache.head_dim)
 
     def _mlp(self, layer_params, x):
         cfg = self.config

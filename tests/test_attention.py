@@ -775,3 +775,57 @@ def test_flash_decode_flat_q_bf16_tail_g32():
                            1.0 / np.sqrt(D), lengths)[:, :, 0, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_flat_partials_merge():
+    """partials=True across two capacity shards must merge (online-
+    softmax combine) to the full kernel's normalized output — the
+    correctness core of seq-sharded decode attention."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_bf16_rows,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import flash_decode_flat
+    B, H, KVH, D, cap = 4, 8, 4, 32, 128
+    half = cap // 2
+    rng = np.random.RandomState(41)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    s_np = np.asarray(jnp.asarray(
+        0.01 + 0.05 * rng.rand(B, cap, 2, KVH)
+    ).astype(jnp.bfloat16).astype(jnp.float32))
+    scales = np.ones((B, cap, 1, SCALE_LANES), np.float32)
+    scales[:, :, 0, :KVH] = s_np[:, :, 0]
+    scales[:, :, 0, VSCALE_OFF:VSCALE_OFF + KVH] = s_np[:, :, 1]
+    lengths = np.asarray([5, 127, 64, 1])
+
+    def pack(lo, hi):
+        kv = pack_int8_cache(jnp.asarray(k_q[:, lo:hi]),
+                             jnp.asarray(v_q[:, lo:hi]))
+        sc = pack_bf16_rows(
+            jnp.asarray(scales[:, lo:hi]).swapaxes(1, 2)).swapaxes(1, 2)
+        return kv, sc
+
+    kv_full, sc_full = pack(0, cap)
+    want = flash_decode_flat(q, kv_full, jnp.asarray(lengths, jnp.int32),
+                             KVH, block_k=64, group=2,
+                             kv_scales=sc_full)
+
+    outs = []
+    for s in range(2):
+        kv_s, sc_s = pack(s * half, (s + 1) * half)
+        lens_s = np.clip(lengths - s * half, 0, half)
+        outs.append(flash_decode_flat(
+            q, kv_s, jnp.asarray(lens_s, jnp.int32), KVH, block_k=64,
+            group=2, kv_scales=sc_s, partials=True))
+
+    accs = [np.asarray(o[:, :, :D], np.float64) for o in outs]
+    ms = [np.asarray(o[:, :, D], np.float64) for o in outs]
+    ls = [np.asarray(o[:, :, D + 1], np.float64) for o in outs]
+    m_g = np.maximum(ms[0], ms[1])
+    w = [np.exp(m - m_g) for m in ms]
+    num = accs[0] * w[0][..., None] + accs[1] * w[1][..., None]
+    den = ls[0] * w[0] + ls[1] * w[1]
+    got = num / np.maximum(den, 1e-30)[..., None]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5,
+                               atol=2e-5)

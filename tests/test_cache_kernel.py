@@ -297,3 +297,40 @@ def test_tail_flush_non_divisor_batch():
     tk, tv = tailc.layer_kv(0)
     np.testing.assert_allclose(np.asarray(bk), np.asarray(tk), atol=0.06)
     np.testing.assert_allclose(np.asarray(bv), np.asarray(tv), atol=0.06)
+
+
+def test_cache_append_quant_masked():
+    """masked=True skips sequences with pos < 0 entirely (both planes
+    and scale rows untouched) — the seq-sharded append primitive where
+    non-owner capacity shards pass -1."""
+    from rten_tpu.kernels.cache import cache_append_quant
+
+    B, cap, F = 4, 16, 128
+    rng = np.random.RandomState(3)
+    kv = jnp.asarray(rng.randint(-2**31, 2**31 - 1,
+                                 (B, cap // 4, 2, F), np.int64)
+                     .astype(np.int32))
+    sbuf = jnp.asarray(rng.randint(-2**31, 2**31 - 1,
+                                   (B, cap // 2, 1, 128), np.int64)
+                       .astype(np.int32))
+    bytes_kv = jnp.asarray(rng.randint(-127, 128, (B, 2, 1, F),
+                                       np.int64).astype(np.int32))
+    srows = jnp.asarray(rng.rand(B, 1, 1, 128).astype(np.float32))
+    pos = jnp.asarray([3, -1, 9, -1], jnp.int32)
+
+    got_kv, got_s = cache_append_quant(pos, kv, sbuf, bytes_kv, srows,
+                                       masked=True)
+    # Reference: unmasked kernel on the owner rows only.
+    want_kv, want_s = cache_append_quant(
+        jnp.asarray([3, 9], jnp.int32), kv[jnp.asarray([0, 2])],
+        sbuf[jnp.asarray([0, 2])], bytes_kv[jnp.asarray([0, 2])],
+        srows[jnp.asarray([0, 2])])
+    np.testing.assert_array_equal(np.asarray(got_kv)[[0, 2]],
+                                  np.asarray(want_kv))
+    np.testing.assert_array_equal(np.asarray(got_s)[[0, 2]],
+                                  np.asarray(want_s))
+    # Masked sequences: bit-identical to the input.
+    np.testing.assert_array_equal(np.asarray(got_kv)[[1, 3]],
+                                  np.asarray(kv)[[1, 3]])
+    np.testing.assert_array_equal(np.asarray(got_s)[[1, 3]],
+                                  np.asarray(sbuf)[[1, 3]])

@@ -455,3 +455,36 @@ def test_sharded_engine_prefix_cache_quant_parity():
         got = sharded.generate(prompts, max_new_tokens=5)
     assert got == want
     assert sharded.stats()["prefix_hits"] == 2
+
+
+def test_sharded_engine_seq_axis_decode_parity():
+    """Seq-sharded Pallas decode (round 5): the quantized cache's
+    capacity dim shards over a `seq` axis; decode runs the flat kernel
+    in partials mode per capacity shard with masked owner-only appends
+    and a psum softmax merge (_attn_island_seq). Token-exact vs the
+    single-chip quant engine, composed with data x model sharding."""
+    from rten_tpu.generate.engine import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=128, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = model.init_params(jax.random.PRNGKey(23))
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=128,
+                          prefill_buckets=(16,), quantized_cache=True,
+                          tail_window=0)
+    # Enough new tokens that sequences CROSS the capacity-shard
+    # boundary (cap 128 / seq 2 -> shard edge at 64).
+    want = plain.generate(prompts, max_new_tokens=70)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    sharded = ServingEngine(model, params, max_batch=8, capacity=128,
+                            prefill_buckets=(16,), quantized_cache=True,
+                            mesh=mesh, tail_window=0)
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=70)
+    assert got == want
