@@ -64,9 +64,21 @@ def main():
           f"prompt={args.prompt} cap={args.cap} new={args.new}",
           flush=True)
 
-    for name, kw in [("bf16 cache", dict(cache_dtype="bfloat16")),
-                     ("int8 cache", dict(quantized_cache=True))]:
-        eng = ServingEngine(model, params, max_batch=args.batch,
+    # Same-process kernel A/B (cross-process A/Bs through the tunnel
+    # are noise): the int8 cache runs both the grouped default and the
+    # forced flat kernel (bf16-E g8/b128 fits VMEM — round 5).
+    flat_model = TransformerLM(TransformerConfig.gpt2(
+        max_seq_len=args.cap, decode_attn="flat"))
+    variants = [
+        ("bf16 cache", model, dict(cache_dtype="bfloat16")),
+        ("int8 cache (grouped)", model, dict(quantized_cache=True)),
+        ("int8 cache (flat)", flat_model, dict(quantized_cache=True)),
+    ]
+    if args.decode_attn != "auto":
+        variants = [(n, m, kw) for n, m, kw in variants
+                    if args.decode_attn in n or "bf16" in n]
+    for name, m_v, kw in variants:
+        eng = ServingEngine(m_v, params, max_batch=args.batch,
                             capacity=args.cap,
                             prefill_buckets=(args.prompt,), **kw)
         reqs = [eng.submit(p, max_new_tokens=args.new) for p in prompts]
