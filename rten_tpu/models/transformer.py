@@ -373,13 +373,17 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
         # the per-program pipeline drain and the block-diagonal q
         # traffic both dominate at live <= ~512). Long caches stayed on
         # the per-group grid while the f32 E-matrix + b128 buffers
-        # exceeded VMEM; the bf16-E mode (q_bf16) fits g16/b128 in
-        # ~11 MB, so RTEN_FLAT_LONGCTX=1 extends the flat kernel past
-        # cap 2048 (round-5 A/B pending — default stays grouped).
-        # Float caches stay grouped (g8 flat measured slower — the
-        # per-group epilogue overhead doubles at 2x the group count).
+        # exceeded VMEM; the bf16-E mode (q_bf16) fits g8-16/b128 in
+        # ~11 MB and measured +2.8% over grouped at live 2048-2304
+        # (7985 vs 7769 tok/s, same-process bench_longctx, round 5) —
+        # flat is the long-cap default too now (RTEN_FLAT_LONGCTX=0
+        # restores grouped). Float caches stay grouped (g8 flat
+        # measured slower — the per-group epilogue overhead doubles at
+        # 2x the group count).
         import os as _os
-        flat_long = (long_ctx and _os.environ.get("RTEN_FLAT_LONGCTX")
+        flat_long = (long_ctx
+                     and _os.environ.get("RTEN_FLAT_LONGCTX", "1")
+                     != "0"
                      and _os.environ.get("RTEN_FLAT_QBF16", "1") != "0"
                      and cache.capacity % blk == 0)
         kind = ("flat" if scales is not None and group
