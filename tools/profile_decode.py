@@ -157,13 +157,18 @@ def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
     kernels = count_kernels(compiled)
 
     # Warmup (the cache is donated; rebind to each call's output).
+    # Timing sync is a VALUE FETCH: block_until_ready through the
+    # tunnel returned early for some batch-256 programs (a whole
+    # 12-layer burst "completed" in 0.6 ms — see CLAUDE.md timing
+    # notes), so only a fetched scalar is trusted.
+    import jax.numpy as _jnp
     out, cache = fn(params, tokens, cache)
-    jax.block_until_ready(out)
+    float(_jnp.sum(out))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out, cache = fn(params, tokens, cache)
-        jax.block_until_ready(out)
+        float(_jnp.sum(out))
         times.append(time.perf_counter() - t0)
     best = min(times)
     return best / n_steps, kernels
