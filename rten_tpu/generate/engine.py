@@ -66,7 +66,8 @@ class ServingEngine:
                  spec_draft=0, spec_ngram=3, spec_adaptive="auto",
                  spec_cost=1.9, spec_probe_every=16,
                  spec_k_adaptive=True, spec_probe_overhead=0.02,
-                 logprobs=False, tail_window=None, overlap=False):
+                 logprobs=False, tail_window=None, overlap=False,
+                 cache=None):
         """``mesh``: a `(data, model)` jax Mesh — weights go tensor-
         parallel over `model`, the KV cache shards over (batch=data,
         heads=model), and every compiled program runs under GSPMD with
@@ -79,6 +80,33 @@ class ServingEngine:
         no oversubscription). Long and short requests share the pool;
         a request exceeding its mapped pages gets more from the host
         allocator before each decode burst."""
+        # ``cache``: storage policy name ("auto" | "int8" | "bf16" |
+        # "f32") that resolves quantized_cache/cache_dtype. "auto"
+        # picks the measured-best supported layout (BASELINE.md:
+        # token-packed int8 is 21% faster than bf16 at cap 512 / batch
+        # 256 and 41% faster at cap 4096 — int8 whenever the Pallas
+        # decode kernels can read it, bf16 otherwise), keyed on the
+        # same config/capacity constraints the kernel selection uses.
+        if cache is not None:
+            assert cache in ("auto", "int8", "bf16", "f32"), cache
+            assert cache_dtype is None and not quantized_cache, \
+                "pass either cache= or quantized_cache/cache_dtype"
+            if cache == "auto":
+                cfg_c = getattr(model, "config", None)
+                lg = 1 if mesh is None else dict(
+                    mesh.shape).get("model", 1)
+                int8_ok = (cfg_c is not None and cfg_c.use_pallas
+                           and not cfg_c.scan_layers
+                           and capacity % 4 == 0
+                           and cfg_c.n_kv_heads % lg == 0
+                           and cfg_c.n_kv_heads // lg <= 64)
+                cache = "int8" if int8_ok else "bf16"
+            if cache == "int8":
+                quantized_cache = True
+            elif cache == "bf16":
+                cache_dtype = "bfloat16"
+            elif cache == "f32":
+                cache_dtype = "float32"
         self.mesh = mesh
         if mesh is not None:
             from ..parallel import shard_params

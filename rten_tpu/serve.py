@@ -391,10 +391,13 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
     parser.add_argument("--weights", help="HF GPT-2 weights file")
     parser.add_argument("--tokenizer", help="HF tokenizer.json")
     parser.add_argument("--quantize", choices=["int8", "int4"])
-    parser.add_argument("--kv-cache", choices=["bf16", "int8", "f32"],
-                        help="KV cache storage: bf16 (throughput "
-                        "default under --quantize), int8 (token-packed "
-                        "— half the memory, ~4%% slower), f32")
+    parser.add_argument("--kv-cache",
+                        choices=["auto", "bf16", "int8", "f32"],
+                        help="KV cache storage: int8 (token-packed — "
+                        "half the memory and the measured-fastest "
+                        "config: +21%% over bf16 at batch 256, default "
+                        "under --quantize via auto), bf16, f32, or "
+                        "auto (engine picks the fastest supported)")
     parser.add_argument("--paged", action="store_true",
                         help="block-paged KV pool (vLLM-style; composes "
                         "with --kv-cache int8)")
@@ -453,7 +456,11 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
 
     sampler = (ArgMaxSampler() if args.fixed_greedy or args.spec_draft
                else PerRequestSampler())
-    kv = args.kv_cache or ("bf16" if args.quantize else "f32")
+    # Measured-best default (BASELINE.md round 6 + round-5 long
+    # context): the token-packed int8 cache under --quantize — the
+    # engine's "auto" policy resolves it, falling back to bf16 when
+    # the Pallas decode kernels can't read int8 for this config.
+    kv = args.kv_cache or ("auto" if args.quantize else "f32")
     mesh = None
     if args.mesh:
         from .parallel import make_mesh

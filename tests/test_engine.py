@@ -71,6 +71,39 @@ def test_engine_quantized_kv_cache_close(model_and_params):
     assert len(outs[0]) == 4
 
 
+def test_engine_cache_auto_policy(model_and_params):
+    """cache="auto" resolves to the measured-best supported layout
+    (token-packed int8 for Pallas configs, BASELINE.md round 6), and
+    generation completes through it end to end."""
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                        prefill_buckets=(16,), cache="auto")
+    assert eng.quantized_cache and eng.cache.quant_scales is not None
+    outs = eng.generate([[1, 2, 3]], max_new_tokens=4)
+    assert len(outs[0]) == 4
+
+    # Non-Pallas configs can't read the int8 cache through the decode
+    # kernels: auto falls back to bf16 storage.
+    cfg = TransformerConfig.tiny_test(use_pallas=False)
+    m2 = TransformerLM(cfg)
+    p2 = m2.init_params(jax.random.PRNGKey(0))
+    eng2 = ServingEngine(m2, p2, max_batch=2, capacity=64,
+                         prefill_buckets=(16,), cache="auto")
+    assert not eng2.quantized_cache
+    assert eng2.cache_dtype == "bfloat16"
+
+    # Explicit layout names map straight through.
+    eng3 = ServingEngine(model, params, max_batch=2, capacity=64,
+                         prefill_buckets=(16,), cache="f32")
+    assert not eng3.quantized_cache
+    assert eng3.cache.kv[0].dtype == jnp.float32
+
+    # cache= and the low-level knobs are mutually exclusive.
+    with pytest.raises(AssertionError):
+        ServingEngine(model, params, max_batch=2, capacity=64,
+                      cache="auto", quantized_cache=True)
+
+
 def test_engine_decode_compiles_once(model_and_params):
     model, params = model_and_params
     eng = ServingEngine(model, params, max_batch=2, capacity=64,

@@ -324,6 +324,46 @@ def test_logprobs_in_response():
         srv.server_close()
 
 
+def test_serve_quantized_default_int8_cache():
+    """The production default path: int8 weights + the engine's
+    cache="auto" policy (what `--quantize` now resolves to) serves a
+    completion over HTTP on the token-packed int8 cache — the
+    measured-best config (BASELINE.md round 6) is what the server
+    actually runs, not just what bench.py runs."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM,
+                                             quantize_weights)
+    from rten_tpu.serve import serve
+
+    cfg = TransformerConfig.tiny_test()
+    model = TransformerLM(cfg)
+    params = quantize_weights(
+        model.init_params(jax.random.PRNGKey(3)), "int8")
+    engine = ServingEngine(model, params, max_batch=2, capacity=64,
+                           prefill_buckets=(16,), cache="auto")
+    assert engine.quantized_cache  # auto resolved to int8 for Pallas cfg
+    srv, driver = serve(engine, port=0, burst=1)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with _post(base, "/v1/completions",
+                   {"prompt": [1, 2, 3], "max_tokens": 4}) as resp:
+            choice = json.load(resp)["choices"][0]
+        assert len(choice["token_ids"]) == 4
+        # Parity smoke: the same engine config offline emits the same
+        # tokens the HTTP path streamed out.
+        eng2 = ServingEngine(model, params, max_batch=2, capacity=64,
+                             prefill_buckets=(16,), cache="auto")
+        assert eng2.generate([[1, 2, 3]],
+                             max_new_tokens=4)[0] == choice["token_ids"]
+    finally:
+        srv.shutdown()
+        driver.stop()
+        srv.server_close()
+
+
 def test_serve_demo_mesh_overlap():
     """--mesh/--overlap surface: the HTTP engine built over a (2,2)
     mesh with ring-overlap decode serves a completion (driver thread
