@@ -1894,6 +1894,12 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
 
             args = (lens, nb_all, q_c, lens_v, e_mat, oh_s, kv,
                     kv_scales)
+        # Partials mode emits f32 (advisor r4 finding 2): the m state
+        # lane weights the cross-shard exp(m - m_g) merge — rounding it
+        # to bf16 before the merge would skew per-shard weights by up
+        # to ~exp(ulp(m)/2)-1 while acc/l were accumulated against the
+        # exact f32 m. The merge normalizes outside and casts the final
+        # output back to q.dtype.
         out_full = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1903,7 +1909,8 @@ def flash_decode_flat(q, kv, lengths, kv_heads, scale=None, block_k=64,
                 out_specs=pl.BlockSpec(memory_space=pl.ANY),
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (nprog, hp, group, dp), q.dtype),
+                (nprog, hp, group, dp),
+                jnp.float32 if partials else q.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=4 * b * h * s_max * hd_tot,
                 bytes_accessed=(kv.size + kv_scales.size) * 4,

@@ -783,11 +783,26 @@ class TransformerLM:
             # online-softmax states psum-merge (_attn_island_seq).
             # Decode only — prefill appends at position 0 through the
             # GSPMD paths and its attention never reads the cache.
+            import os as _os
             kvh_d = cfg.n_kv_heads * cfg.head_dim
             tp_s = sizes.get("model", 1)
             dp_s = sizes.get("data", 1) * sizes.get("dcn", 1)
             batch = cache.lengths.shape[0]
             b_l = batch // dp_s if batch % dp_s == 0 else 0
+            cap_l = cache.capacity // sizes["seq"]
+            # The gate must mirror flash_decode_flat's partials-mode
+            # requirements exactly (advisor r4 finding 1): the kernel
+            # RAISES instead of falling back when partials=True, so a
+            # config passing this gate but failing the kernel's shape
+            # checks would error inside the jitted decode step.
+            # _pallas_decode_attn picks block_k=128 when the per-shard
+            # capacity >= 2048, and the E matrix must fit its 4 MB
+            # VMEM budget (bf16 when RTEN_FLAT_QBF16, else f32).
+            e_elt = (2 if _os.environ.get("RTEN_FLAT_QBF16", "1")
+                     != "0" else 4)
+            e_fit = ((-(-(cfg.n_heads // tp_s) // 8) * 8)
+                     * cfg.head_dim * (kvh_d // tp_s) * e_elt
+                     <= 4 * 1024 * 1024)
             return (s == 1 and cache.quant_scales is not None
                     and not getattr(cache, "paged", False)
                     and cache.tail is None
@@ -801,7 +816,9 @@ class TransformerLM:
                     and any(b_l % g == 0 and b_l >= 2 * g
                             for g in (16, 8, 4, 2))
                     and cache.capacity % (4 * sizes["seq"]) == 0
-                    and (cache.capacity // sizes["seq"]) % 64 == 0)
+                    and cap_l % 64 == 0
+                    and (cap_l < 2048 or cap_l % 128 == 0)
+                    and e_fit)
         if any(n > 1 and ax not in ("data", "model", "dcn")
                for ax, n in sizes.items()):
             return False           # pipe/expert axes: GSPMD paths
@@ -1032,10 +1049,16 @@ class TransformerLM:
         kvh_l = kvh // tp
         cap = cache.capacity
         cap_l = cap // n_seq
+        # Build specs from the axes the mesh actually has (advisor r4
+        # finding 3): a hand-built Mesh with only a `seq` axis is legal
+        # — hardcoding "model"/"data" would fail in shard_map with an
+        # unknown-axis error (make_mesh always adds both, so only raw
+        # jax.sharding.Mesh objects hit this).
         batch_ax = tuple(a for a in ("dcn", "data")
                          if a in mesh.axis_names) or None
-        head_spec = P(batch_ax, "model", None, None)
-        buf_spec = P(batch_ax, "seq", None, "model")
+        model_ax = "model" if "model" in mesh.axis_names else None
+        head_spec = P(batch_ax, model_ax, None, None)
+        buf_spec = P(batch_ax, "seq", None, model_ax)
 
         def body(q_l, k_l, v_l, buf_l, sbuf_l, lens_l):
             si = jax.lax.axis_index("seq")
