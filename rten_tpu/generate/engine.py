@@ -222,25 +222,52 @@ class ServingEngine:
                 sizes = dict(mesh.shape)
                 tp = sizes.get("model", 1)
                 dp = sizes.get("data", 1) * sizes.get("dcn", 1)
+                # overlap=True composes with the tail since round 5:
+                # decode_step_overlap appends into / reads the sharded
+                # bf16 window inside its island (tp_overlap.attend),
+                # flushes keep running as flush_tail_island.
                 mesh_tail_ok = (
-                    not overlap      # tp_overlap islands are tail-less
-                    and not any(n > 1 and ax not in
-                                ("data", "model", "dcn")
-                                for ax, n in sizes.items())
+                    not any(n > 1 and ax not in
+                            ("data", "model", "dcn", "expert")
+                            for ax, n in sizes.items())
                     and cfg is not None and cfg.n_heads % tp == 0
                     and cfg.n_kv_heads % tp == 0
                     and max_batch % dp == 0)
 
-            def tail_shape_ok():
+            def tail_shape_ok(window=16):
+                import os as _os
                 if cfg is None or not mesh_tail_ok:
                     return False
                 h_l = cfg.n_heads // tp
-                f_l = (cfg.n_kv_heads // tp) * cfg.head_dim
+                kvh_l = cfg.n_kv_heads // tp
+                f_l = kvh_l * cfg.head_dim
                 b_l = max_batch // dp
-                return (capacity < 2048 and capacity % 64 == 0
+                group = next((g for g in (16, 8, 4, 2)
+                              if b_l % g == 0 and b_l >= 2 * g), 0)
+                if not group:
+                    return False
+                # Long-capacity tail (round 5, verdict item 2): the
+                # bf16-E flat kernel's buffers fit scoped VMEM at
+                # block_k=128 (modeled via the same arithmetic the g32
+                # widening uses — flat_vmem_bytes), so the write-buffer
+                # fast path no longer stops at cap 2048. Requires the
+                # flat long-context dispatch (RTEN_FLAT_QBF16 +
+                # RTEN_FLAT_LONGCTX, both default on) and cap % 128.
+                if capacity >= 2048:
+                    from ..models.transformer import (_FLAT_VMEM_BUDGET,
+                                                      flat_vmem_bytes)
+                    if (capacity % 128 != 0
+                            or _os.environ.get("RTEN_FLAT_QBF16", "1")
+                            == "0"
+                            or _os.environ.get("RTEN_FLAT_LONGCTX",
+                                               "1") == "0"
+                            or flat_vmem_bytes(h_l, cfg.head_dim,
+                                               kvh_l, group, 128,
+                                               window)
+                            > _FLAT_VMEM_BUDGET):
+                        return False
+                return (capacity % 64 == 0
                         and f_l % 128 == 0
-                        and any(b_l % g == 0 and b_l >= 2 * g
-                                for g in (16, 8, 4, 2))
                         # flash_decode_flat's E-matrix must fit VMEM
                         and (-(-h_l // 8) * 8) * cfg.head_dim * f_l * 4
                         <= 4 * 1024 * 1024)
@@ -255,9 +282,9 @@ class ServingEngine:
                 # packed cache at flush time).
                 if tail_window:
                     assert quantized_cache and spec_draft == 0 \
-                        and (mesh is None or (mesh_tail_ok
-                                              and cfg.use_pallas
-                                              and tail_shape_ok())), \
+                        and (mesh is None or (
+                            mesh_tail_ok and cfg.use_pallas
+                            and tail_shape_ok(int(tail_window)))), \
                         "tail_window requires a quantized cache, " \
                         "spec_draft == 0, and (single chip or an " \
                         "island-compatible mesh)"
@@ -629,6 +656,9 @@ class ServingEngine:
             # every <=4 steps). After this many dead-zone probes the
             # gate commits one way.
             self._spec_dead_probes = 0
+            # Last host-side n-gram acceptance estimate (probe-free
+            # gating, round 5) — surfaced in stats().
+            self._spec_est_tps = None
             # Stale-_plain_t guard (advisor r2): after this many
             # consecutive spec bursts a plain burst is interleaved so
             # the cost ratio's denominator re-measures at the current
@@ -1128,6 +1158,8 @@ class ServingEngine:
             out["spec_on"] = self._spec_on
             out["spec_adaptive"] = self.spec_adaptive
             out["spec_k"] = self._spec_k
+            if self._spec_est_tps is not None:
+                out["spec_est_tps"] = round(self._spec_est_tps, 3)
             if self._spec_tps is not None:
                 out["spec_tokens_per_step"] = round(self._spec_tps, 2)
             if self._dispatch_floor is not None:
@@ -1276,6 +1308,66 @@ class ServingEngine:
             self._spec_on = False
             self._plain_bursts_since_probe = self._spec_probe_every
 
+    def _estimate_spec_tps(self, max_slots=8, sample=24):
+        """Probe-free acceptance estimate (round-5 verdict item 8):
+        replay the n-gram draft rule (speculative.ngram_draft
+        semantics) on tokens ALREADY emitted, host-side — ZERO device
+        dispatches — and score the accepted prefix against what the
+        model actually produced. On a rig where every probe costs a
+        burst-equivalent (~31 ms dispatch floor on the dev tunnel),
+        this decides whether a real probe is worth arming at all.
+        Returns estimated emitted tokens/step (accepted + bonus), or
+        None when no slot has enough history."""
+        from numpy.lib.stride_tricks import sliding_window_view
+        n = self.spec_ngram
+        k = max(self._spec_k, 1)
+        vals = []
+        live = [r for r in self.slot_request if r is not None]
+        for req in live[:max_slots]:
+            s = np.asarray(req.prompt_ids + req.tokens, dtype=np.int64)
+            length = s.size
+            lo = max(n + 1, length - k - sample)
+            if length < n + k + 1 or lo >= length - k:
+                continue
+            grams = sliding_window_view(s, n)        # [L-n+1, n]
+            acc_sum = cnt = 0
+            for p in range(lo, length - k):
+                # Draft for a hypothetical history of length p: find
+                # the LAST j < p - n whose n-gram matches the trailing
+                # one, copy the k tokens that followed (clipped to the
+                # history, exactly like ngram_draft); no match drafts
+                # the last token repeated.
+                idx = np.flatnonzero(
+                    (grams[:p - n] == grams[p - n]).all(axis=1))
+                if idx.size:
+                    di = np.minimum(idx[-1] + n + np.arange(k), p - 1)
+                    draft = s[di]
+                else:
+                    draft = np.full(k, s[p - 1])
+                acc_sum += int(np.cumprod(draft == s[p:p + k]).sum()) + 1
+                cnt += 1
+            if cnt:
+                vals.append(acc_sum / cnt)
+        est = float(np.mean(vals)) if vals else None
+        self._spec_est_tps = est
+        return est
+
+    def _estimate_says_go(self):
+        """Arm a real probe only when the host-side estimate clears
+        ~90% of the gate's break-even (slightly below the 1.05 ON
+        threshold so borderline traffic still gets measured on
+        device). An unavailable estimate (not enough history) lets the
+        probe through — the old behavior."""
+        est = self._estimate_spec_tps()
+        if est is None:
+            return True
+        if self._spec_t is not None and self._plain_t is not None \
+                and self._plain_t > 0:
+            cost = self._spec_t / self._plain_t
+        else:
+            cost = self._spec_cost_prior
+        return est / max(cost, 1e-6) >= 0.9
+
     def _probe_affordable(self):
         """Probe budget in measured dispatch-cost units: a probe may fire
         once its estimated cost is <= ``spec_probe_overhead`` of the
@@ -1387,6 +1479,15 @@ class ServingEngine:
                          and self._plain_bursts_since_probe
                          >= self._spec_probe_every
                          and self._probe_affordable())
+                if probe and not self._estimate_says_go():
+                    # Host-side estimate says drafting would not pay:
+                    # skip the (burst-equivalent-priced) probe and
+                    # restart the cadence — the estimate re-reads the
+                    # live streams next time, so a traffic shift still
+                    # re-arms probing with zero wasted dispatches.
+                    probe = False
+                    self._plain_bursts_since_probe = 0
+                    self._plain_wall_since_probe = 0.0
                 if (self.spec_adaptive is True and self._spec_on
                         and self._spec_only_bursts >= 32):
                     # Long spec-only stretch: _plain_t may be stale

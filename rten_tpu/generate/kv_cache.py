@@ -288,20 +288,29 @@ class KVCache:
     # bf16 block round (newest tokens at HIGHER precision than int8).
     tail: object = None         # per layer [B, R, 2, KVH*D] bf16, or None
     tail_count: object = 0      # [] int32 — tokens in the tail window
+    # Carry-row flush state (round 5, NOTES_ROUND5 A2): each slot's
+    # LAST PARTIAL packed row + scale row, kept in sync so flush_tail
+    # can do pure whole-row WRITES (2 DMAs/seq) instead of window RMWs
+    # (4 DMAs/seq). Written only by flush_tail and insert_sequence;
+    # tail-mode decode never touches the packed cache between flushes,
+    # which is what keeps the carry exact.
+    carry: object = None        # per layer [B, 1, 2, KVH*D] int32
+    carry_s: object = None      # per layer [B, 1, 1, SL] int32
 
     # -- pytree plumbing (so caches flow through jit/donation) -------------
 
     def tree_flatten(self):
         return ((self.kv, self.lengths, self.quant_scales, self.tail,
-                 self.tail_count),
+                 self.tail_count, self.carry, self.carry_s),
                 (self.kv_heads, self.head_dim))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        kv, lengths, quant_scales, tail, tail_count = children
+        (kv, lengths, quant_scales, tail, tail_count, carry,
+         carry_s) = children
         kv_heads, head_dim = aux
         return cls(kv, lengths, quant_scales, kv_heads, head_dim,
-                   tail, tail_count)
+                   tail, tail_count, carry, carry_s)
 
     # -- construction ------------------------------------------------------
 
@@ -340,13 +349,23 @@ class KVCache:
             sshape = (batch, capacity // 2, 1, t * SCALE_LANES)
             scales = [jnp.full(sshape, _PACKED_ONES, jnp.int32)
                       for _ in range(n_layers)]
-            tail = None
+            tail = carry = carry_s = None
             if tail_window:
                 tail = [jnp.zeros((batch, tail_window, 2, f),
                                   jnp.bfloat16) for _ in range(n_layers)]
+                # Carry rows for the whole-row-write flush (see the
+                # field docs). Zero-init is valid: a fresh slot's
+                # first window starts at offset 0 (shift 0), so the
+                # carry bytes are never read before insert_sequence /
+                # flush_tail first writes them.
+                carry = [jnp.zeros((batch, 1, 2, f), jnp.int32)
+                         for _ in range(n_layers)]
+                carry_s = [jnp.full((batch, 1, 1, t * SCALE_LANES),
+                                    _PACKED_ONES, jnp.int32)
+                           for _ in range(n_layers)]
             return KVCache(kv, jnp.zeros(batch, jnp.int32), scales,
                            kv_heads, head_dim, tail,
-                           jnp.zeros((), jnp.int32))
+                           jnp.zeros((), jnp.int32), carry, carry_s)
         assert not tail_window, "tail buffer requires a quantized cache"
         shape = (batch, capacity, 2, kv_heads * head_dim)
         if stacked:
@@ -374,7 +393,8 @@ class KVCache:
     def with_lengths(self, lengths):
         return KVCache(self.kv, jnp.asarray(lengths, jnp.int32),
                        self.quant_scales, self.kv_heads, self.head_dim,
-                       self.tail, self.tail_count)
+                       self.tail, self.tail_count, self.carry,
+                       self.carry_s)
 
     # -- updates -----------------------------------------------------------
 
@@ -445,7 +465,7 @@ class KVCache:
             # and drop the newest packed token (advisor r3 finding 1).
             return KVCache(self.kv, self.lengths, self.quant_scales,
                            self.kv_heads, self.head_dim, tail,
-                           self.tail_count)
+                           self.tail_count, self.carry, self.carry_s)
         packed, new_scales = self._pack(k_new, v_new)
 
         if self.stacked:
@@ -478,8 +498,26 @@ class KVCache:
             kv[layer] = new_buf
             sc = list(scales)
             sc[layer] = s_new
+            carry, carry_s = self.carry, self.carry_s
+            if carry is not None:
+                # Packed-cache RMW appends on a carry cache (cold
+                # paths: prefix suffix chunks, position appends — tail
+                # decode never lands here) move the slot's last partial
+                # row, so refresh the carry from the updated buffers to
+                # keep the whole-row-write flush exact.
+                endw = (self.lengths if position is None
+                        else jnp.full_like(self.lengths, position)) + t
+                r4 = jnp.clip((endw - 1) // 4, 0, new_buf.shape[1] - 1)
+                r2 = jnp.clip((endw - 1) // 2, 0, s_new.shape[1] - 1)
+                carry = list(carry)
+                carry_s = list(carry_s)
+                carry[layer] = jnp.take_along_axis(
+                    new_buf, r4[:, None, None, None], axis=1)
+                carry_s[layer] = jnp.take_along_axis(
+                    s_new, r2[:, None, None, None], axis=1)
             return KVCache(kv, self.lengths, sc, self.kv_heads,
-                           self.head_dim, self.tail, self.tail_count)
+                           self.head_dim, self.tail, self.tail_count,
+                           carry, carry_s)
 
         packed = packed.astype(buf.dtype)
         # The float row is [1, 2, KVH*D]; the Pallas DMA needs a
@@ -536,11 +574,33 @@ class KVCache:
             scales = [jax.lax.dynamic_update_slice(s, pick(o),
                                                    (slot, 0, 0, 0))
                       for s, o in zip(scales, other.quant_scales)]
+        carry, carry_s = self.carry, self.carry_s
+        if carry is not None:
+            # Initialize the slot's carry rows from the freshly
+            # inserted packed data: the first flush's window starts at
+            # this length, so its leading partial-row bytes (tokens
+            # [4*(length//4), length)) must come from carry. length is
+            # >= 1 for every admitted prompt; row indices clamp for
+            # the degenerate 0 case (carry is then never read).
+            r4 = jnp.maximum(length - 1, 0) // 4
+            r2 = jnp.maximum(length - 1, 0) // 2
+            carry, carry_s = list(carry), list(carry_s)
+            for li in range(len(carry)):
+                row = jax.lax.dynamic_slice(
+                    kv[li], (slot, r4, 0, 0),
+                    (1, 1) + kv[li].shape[2:])
+                carry[li] = jax.lax.dynamic_update_slice(
+                    carry[li], row, (slot, 0, 0, 0))
+                srow = jax.lax.dynamic_slice(
+                    scales[li], (slot, r2, 0, 0),
+                    (1, 1) + scales[li].shape[2:])
+                carry_s[li] = jax.lax.dynamic_update_slice(
+                    carry_s[li], srow, (slot, 0, 0, 0))
         # Tail fields pass through untouched: admissions happen with a
         # flushed (empty) window, so the rows are dead.
         return KVCache(kv, self.lengths.at[slot].set(length), scales,
                        self.kv_heads, self.head_dim, self.tail,
-                       self.tail_count)
+                       self.tail_count, carry, carry_s)
 
     def advance(self, n):
         """Advance per-sequence lengths by ``n`` committed tokens. For a
@@ -553,7 +613,8 @@ class KVCache:
         if self.tail is not None and n == 1:
             tc = tc + 1
         return KVCache(self.kv, self.lengths + n, self.quant_scales,
-                       self.kv_heads, self.head_dim, self.tail, tc)
+                       self.kv_heads, self.head_dim, self.tail, tc,
+                       self.carry, self.carry_s)
 
     def flush_tail(self, t: int):
         """Quantize the first ``t`` tail-window rows of every layer and
@@ -572,8 +633,20 @@ class KVCache:
         if t == 0:
             return KVCache(self.kv, self.lengths, self.quant_scales,
                            self.kv_heads, self.head_dim, self.tail,
-                           jnp.zeros((), jnp.int32))
-        from ..kernels.cache import cache_flush_quant
+                           jnp.zeros((), jnp.int32), self.carry,
+                           self.carry_s)
+        import os
+        from ..kernels.cache import cache_flush_quant, cache_flush_rows
+        # Carry-row mode (NOTES_ROUND5 A2, default on): whole-row
+        # WRITES only — the window's leading partial-row bytes merge in
+        # from the carry buffers instead of a read-modify-write, and
+        # trailing bytes past the newest token are attention-masked
+        # garbage the NEXT flush rewrites from carry. Halves the flush
+        # kernel's DMA count (2/seq vs 4/seq) and removes the read
+        # round trip. RTEN_FLUSH_CARRY=0 restores the RMW kernel.
+        carry_mode = (self.carry is not None
+                      and os.environ.get("RTEN_FLUSH_CARRY", "1")
+                      != "0")
         b = self.tail[0].shape[0]
         kvh, d = self.kv_heads, self.head_dim
         f = kvh * d
@@ -582,19 +655,32 @@ class KVCache:
         cap = cap4 * 4
         # Window geometry (shared by all layers): t tokens land at each
         # sequence's own offset; the covering row windows start at a
-        # clipped row with a small per-sequence byte/halfword shift —
-        # shift in [0, 4] (4 only at the capacity-edge clip), sshift in
-        # [0, 2].
-        w4 = t // 4 + 1
-        w2 = t // 2 + 1
+        # clipped row with a small per-sequence byte/halfword shift.
+        # The window must cover shift + t bytes — w4 = t//4 + 1 only
+        # covered that for t % 4 == 0 (a partial pre-admission flush
+        # with t % 4 != 0 silently DROPPED the tokens past the last
+        # window row — round-5 bug fix); the max shift after the
+        # capacity-edge clip is 4*w4 - t (<= 7), handled by the
+        # two-stage funnel below.
+        w4 = (t + 7) // 4
+        w2 = (t + 3) // 2
         offs = jnp.clip(self.lengths - t, 0, cap - t)
         row0 = jnp.clip(offs // 4, 0, cap4 - w4)
         shift = offs - row0 * 4
         srow0 = jnp.clip(offs // 2, 0, cap2 - w2)
         sshift = offs - srow0 * 2
+        # Carry fast path: whole-row writes need every pre-existing
+        # byte to live in the single carry row — true iff shift <= 4,
+        # i.e. t % 4 == 0 (then 4*w4 - t == 4). Partial flushes (cold:
+        # only before admissions) take the RMW kernel and refresh the
+        # carry from the flushed buffers afterwards.
+        carry_fast = carry_mode and t % 4 == 0
 
         kv = list(self.kv)
         sc = list(self.quant_scales)
+        carry = list(self.carry) if self.carry is not None else None
+        carry_s = (list(self.carry_s) if self.carry_s is not None
+                   else None)
         for layer in range(len(kv)):
             rows = self.tail[layer][:, :t]             # [B, t, 2, F]
             k_t = rows[:, :, 0].reshape(b, t, kvh, d).astype(jnp.float32)
@@ -611,41 +697,96 @@ class KVCache:
             # Per-sequence byte shift of the packed window WITHOUT
             # materializing one packed variant per shift (5x the pack
             # cost): pack once at shift 0, then derive the shifted rows
-            # arithmetically — row r of the s-byte-shifted pack is
-            # (p0[r] << 8s) | (p0[r-1] >>> (32-8s)), with the s==0 and
-            # s==4 (full-row) cases as selects. Shift amounts broadcast
-            # per sequence, so this is ~6 elementwise passes total.
+            # arithmetically in two stages — a sub-row bit funnel for
+            # shift % 4 (row r of the s-byte-shifted pack is
+            # (p0[r] << 8s) | (p0[r-1] >>> (32-8s))) and a whole-row
+            # roll for shift // 4 (shift can reach 4*w4 - t <= 7 after
+            # the capacity-edge clip). Shift amounts broadcast per
+            # sequence, so this is ~7 elementwise passes total.
             placed = jnp.pad(bytes_kv, ((0, 0), (0, 0),
                                         (0, w4 * 4 - t), (0, 0)))
             p0 = pack_int8_tokens(placed).swapaxes(1, 2)  # [B,w4,2,F]
             prev = jnp.pad(p0, ((0, 0), (1, 0), (0, 0),
                                 (0, 0)))[:, :w4]
-            sh8 = (shift * 8)[:, None, None, None]
-            # >>> by (32-sh8) is only used for sh8 in [8, 24] (the 0/32
-            # edges go through the selects), but the amount must stay
+            r8 = ((shift % 4) * 8)[:, None, None, None]
+            # >>> by (32-r8) is only used for r8 in [8, 24] (the 0 edge
+            # goes through the select), but the amount must stay
             # in-range for the lanes where it is unused too.
-            safe = jnp.clip(32 - sh8, 1, 31)
-            mid = jnp.left_shift(p0, sh8) | jax.lax.shift_right_logical(
+            safe = jnp.clip(32 - r8, 1, 31)
+            mid = jnp.left_shift(p0, r8) | jax.lax.shift_right_logical(
                 prev, safe)
-            new_rows = jnp.where(sh8 == 0, p0,
-                                 jnp.where(sh8 == 32, prev, mid))
+            fun = jnp.where(r8 == 0, p0, mid)
+            fun_prev = jnp.pad(fun, ((0, 0), (1, 0), (0, 0),
+                                     (0, 0)))[:, :w4]
+            new_rows = jnp.where(
+                (shift // 4)[:, None, None, None] == 1, fun_prev, fun)
             sp0 = pack_bf16_rows(
                 jnp.pad(srows[:, :, 0, :].astype(jnp.float32),
                         ((0, 0), (0, w2 * 2 - t), (0, 0)))
             )[:, :, None, :]                              # [B,w2,1,SL]
             sprev = jnp.pad(sp0, ((0, 0), (1, 0), (0, 0),
                                   (0, 0)))[:, :w2]
-            ss = sshift[:, None, None, None]
+            sr = (sshift % 2)[:, None, None, None]
             smid = jnp.left_shift(sp0, 16) | jax.lax.shift_right_logical(
                 sprev, 16)
-            new_srows = jnp.where(ss == 0, sp0,
-                                  jnp.where(ss == 2, sprev, smid))
-            kv[layer], sc[layer] = cache_flush_quant(
-                row0, srow0, shift, sshift, kv[layer], sc[layer],
-                new_rows, new_srows, t=t)
+            sfun = jnp.where(sr == 0, sp0, smid)
+            sfun_prev = jnp.pad(sfun, ((0, 0), (1, 0), (0, 0),
+                                       (0, 0)))[:, :w2]
+            new_srows = jnp.where(
+                (sshift // 2)[:, None, None, None] == 1, sfun_prev,
+                sfun)
+            if carry_fast:
+                # Merge the carry bytes into window row 0: byte k (of
+                # 4 tokens/word) comes from carry iff k < shift — the
+                # slot's pre-existing partial-row tokens [row0*4, offs).
+                # shift == 4 (capacity-edge clip) takes the whole carry
+                # row; shift == 0 takes none.
+                m32 = jnp.where(
+                    shift == 0, 0,
+                    jnp.where(shift >= 4, jnp.int32(-1),
+                              (jnp.int32(1) << (8 * jnp.clip(
+                                  shift, 1, 3))) - 1))[:, None, None]
+                c_row = self.carry[layer][:, 0]          # [B, 2, F]
+                new_rows = new_rows.at[:, 0].set(
+                    (c_row & m32) | (new_rows[:, 0] & ~m32))
+                m16 = jnp.where(
+                    sshift == 0, 0,
+                    jnp.where(sshift >= 2, jnp.int32(-1),
+                              jnp.int32(0xFFFF)))[:, None, None]
+                cs_row = self.carry_s[layer][:, 0]       # [B, 1, SL]
+                new_srows = new_srows.at[:, 0].set(
+                    (cs_row & m16) | (new_srows[:, 0] & ~m16))
+                # Next carry = the merged row holding the newest token
+                # (offs + t - 1); the trailing garbage bytes it also
+                # holds are masked at the next merge by shift'.
+                end = jnp.clip(self.lengths - t, 0, cap - t) + t
+                i4 = ((end - 1) // 4 - row0)[:, None, None, None]
+                i2 = ((end - 1) // 2 - srow0)[:, None, None, None]
+                carry[layer] = jnp.take_along_axis(new_rows, i4, axis=1)
+                carry_s[layer] = jnp.take_along_axis(new_srows, i2,
+                                                     axis=1)
+                kv[layer], sc[layer] = cache_flush_rows(
+                    row0, srow0, kv[layer], sc[layer], new_rows,
+                    new_srows)
+            else:
+                kv[layer], sc[layer] = cache_flush_quant(
+                    row0, srow0, shift, sshift, kv[layer], sc[layer],
+                    new_rows, new_srows, t=t)
+                if carry_mode:
+                    # Partial (t % 4 != 0) flush took the RMW kernel:
+                    # refresh the carry rows from the flushed buffers
+                    # so the next whole-row flush stays exact. Cold
+                    # path (only before admissions).
+                    end = jnp.clip(self.lengths - t, 0, cap - t) + t
+                    g4 = ((end - 1) // 4)[:, None, None, None]
+                    g2 = ((end - 1) // 2)[:, None, None, None]
+                    carry[layer] = jnp.take_along_axis(kv[layer], g4,
+                                                       axis=1)
+                    carry_s[layer] = jnp.take_along_axis(sc[layer], g2,
+                                                         axis=1)
         return KVCache(kv, self.lengths, sc, self.kv_heads,
                        self.head_dim, self.tail,
-                       jnp.zeros((), jnp.int32))
+                       jnp.zeros((), jnp.int32), carry, carry_s)
 
     # -- reads ---------------------------------------------------------------
 

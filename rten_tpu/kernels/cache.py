@@ -506,3 +506,102 @@ def cache_flush_quant(row0, srow0, shift, sshift, kv, sbuf, new_rows,
       jnp.asarray(shift, jnp.int32).reshape(batch, 1, 1, 1),
       jnp.asarray(sshift, jnp.int32).reshape(batch, 1, 1, 1),
       kv, sbuf, new_rows, new_srows)
+
+
+def cache_flush_rows(row0, srow0, kv, sbuf, new_rows, new_srows):
+    """Carry-mode tail flush (round 5, NOTES_ROUND5 A2): pure whole-row
+    WRITES — 2 DMAs per sequence per layer instead of
+    :func:`cache_flush_quant`'s 4 (window read + write for KV and scale
+    rows), and no read-wait on the critical path.
+
+    The read-modify-write disappears because the caller merges the only
+    live pre-existing bytes — the partial packed row at each sequence's
+    window start — from host-tracked CARRY buffers
+    (``KVCache.carry``/``carry_s``) into ``new_rows``/``new_srows``
+    before the call, and trailing bytes past the window's last token are
+    attention-masked garbage that the NEXT flush rewrites from carry.
+    Reference analog: amortized in-place append growth at every length
+    (rten-tensor/src/tensor.rs:1110) — here the amortization removes
+    the read half of the RMW instead of the allocation.
+
+    row0/srow0: [B] int32 first KV/scale row of each window;
+    kv:        [B, cap/4, 2, F] int32 (aliased in place);
+    sbuf:      [B, cap/2, 1, SL] int32 (aliased);
+    new_rows:  [B, w4, 2, F] int32 — fully-merged window rows
+               (pre-shifted pack | carry bytes);
+    new_srows: [B, w2, 1, SL] int32 — fully-merged scale rows."""
+    batch, w4 = new_rows.shape[:2]
+    w2 = new_srows.shape[1]
+    f = new_rows.shape[-1]
+    sl = new_srows.shape[-1]
+    # Same chunking discipline as cache_flush_quant: the largest
+    # divisor of the batch <= 64 keeps the VMEM windows bounded and the
+    # static loop exact for non-divisor batches (advisor r3 finding 2).
+    chunk = next(c for c in range(min(batch, 64), 0, -1)
+                 if batch % c == 0)
+
+    def kernel(r0_ref, sr0_ref, _kv, _sb, nr_hbm, ns_hbm, kv_out,
+               s_out, nwin, snwin, sem, bsem):
+        n_chunks = batch // chunk
+        for ci in range(n_chunks):
+            c0 = ci * chunk
+            slot = ci % 2
+            # Bulk-read this chunk's merged rows into VMEM (double-
+            # buffered: chunk ci+1's read rides under ci's writes).
+            if ci == 0:
+                pltpu.make_async_copy(nr_hbm.at[pl.ds(c0, chunk)],
+                                      nwin.at[slot], bsem.at[0]).start()
+                pltpu.make_async_copy(ns_hbm.at[pl.ds(c0, chunk)],
+                                      snwin.at[slot], bsem.at[1]).start()
+            pltpu.make_async_copy(nr_hbm.at[pl.ds(c0, chunk)],
+                                  nwin.at[slot], bsem.at[0]).wait()
+            pltpu.make_async_copy(ns_hbm.at[pl.ds(c0, chunk)],
+                                  snwin.at[slot], bsem.at[1]).wait()
+            if ci + 1 < n_chunks:
+                nxt = (ci + 1) % 2
+                pltpu.make_async_copy(
+                    nr_hbm.at[pl.ds(c0 + chunk, chunk)],
+                    nwin.at[nxt], bsem.at[0]).start()
+                pltpu.make_async_copy(
+                    ns_hbm.at[pl.ds(c0 + chunk, chunk)],
+                    snwin.at[nxt], bsem.at[1]).start()
+            writes = []
+            for i in range(chunk):
+                b = c0 + i
+                dma = pltpu.make_async_copy(
+                    nwin.at[slot, i],
+                    kv_out.at[b, pl.ds(r0_ref[b], w4)], sem.at[i])
+                dma.start()
+                writes.append(dma)
+                sdma = pltpu.make_async_copy(
+                    snwin.at[slot, i],
+                    s_out.at[b, pl.ds(sr0_ref[b], w2)], sem.at[i])
+                sdma.start()
+                writes.append(sdma)
+            for dma in writes:
+                dma.wait()
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # row0
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # srow0
+            pl.BlockSpec(memory_space=pltpu.HBM),        # kv (alias 0)
+            pl.BlockSpec(memory_space=pltpu.HBM),        # sbuf (alias 1)
+            pl.BlockSpec(memory_space=pltpu.HBM),        # new_rows
+            pl.BlockSpec(memory_space=pltpu.HBM),        # new_srows
+        ),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        out_shape=(jax.ShapeDtypeStruct(kv.shape, kv.dtype),
+                   jax.ShapeDtypeStruct(sbuf.shape, sbuf.dtype)),
+        input_output_aliases={2: 0, 3: 1},
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, w4, 2, f), jnp.int32),
+            pltpu.VMEM((2, chunk, w2, 1, sl), jnp.int32),
+            pltpu.SemaphoreType.DMA((chunk,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(jnp.asarray(row0, jnp.int32), jnp.asarray(srow0, jnp.int32),
+      kv, sbuf, new_rows, new_srows)

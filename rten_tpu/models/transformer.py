@@ -336,6 +336,33 @@ def _rope(x, positions, theta):
                            axis=-1).astype(x.dtype)
 
 
+def flat_vmem_bytes(heads, head_dim, kvh, group, block_k, window,
+                    q_bf16=True):
+    """Modeled scoped-VMEM bytes for flash_decode_flat's buffers at a
+    given group width — the model the g32 widening below and the
+    engine's tail gate share (a config whose INITIAL group does not fit
+    fails at Mosaic compile time, invisible to CPU interpret tests)."""
+    f_tot = kvh * head_dim
+    hp8 = -(-heads // 8) * 8
+    return (2 * group * (block_k // 4) * 2 * f_tot * 4      # kv buf
+            + 2 * group * (block_k // 2) * 128 * 4          # scales
+            + group * hp8 * f_tot * 4                       # acc
+            + group * window * 2 * f_tot * 2                # tail
+            + 2 * hp8 * group * 128 * 4                     # obuf
+            + hp8 * head_dim * f_tot * (2 if q_bf16 else 4))  # E
+
+
+def flat_group_for(batch, quant=True):
+    """The flat kernel's group width for a batch (the dispatch rule in
+    :func:`_pallas_decode_attn`)."""
+    groups = (16, 8, 4, 2) if quant else (8, 4, 2)
+    return next((g for g in groups
+                 if batch % g == 0 and batch >= 2 * g), 0)
+
+
+_FLAT_VMEM_BUDGET = 13 * 1024 * 1024
+
+
 def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
     """Single-query Pallas decode-attention dispatch: grouped / stream /
     fused kernel selection per the v5e A/B history (BASELINE.md rounds
@@ -406,19 +433,13 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
         # whose buffers fit scoped VMEM under that mode.
         q_bf16 = os.environ.get("RTEN_FLAT_QBF16", "1") != "0"
         if scales is not None and q_bf16:
-            f_tot = kvh * cache.head_dim
-            hp8 = -(-cfg.n_heads // 8) * 8
             win = (cache.tail[layer_idx].shape[1]
                    if getattr(cache, "tail", None) is not None else 0)
             for g2 in (32,):
                 if g2 > group and b % g2 == 0 and b >= 2 * g2:
-                    vm = (2 * g2 * (blk // 4) * 2 * f_tot * 4   # kv buf
-                          + 2 * g2 * (blk // 2) * 128 * 4       # scales
-                          + g2 * hp8 * f_tot * 4                # acc
-                          + g2 * win * 2 * f_tot * 2            # tail
-                          + 2 * hp8 * g2 * 128 * 4              # obuf
-                          + hp8 * cache.head_dim * f_tot * 2)   # E bf16
-                    if vm <= 13 * 1024 * 1024:
+                    vm = flat_vmem_bytes(cfg.n_heads, cache.head_dim,
+                                         kvh, g2, blk, win)
+                    if vm <= _FLAT_VMEM_BUDGET:
                         group = g2
                         break
         tail = tc = None
@@ -819,9 +840,14 @@ class TransformerLM:
                     and cap_l % 64 == 0
                     and (cap_l < 2048 or cap_l % 128 == 0)
                     and e_fit)
-        if any(n > 1 and ax not in ("data", "model", "dcn")
+        if any(n > 1 and ax not in ("data", "model", "dcn", "expert")
                for ax, n in sizes.items()):
-            return False           # pipe/expert axes: GSPMD paths
+            return False           # pipe axis: GSPMD paths
+        # An `expert` axis shards only the MoE expert stacks; the KV
+        # cache and attention are REPLICATED over it, so the island
+        # simply runs identically on every expert shard (round-5
+        # verdict item 7: MoE no longer dead-ends out of the mesh fast
+        # paths — see tests/test_moe.py MoE × tail × mesh parity).
         tp = sizes.get("model", 1)
         if getattr(cache, "paged", False):
             # Paged islands: the pool's page dim shards over the batch
@@ -938,9 +964,12 @@ class TransformerLM:
         if has_tail:
             tail = list(cache.tail)
             tail[layer_idx] = new_tail
+        # carry rows pass through untouched: tail-mode decode appends
+        # only write the window; flush_tail owns the carry.
         return out, KVCache(kv_bufs, cache.lengths, scales,
                             cache.kv_heads, cache.head_dim, tail,
-                            cache.tail_count)
+                            cache.tail_count, cache.carry,
+                            cache.carry_s)
 
     def _attn_island_paged(self, q, k, v, cache, layer_idx):
         """Paged sibling of :meth:`_attn_island`: the pool's page dim,
@@ -1205,7 +1234,23 @@ class TransformerLM:
         per row. The full [B, S, V] logits tensor — by far the largest
         prefill intermediate (3.3 GB for a [256, 64] GPT-2 admission
         group) — is never materialized: the LM head runs on the B
-        gathered hidden rows only."""
+        gathered hidden rows only.
+
+        With ``model.overlap`` the projection chain runs ring-
+        overlapped (parallel/tp_overlap.py::prefill_overlap — the
+        big-M regime where hiding the permutes under chunk matmuls
+        pays most); unsupported shapes fall back to GSPMD at trace
+        time."""
+        if (self.mesh is not None and getattr(self, "overlap", False)
+                and not getattr(cache, "paged", False)
+                and getattr(cache, "tail", None) is None
+                and not cache.stacked):
+            try:
+                from ..parallel.tp_overlap import prefill_overlap
+                return prefill_overlap(self, params, tokens, cache,
+                                       last_idx)
+            except ValueError:
+                pass            # unsupported shape: GSPMD prefill
         x, cache = self._hidden_states(params, tokens, cache)
         xl = x[jnp.arange(x.shape[0]), last_idx]          # [B, D]
         if self.config.tie_embeddings and "lm_head" not in params:

@@ -171,13 +171,22 @@ def cache_shardings(cache, mesh: Mesh):
     # Tail write-buffer: single-chip only (the engine disables it under
     # a mesh), but shard_cache must still hand device_put a valid
     # sharding for the replicated tail_count scalar.
-    tail = None
+    tail = carry = carry_s = None
     if cache.tail is not None:
         tail = [NamedSharding(mesh, P(batch_axes, None, None, "model"))
                 for _ in cache.tail]
+    if cache.carry is not None:
+        # Carry rows are single packed-cache rows: batch over data,
+        # head-feature lanes over model (like kv); the scale carry's
+        # lane-group dim over model (like quant_scales).
+        carry = [NamedSharding(mesh, P(batch_axes, None, None, "model"))
+                 for _ in cache.carry]
+        carry_s = [NamedSharding(mesh, P(batch_axes, None, None,
+                                         scale_lane_ax))
+                   for _ in cache.carry_s]
     return KVCache([kv] * cache.n_layers, lengths, scales,
                    cache.kv_heads, cache.head_dim, tail,
-                   NamedSharding(mesh, P()))
+                   NamedSharding(mesh, P()), carry, carry_s)
 
 
 def sequence_parallel(model, mesh: Mesh):
@@ -217,19 +226,21 @@ def flush_tail_island(cache, t: int, mesh: Mesh):
     specs = jax.tree_util.tree_map(lambda s: s.spec,
                                    cache_shardings(cache, mesh))
 
-    def body(kv, lengths, scales, tail, tc):
+    def body(kv, lengths, scales, tail, tc, carry, carry_s):
         local = KVCache(kv, lengths, scales, kvh_l, cache.head_dim,
-                        tail, tc)
+                        tail, tc, carry, carry_s)
         f = local.flush_tail(t)
-        return f.kv, f.quant_scales, f.tail_count
+        return f.kv, f.quant_scales, f.tail_count, f.carry, f.carry_s
 
-    kv, scales, tc = shard_map(
+    kv, scales, tc, carry, carry_s = shard_map(
         body, mesh=mesh,
         in_specs=(specs.kv, specs.lengths, specs.quant_scales,
-                  specs.tail, specs.tail_count),
-        out_specs=(specs.kv, specs.quant_scales, specs.tail_count),
+                  specs.tail, specs.tail_count, specs.carry,
+                  specs.carry_s),
+        out_specs=(specs.kv, specs.quant_scales, specs.tail_count,
+                   specs.carry, specs.carry_s),
         check_vma=False,
     )(cache.kv, cache.lengths, cache.quant_scales, cache.tail,
-      cache.tail_count)
+      cache.tail_count, cache.carry, cache.carry_s)
     return KVCache(kv, cache.lengths, scales, cache.kv_heads,
-                   cache.head_dim, cache.tail, tc)
+                   cache.head_dim, cache.tail, tc, carry, carry_s)

@@ -334,3 +334,98 @@ def test_cache_append_quant_masked():
                                   np.asarray(kv)[[1, 3]])
     np.testing.assert_array_equal(np.asarray(got_s)[[1, 3]],
                                   np.asarray(sbuf)[[1, 3]])
+
+
+def _tail_vs_rmw(mode, t, lens0, cap=64, steps2=None, insert_from=None,
+                 monkeypatch=None):
+    """Drive a tail cache and an RMW-append reference through the same
+    token stream; return the max dequantized difference."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.generate.kv_cache import KVCache
+
+    monkeypatch.setenv("RTEN_FLUSH_CARRY", mode)
+    B, L, KVH, D, R = len(lens0), 1, 4, 32, 8
+    rng = np.random.RandomState(11)
+    base = KVCache.create(B, L, KVH, cap, D, quantized=True)
+    tailc = KVCache.create(B, L, KVH, cap, D, quantized=True,
+                           tail_window=R)
+    base = base.with_lengths(np.asarray(lens0))
+    tailc = tailc.with_lengths(np.asarray(lens0))
+    if insert_from is not None:
+        # Admission path: carry must re-init from the inserted packed
+        # rows (the donor sequence ends mid-row).
+        donor = KVCache.create(1, L, KVH, cap, D, quantized=True)
+        for s in range(insert_from):
+            k = jnp.asarray(rng.randn(1, KVH, 1, D).astype(np.float32))
+            v = jnp.asarray(rng.randn(1, KVH, 1, D).astype(np.float32))
+            donor = donor.append(0, k, v)
+            donor = donor.advance(1)
+            kb = jnp.broadcast_to(k, (B,) + k.shape[1:])
+            vb = jnp.broadcast_to(v, (B,) + v.shape[1:])
+            base = base.append(0, kb, vb)
+            base = base.advance(1)
+        # Re-route: only slot 0 of base actually matches the donor; we
+        # compare slot 0 only below in this mode.
+        tailc = tailc.insert_sequence(donor, 0, insert_from)
+        base = base.with_lengths(
+            np.asarray([insert_from] + list(lens0[1:])))
+
+    def do(n):
+        nonlocal base, tailc
+        for s in range(n):
+            k = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+            v = jnp.asarray(rng.randn(B, KVH, 1, D).astype(np.float32))
+            base = base.append(0, k, v)
+            tailc = tailc.append(0, k, v)
+            base = base.advance(1)
+            tailc = tailc.advance(1)
+
+    do(t)
+    tailc = tailc.flush_tail(t)
+    if steps2:
+        do(steps2)
+        tailc = tailc.flush_tail(steps2)
+    bk, bv = base.layer_kv(0)
+    tk, tv = tailc.layer_kv(0)
+    if insert_from is not None:
+        bk, bv, tk, tv = bk[:1], bv[:1], tk[:1], tv[:1]
+    return max(np.abs(np.asarray(bk) - np.asarray(tk)).max(),
+               np.abs(np.asarray(bv) - np.asarray(tv)).max())
+
+
+@pytest.mark.parametrize("mode", ["0", "1"])
+def test_tail_flush_partial_window_any_t(mode, monkeypatch):
+    """Partial-window flushes (t % 4 != 0, the pre-admission host
+    flush) must not drop tokens: w4 = t//4 + 1 could not cover
+    shift + t bytes (round-5 bug — max err was a whole lost token).
+    Covers both the RMW kernel and the carry-mode routing (partial
+    flushes fall back to RMW + carry refresh)."""
+    assert _tail_vs_rmw(mode, 3, [2, 7], monkeypatch=monkeypatch) < 0.06
+    # capacity-edge clip with t % 4 != 0 (shift can exceed 4)
+    assert _tail_vs_rmw(mode, 3, [61, 20],
+                        monkeypatch=monkeypatch) < 0.06
+    assert _tail_vs_rmw(mode, 5, [3, 30], steps2=8,
+                        monkeypatch=monkeypatch) < 0.06
+
+
+def test_tail_flush_carry_round_trip(monkeypatch):
+    """Carry-mode (whole-row write) flushes chain exactly: flush N+1's
+    leading partial-row bytes come from the carry row flush N saved —
+    never from a cache read — including at the capacity edge
+    (shift == 4: the whole first row rewrites from carry)."""
+    assert _tail_vs_rmw("1", 8, [1, 5], steps2=8,
+                        monkeypatch=monkeypatch) < 0.06
+    assert _tail_vs_rmw("1", 8, [56, 20],
+                        monkeypatch=monkeypatch) < 0.06
+
+
+def test_tail_flush_carry_init_from_insert(monkeypatch):
+    """insert_sequence must initialize the slot's carry rows from the
+    inserted packed data: the first flush's window starts mid-row at
+    the admitted length."""
+    # length 13: 13 % 4 == 1 -> the first flush needs 1 carry byte.
+    assert _tail_vs_rmw("1", 8, [0, 9], insert_from=13,
+                        monkeypatch=monkeypatch) < 0.06

@@ -201,3 +201,43 @@ def test_moe_serving_engine():
                                       jnp.asarray([toks], jnp.int32))
             toks.append(int(jnp.argmax(logits[0, -1])))
         assert out == toks[len(prompt):]
+
+
+def test_moe_engine_mesh_tail_parity():
+    """Round-5 verdict item 7: MoE no longer dead-ends out of the mesh
+    fast paths — the serving engine runs a Mixtral-family model under a
+    (data=2, expert=2, model=2) mesh WITH the quantized cache + tail
+    write-buffer. Expert shards hold their expert stacks (one psum per
+    MoE block rides the `expert` axis); the attention island and tail
+    flush are replicated over `expert` and run unchanged. Token-exact
+    vs the single-chip MoE tail engine."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import quantize_weights
+    from rten_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = TransformerConfig.tiny_moe(n_heads=4, kv_heads=4,
+                                     d_model=512, use_pallas=True)
+    model = TransformerLM(cfg)
+    params = quantize_weights(model.init_params(jax.random.PRNGKey(5)),
+                              "int8")
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=64,
+                          prefill_buckets=(16,), quantized_cache=True)
+    assert plain._tail_flush > 0
+    want = plain.generate(prompts, max_new_tokens=20)
+
+    mesh = make_mesh(data=2, expert=2, model=2)
+    sharded = ServingEngine(model, params, max_batch=8, capacity=64,
+                            prefill_buckets=(16,), quantized_cache=True,
+                            mesh=mesh)
+    assert sharded._tail_flush > 0       # expert axis no longer fences
+    assert sharded.cache.tail is not None
+    l0 = sharded.params["layers"][0]
+    assert l0["w_up"].data.sharding.spec[0] == "expert"
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=20)
+    assert got == want

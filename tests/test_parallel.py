@@ -303,9 +303,45 @@ def test_sharded_engine_overlap_quant_parity():
     mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
     sharded = ServingEngine(model, params, max_batch=8, capacity=64,
                             prefill_buckets=(16,), quantized_cache=True,
-                            mesh=mesh, overlap=True)
+                            mesh=mesh, overlap=True, tail_window=0)
     with mesh:
         got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
+
+
+def test_sharded_engine_overlap_tail_parity():
+    """Round-5 verdict item 3: overlap=True composes with the tail
+    write-buffer — the ring-overlapped island appends into / reads the
+    sharded bf16 window, flushes run as flush_tail_island, and the
+    token stream is EXACT vs the single-chip tail engine (same tail
+    mechanics, just sharded)."""
+    from rten_tpu.generate.engine import ServingEngine
+    from rten_tpu.models.transformer import quantize_weights
+
+    cfg = TransformerConfig(
+        vocab_size=128, n_layers=2, n_heads=4, kv_heads=4, d_model=256,
+        d_ff=128, max_seq_len=64, pos="learned", norm="layernorm",
+        act="gelu", use_pallas=True)
+    model = TransformerLM(cfg)
+    params = quantize_weights(model.init_params(jax.random.PRNGKey(3)),
+                              "int8")
+    prompts = [[1, 2, 3], [10, 20], [7], [4, 5, 6, 8],
+               [9, 9], [11, 12, 13], [3], [2, 4]]
+
+    plain = ServingEngine(model, params, max_batch=8, capacity=64,
+                          prefill_buckets=(16,), quantized_cache=True)
+    assert plain._tail_flush > 0          # single-chip tail auto-on
+    # Cross flush boundaries (stride 16) + oversubscribe admissions.
+    want = plain.generate(prompts, max_new_tokens=20)
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sharded = ServingEngine(model, params, max_batch=8, capacity=64,
+                            prefill_buckets=(16,), quantized_cache=True,
+                            mesh=mesh, overlap=True)
+    assert sharded._tail_flush > 0        # overlap no longer fences it
+    assert sharded.cache.tail is not None
+    with mesh:
+        got = sharded.generate(prompts, max_new_tokens=20)
     assert got == want
 
 

@@ -329,3 +329,85 @@ def test_spec_gate_start_state_resolution(model_and_params):
     eng2._dispatch_floor = 0.0002        # local runtime
     eng2._resolve_spec_start()
     assert eng2._spec_on is True
+
+
+def test_spec_probe_free_estimator(model_and_params):
+    """Round-5 verdict item 8: the host-side n-gram acceptance
+    estimate (zero dispatches) reads high on repetitive streams and
+    low on random ones, and _estimate_says_go prices it against the
+    measured cost ratio."""
+    from rten_tpu.generate.engine import Request
+
+    eng = _spec_engine(model_and_params, spec_adaptive=True)
+    rep = Request(list(range(5)) * 8, 1)   # strongly periodic
+    rep.tokens = list(range(5)) * 4
+    rng = np.random.RandomState(3)
+    rand = Request(list(rng.randint(0, 100, 40)), 1)
+    rand.tokens = list(rng.randint(0, 100, 20))
+
+    eng.slot_request = [rep, None]
+    est_rep = eng._estimate_spec_tps()
+    eng.slot_request = [rand, None]
+    est_rand = eng._estimate_spec_tps()
+    assert est_rep is not None and est_rand is not None
+    # Periodic text drafts near-perfectly: ~K+1 tokens/step.
+    assert est_rep > 3.0
+    # Random tokens essentially never draft: ~1 token/step (+ the
+    # occasional accidental repeat).
+    assert est_rand < 1.5
+    assert eng.stats()["spec_est_tps"] == round(est_rand, 3)
+
+    # Pricing against the cost ratio: the repetitive estimate clears
+    # the bar at cost 2.0; the random one must decline the probe.
+    eng._spec_t, eng._plain_t = 0.002, 0.001
+    eng.slot_request = [rep, None]
+    assert eng._estimate_says_go()
+    eng.slot_request = [rand, None]
+    assert not eng._estimate_says_go()
+    # No history at all -> estimate unavailable -> probe allowed
+    # (old behavior).
+    eng.slot_request = [None, None]
+    assert eng._estimate_says_go()
+
+
+def test_spec_probe_declined_when_estimate_low(model_and_params):
+    """End to end wiring: with the gate OFF, a low host-side estimate
+    declines every probe (zero spec bursts, tokens match plain
+    greedy); a high estimate arms one. (A tiny greedy model's output
+    is often periodic, so the estimate is stubbed to pin each side —
+    the estimator's own readings are covered above.)"""
+    model, params = model_and_params
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(0, 100, 12)) for _ in range(2)]
+
+    plain = ServingEngine(model, params, max_batch=2, capacity=64,
+                          prefill_buckets=(16,))
+    want = plain.generate(prompts, max_new_tokens=24)
+
+    def build(est):
+        eng = ServingEngine(model, params, max_batch=2, capacity=64,
+                            prefill_buckets=(16,), spec_draft=3,
+                            spec_adaptive=True, spec_probe_every=2)
+        eng._spec_started = True         # skip floor measurement
+        eng._spec_on = False
+        calls = {"spec": 0}
+        orig = eng.step_spec_burst
+
+        def counting(*a, **kw):
+            calls["spec"] += 1
+            return orig(*a, **kw)
+
+        eng.step_spec_burst = counting
+        # Probes otherwise affordable so ONLY the estimator gates.
+        eng._probe_affordable = lambda: True
+        eng._estimate_spec_tps = lambda **kw: est
+        return eng, calls
+
+    eng, calls = build(1.0)              # random-like: ~1 token/step
+    got = eng.generate(prompts, max_new_tokens=24, burst=4)
+    assert got == want
+    assert calls["spec"] == 0            # every probe declined
+
+    eng2, calls2 = build(3.5)            # repetitive-like
+    eng2.generate(prompts, max_new_tokens=24, burst=4)
+    assert calls2["spec"] >= 1           # probe armed on device

@@ -65,14 +65,22 @@ def main():
           flush=True)
 
     # Same-process kernel A/B (cross-process A/Bs through the tunnel
-    # are noise): the int8 cache runs both the grouped default and the
-    # forced flat kernel (bf16-E g8/b128 fits VMEM — round 5).
+    # are noise): the int8 cache runs the grouped kernel, the flat
+    # kernel (bf16-E g8/b128 fits VMEM — round 5), and flat + the tail
+    # write-buffer (round-5 verdict item 2: the cap >= 2048 gate lifts
+    # when the modeled flat_vmem_bytes fit holds).
+    grouped_model = TransformerLM(TransformerConfig.gpt2(
+        max_seq_len=args.cap, decode_attn="grouped"))
     flat_model = TransformerLM(TransformerConfig.gpt2(
         max_seq_len=args.cap, decode_attn="flat"))
     variants = [
         ("bf16 cache", model, dict(cache_dtype="bfloat16")),
-        ("int8 cache (grouped)", model, dict(quantized_cache=True)),
-        ("int8 cache (flat)", flat_model, dict(quantized_cache=True)),
+        ("int8 cache (grouped)", grouped_model,
+         dict(quantized_cache=True, tail_window=0)),
+        ("int8 cache (flat)", flat_model,
+         dict(quantized_cache=True, tail_window=0)),
+        ("int8 cache (flat + tail)", flat_model,
+         dict(quantized_cache=True)),
     ]
     if args.decode_attn != "auto":
         variants = [(n, m, kw) for n, m, kw in variants

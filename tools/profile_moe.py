@@ -124,5 +124,76 @@ def main():
               f"{args.batch * args.steps / best:6.0f} tok/s", flush=True)
 
 
+def mesh_table():
+    """MoE × mesh structural A/B (round-5 verdict item 7): compile the
+    MoE decode step under (data, expert, model) compositions on the
+    8-virtual-device CPU mesh and count collectives + bytes/step — the
+    communication cost model for expert parallelism (real ICI numbers
+    need a pod slice; the chosen composition is the dense all-experts
+    einsum whose expert contraction is ONE psum riding the axis).
+
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+            JAX_PLATFORMS=cpu python tools/profile_moe.py --mesh-table
+    """
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from rten_tpu.models.transformer import (TransformerConfig,
+                                             TransformerLM,
+                                             quantize_weights)
+    from rten_tpu.parallel import make_mesh, shard_cache, shard_params
+
+    cfg = TransformerConfig.tiny_moe(n_heads=4, kv_heads=4, d_model=512,
+                                     use_pallas=True)
+    model = TransformerLM(cfg)
+    params = quantize_weights(model.init_params(jax.random.PRNGKey(0)),
+                              "int8")
+    batch = 8
+    print("MoE decode-step collective table (count / bytes per step):",
+          flush=True)
+    for label, axes in (
+            ("ep=2 dp=2 tp=2", dict(data=2, expert=2, model=2)),
+            ("ep=4 tp=2", dict(data=1, expert=4, model=2)),
+            ("tp=8 (no ep)", dict(data=1, model=8)),
+    ):
+        mesh = make_mesh(**axes, devices=jax.devices()[:8])
+        import copy
+        m = copy.copy(model)
+        m.mesh = mesh
+        sp = shard_params(params, mesh)
+        cache = shard_cache(
+            m.new_cache(batch, 64, quantized=True, tail_window=16),
+            mesh)
+        toks = jnp.zeros(batch, jnp.int32)
+        with mesh:
+            text = jax.jit(m.decode_step, donate_argnums=(2,)).lower(
+                sp, toks, cache).compile().as_text()
+        counts, nbytes = {}, 0
+        for line in text.splitlines():
+            mm = re.search(r"= (\w+)\[([\d,]*)\]\S* (all-reduce|"
+                           r"all-gather|reduce-scatter|"
+                           r"collective-permute|all-to-all)\(", line)
+            if not mm:
+                continue
+            dtype, dims, op = mm.groups()
+            counts[op] = counts.get(op, 0) + 1
+            elems = 1
+            for d in dims.split(","):
+                if d:
+                    elems *= int(d)
+            width = {"f32": 4, "s32": 4, "bf16": 2, "f16": 2,
+                     "u8": 1, "s8": 1}.get(dtype, 4)
+            nbytes += elems * width
+        cs = " ".join(f"{k}:{v}" for k, v in sorted(counts.items()))
+        print(f"  {label:16s} {cs or 'none'}  "
+              f"{nbytes / 1024:.1f} KiB/step", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--mesh-table" in _sys.argv:
+        mesh_table()
+    else:
+        main()
