@@ -256,6 +256,8 @@ class ServingEngine:
                 if capacity >= 2048:
                     from ..models.transformer import (_FLAT_VMEM_BUDGET,
                                                       flat_vmem_bytes)
+                    if b_l % 8 == 0 and b_l >= 16:
+                        group = 8     # the long-cap dispatch's choice
                     if (capacity % 128 != 0
                             or _os.environ.get("RTEN_FLAT_QBF16", "1")
                             == "0"

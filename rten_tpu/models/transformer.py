@@ -416,6 +416,14 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
         kind = ("flat" if scales is not None and group
                 and (not long_ctx or flat_long)
                 else "grouped" if group else "fused")
+    if kind == "flat" and long_ctx and scales is not None \
+            and b % 8 == 0 and b >= 16:
+        # Long-context flat kernel prefers group 8 (round-5 sweep at
+        # cap 4096 / live 3968: g8/b128 352.3 vs g16/b128 380.0 us —
+        # the g16 config only became VMEM-feasible with bf16-E, and
+        # measured a recorded NEGATIVE: more groups amortize the DMA
+        # pipeline better than wider ones at long lives).
+        group = 8
     if getattr(cache, "tail", None) is not None and (kind != "flat"
                                                      or not group):
         raise ValueError(
@@ -454,11 +462,18 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
                 tail = tc = None
         # int8_scores measured SLOWER with the flat kernel (v5e
         # live-128: 178 vs 89 us packed-scales) — keep it off here.
+        # q-DMA streaming: a bandwidth-regime win (round-5 same-run
+        # A/Bs at batch 256: live 96 207.1 vs 190.2 us — LOSES; live
+        # 256 253.1 vs 268.1 — WINS 5.6%), so it defaults ON for
+        # long-context caches (lives >= 2048) and OFF for short ones.
+        # RTEN_FLAT_QSTREAM=0/1 forces either way.
+        qs_env = os.environ.get("RTEN_FLAT_QSTREAM", "")
+        q_stream = (qs_env != "0") if qs_env else long_ctx
         return flash_decode_flat(
             q3, cache.fused_layer(layer_idx), cache.lengths + 1, kvh,
             group=group, block_k=blk, kv_scales=scales,
             tail=tail, tail_count=tc, q_bf16=q_bf16,
-            q_stream=bool(os.environ.get("RTEN_FLAT_QSTREAM")))
+            q_stream=q_stream)
     if kind == "grouped" or kind == "flat":
         from ..kernels.attention import flash_decode_grouped
         return flash_decode_grouped(

@@ -829,3 +829,43 @@ def test_flash_decode_flat_partials_merge():
     got = num / np.maximum(den, 1e-30)[..., None]
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_flash_decode_flat_q_stream_bit_identical():
+    """q-DMA streaming (the long-context default since round 5) must be
+    BIT-IDENTICAL to the select-chain q path — same math, different q
+    transport — including with the bf16 tail window active."""
+    from rten_tpu.generate.kv_cache import (SCALE_LANES, VSCALE_OFF,
+                                            pack_bf16_rows,
+                                            pack_int8_cache)
+    from rten_tpu.kernels.attention import flash_decode_flat
+
+    B, H, KVH, D, cap, R = 8, 8, 4, 32, 128, 4
+    rng = np.random.RandomState(17)
+    q = jnp.asarray(rng.randn(B, H, D).astype(np.float32))
+    k_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    v_q = rng.randint(-127, 128, (B, cap, KVH * D)).astype(np.int32)
+    kv_q = pack_int8_cache(jnp.asarray(k_q), jnp.asarray(v_q))
+    s_np = (0.01 + 0.05 * rng.rand(B, cap, 1, SCALE_LANES)
+            ).astype(np.float32)
+    packed = pack_bf16_rows(jnp.asarray(s_np).swapaxes(1, 2)
+                            ).swapaxes(1, 2)
+    lengths = jnp.asarray([5, 127, 64, 1, 33, 80, 17, 2], jnp.int32)
+
+    base = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64,
+                             group=4, kv_scales=packed)
+    strm = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64,
+                             group=4, kv_scales=packed, q_stream=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(strm))
+
+    tail = jnp.asarray(rng.randn(B, R, 2, KVH * D).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    tc = jnp.asarray(2, jnp.int32)
+    base_t = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64,
+                               group=4, kv_scales=packed, tail=tail,
+                               tail_count=tc)
+    strm_t = flash_decode_flat(q, kv_q, lengths, KVH, block_k=64,
+                               group=4, kv_scales=packed, tail=tail,
+                               tail_count=tc, q_stream=True)
+    np.testing.assert_array_equal(np.asarray(base_t),
+                                  np.asarray(strm_t))
