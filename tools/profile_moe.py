@@ -156,7 +156,7 @@ def mesh_table():
     for label, axes in (
             ("ep=2 dp=2 tp=2", dict(data=2, expert=2, model=2)),
             ("ep=4 tp=2", dict(data=1, expert=4, model=2)),
-            ("tp=8 (no ep)", dict(data=1, model=8)),
+            ("tp=4 (no ep)", dict(data=2, model=4)),
     ):
         mesh = make_mesh(**axes, devices=jax.devices()[:8])
         import copy
