@@ -32,6 +32,10 @@ from .metrics import Metrics
 from .sampler import (ArgMaxSampler, PerRequestSampler, Sampler,
                       SamplingParams)
 
+# Process-wide measured dispatch-floor cache (see
+# _measure_dispatch_floor).
+_DISPATCH_FLOOR = None
+
 
 def _bucket(n, buckets):
     for b in buckets:
@@ -661,6 +665,21 @@ class ServingEngine:
             # Last host-side n-gram acceptance estimate (probe-free
             # gating, round 5) — surfaced in stats().
             self._spec_est_tps = None
+            # Sticky probe decline: the acceptance level a real probe
+            # measured as not-paying (None = no block).
+            self._spec_est_block = None
+            # (k, n) spec-burst shapes already run once: the first call
+            # at a shape carries its compile, so its wall is excluded
+            # from the cost EMAs (see step_spec_burst).
+            self._spec_seen_shapes = set()
+            if spec_adaptive in (True, "auto"):
+                # Measure the dispatch floor HERE, at construction —
+                # never inside run() (round-5 fix: each device_put
+                # probe costs 0.3-3 s through the dev tunnel's relay
+                # upload path, and the first run() paid ~10 s for it
+                # inside the serving loop). Process-cached, so one
+                # engine per process pays it once.
+                self._measure_dispatch_floor()
             # Stale-_plain_t guard (advisor r2): after this many
             # consecutive spec bursts a plain burst is interleaved so
             # the cost ratio's denominator re-measures at the current
@@ -879,8 +898,11 @@ class ServingEngine:
                 self._spec_history, jnp.asarray(rows),
                 jnp.asarray(slots_np))
             # New traffic may accept differently: probe at the next
-            # opportunity if drafting is gated off.
+            # opportunity if drafting is gated off, and lift the
+            # sticky estimate block (the declined level belonged to
+            # the previous mix).
             self._plain_bursts_since_probe = self._spec_probe_every
+            self._spec_est_block = None
         for gi, (req, slot) in enumerate(group_pairs):
             first = int(firsts_flat[gi])
             req.tokens.append(first)
@@ -1216,21 +1238,41 @@ class ServingEngine:
                                            for s in active)
         n = min(n, max(1, headroom // k1))
         t0 = time.perf_counter()
-        self._spec_history, self.cache, toks, counts = \
+        self._spec_history, self.cache, toks, counts, last_dev = \
             self._spec_burst_for(k)(
                 self.params, self._spec_history, self.cache, n)
         self._spec_only_bursts += 1
-        self._device_tokens = None
+        # Chain the next (plain or spec) burst on the device-resident
+        # last tokens — a None here forced a host re-upload at every
+        # spec->plain transition (~0.3-3 s each through the tunnel).
+        self._device_tokens = last_dev
         counts_np = np.asarray(counts)
         toks_np = np.asarray(toks)
         wall = time.perf_counter() - t0
         dt = wall / n
-        self._spec_t = dt if self._spec_t is None \
-            else 0.6 * self._spec_t + 0.4 * dt
-        # Any spec burst re-measures acceptance — reset the probe wall
-        # budget; its own wall is what a future probe will cost.
-        self._spec_burst_wall = wall if self._spec_burst_wall is None \
-            else 0.6 * self._spec_burst_wall + 0.4 * wall
+        # The FIRST burst at a given (k, n) shape compiles its program
+        # — through a remote-compile link that wall is minutes, and one
+        # poisoned sample wedged the cost EMA at ~58x plain (round-5
+        # CPU repro), permanently gating speculation OFF on traffic
+        # whose measured acceptance was 3.7 tokens/step. Use the
+        # burst's TOKENS (acceptance is timing-free) but discard its
+        # wall from the cost EMAs.
+        cold = (k, n) not in self._spec_seen_shapes
+        self._spec_seen_shapes.add((k, n))
+        self.counters["spec_bursts"] = (
+            self.counters.get("spec_bursts", 0) + 1)
+        self.counters["spec_steps"] = (
+            self.counters.get("spec_steps", 0) + n)
+        self.counters["spec_wall_s"] = round(
+            self.counters.get("spec_wall_s", 0.0) + wall, 4)
+        if not cold:
+            self._spec_t = dt if self._spec_t is None \
+                else 0.6 * self._spec_t + 0.4 * dt
+            # Any spec burst re-measures acceptance — reset the probe
+            # wall budget; its own wall is what a future probe costs.
+            self._spec_burst_wall = wall \
+                if self._spec_burst_wall is None \
+                else 0.6 * self._spec_burst_wall + 0.4 * wall
         self._plain_wall_since_probe = 0.0
         self._host_lengths += counts_np.sum(axis=0)
         emitted = self._commit_spec(
@@ -1273,12 +1315,20 @@ class ServingEngine:
         program pays; ~31 ms on the dev tunnel, sub-ms on local
         runtimes). min of 3 so host jitter doesn't inflate it."""
         if self._dispatch_floor is None:
-            samples = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(jax.device_put(np.zeros(64, np.float32)))
-                samples.append(time.perf_counter() - t0)
-            self._dispatch_floor = min(samples)
+            # Process-wide cache: the floor is a property of the
+            # device link, not of this engine — re-measuring per
+            # engine cost ~3 round trips (~100 ms on the tunnel),
+            # visible on short-lived engines (round-5 profile_spec:
+            # a 0.5 s run read 0.84x plain from this alone).
+            global _DISPATCH_FLOOR
+            if _DISPATCH_FLOOR is None:
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    np.asarray(jax.device_put(np.zeros(64, np.float32)))
+                    samples.append(time.perf_counter() - t0)
+                _DISPATCH_FLOOR = min(samples)
+            self._dispatch_floor = _DISPATCH_FLOOR
         return self._dispatch_floor
 
     def _resolve_spec_auto(self, burst_n):
@@ -1293,7 +1343,6 @@ class ServingEngine:
         the operator KNOWS drafts well (v5e A/B, BASELINE.md round 4).
         ``burst_n`` kept for telemetry/compat."""
         del burst_n
-        self._measure_dispatch_floor()
         self.spec_adaptive = True
 
     def _resolve_spec_start(self):
@@ -1306,7 +1355,16 @@ class ServingEngine:
         if self._spec_started or self.spec_adaptive is not True:
             return
         self._spec_started = True
-        if self._measure_dispatch_floor() > 0.005:
+        # The floor was measured at CONSTRUCTION (never here — the
+        # round-5 cProfile showed the in-run measurement costing
+        # ~10 s through the tunnel's relay-upload path: 0.3-3 s per
+        # device_put probe, which is NOT the ~31 ms dispatch floor a
+        # compiled program pays). Unknown floor starts OFF — the
+        # probe-free estimator re-arms drafting cheaply on any rig.
+        floor = self._dispatch_floor
+        if floor is None:
+            floor = _DISPATCH_FLOOR
+        if floor is None or floor > 0.005:
             self._spec_on = False
             self._plain_bursts_since_probe = self._spec_probe_every
 
@@ -1363,6 +1421,14 @@ class ServingEngine:
         est = self._estimate_spec_tps()
         if est is None:
             return True
+        # Sticky decline (round-5): when a real probe already measured
+        # the gate OFF at some acceptance level, the estimator must
+        # read MATERIALLY higher traffic before paying for another
+        # probe — steady dead-zone traffic (est ~ measured acc ~ the
+        # cost ratio) otherwise re-armed a probe every cadence, each
+        # costing burst-equivalents on a dispatch-floor rig.
+        if self._spec_est_block is not None:
+            return est >= 1.15 * self._spec_est_block
         if self._spec_t is not None and self._plain_t is not None \
                 and self._plain_t > 0:
             cost = self._spec_t / self._plain_t
@@ -1421,8 +1487,14 @@ class ServingEngine:
         if eff > 1.05:
             self._spec_confirmed = True
             self._spec_dead_probes = 0
+            self._spec_est_block = None
         elif eff < 0.95:
             self._spec_dead_probes = 0
+            # Probe measured NOT-paying: block further probes until
+            # the host-side estimate rises above this traffic level
+            # (see _estimate_says_go; admissions reset the block).
+            self._spec_est_block = (self._spec_est_tps
+                                    or self._spec_tps)
         elif not self._spec_confirmed:
             # Hysteresis dead zone while unconfirmed: probe-sized
             # bursts pay a dispatch round trip per <=4 steps, so this
@@ -1434,6 +1506,8 @@ class ServingEngine:
             if self._spec_dead_probes >= 4:
                 self._spec_on = False
                 self._spec_dead_probes = 0
+                self._spec_est_block = (self._spec_est_tps
+                                        or self._spec_tps)
         self._plain_bursts_since_probe = 0
 
     def _pending(self) -> bool:

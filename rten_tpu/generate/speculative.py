@@ -104,6 +104,16 @@ def make_spec_burst(model, n_gram: int, k_draft: int):
 
         (history, cache), (toks, counts) = jax.lax.scan(
             body, (history, cache), None, length=n_steps)
-        return history, cache, toks, counts
+        # Device-resident LAST COMMITTED token per sequence (round-5
+        # fix): the engine chains the next plain burst on this array
+        # directly — nulling it forced a host token re-upload at every
+        # spec->plain transition, and through the dev tunnel's relay a
+        # host upload costs 0.3-3 s (cProfile: batched_device_put
+        # 288 ms+ per call), ~1.1 s/burst of phantom spec cost.
+        last = jnp.take_along_axis(
+            toks[-1], jnp.clip(counts[-1] - 1, 0,
+                               toks.shape[-1] - 1)[:, None],
+            axis=1)[:, 0]
+        return history, cache, toks, counts, last
 
     return burst

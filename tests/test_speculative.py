@@ -411,3 +411,53 @@ def test_spec_probe_declined_when_estimate_low(model_and_params):
     eng2, calls2 = build(3.5)            # repetitive-like
     eng2.generate(prompts, max_new_tokens=24, burst=4)
     assert calls2["spec"] >= 1           # probe armed on device
+
+
+def test_spec_cost_ema_discards_compile_burst(model_and_params):
+    """The first spec burst at a (k, n) shape carries its compile; its
+    wall must NOT enter the cost EMAs. A single poisoned sample wedged
+    the measured cost ratio at ~58x plain (CPU repro) and permanently
+    gated speculation OFF on traffic whose measured acceptance was 3.7
+    tokens/step (round-5 fix). Acceptance itself is timing-free and
+    must still update from the cold burst."""
+    model, params = model_and_params
+    eng = ServingEngine(model, params, max_batch=2, capacity=128,
+                        prefill_buckets=(16,), spec_draft=3,
+                        spec_adaptive=True)
+    for p in ([1, 2, 3], [4, 5]):
+        eng.submit(p, max_new_tokens=64)
+    eng._admit()
+    eng.step_spec_burst(2)               # cold: compiles (k=3, n=2)
+    assert eng._spec_t is None and eng._spec_burst_wall is None
+    assert eng._spec_tps is not None     # acceptance DID update
+    eng.step_spec_burst(2)               # warm: same shape
+    assert eng._spec_t is not None and eng._spec_burst_wall is not None
+    t_warm = eng._spec_t
+    eng.step_spec_burst(3)               # new n: cold again
+    assert eng._spec_t == t_warm         # wall discarded
+
+
+def test_spec_sticky_probe_decline(model_and_params):
+    """After a real probe measures the gate OFF, further probes stay
+    blocked until the host-side estimate rises materially above the
+    failed level (dead-zone traffic otherwise re-armed a
+    burst-equivalent probe every cadence); admissions lift the block."""
+    eng = _spec_engine(model_and_params, spec_adaptive=True)
+    eng._spec_t, eng._plain_t = 0.002, 0.001   # cost ratio 2.0
+    eng._spec_on = True
+    eng._spec_est_tps = 2.1
+    eng._spec_tps = 1.8                        # eff 0.9 -> OFF + block
+    eng._spec_gate()
+    assert eng._spec_on is False
+    assert eng._spec_est_block == 2.1
+    # Same traffic level: estimator declines without touching the
+    # cost-ratio path.
+    eng._estimate_spec_tps = lambda **kw: 2.2
+    assert not eng._estimate_says_go()
+    # Materially higher traffic re-arms.
+    eng._estimate_spec_tps = lambda **kw: 2.1 * 1.2
+    assert eng._estimate_says_go()
+    # Confirmed ON clears the block.
+    eng._spec_tps = 4.0
+    eng._spec_gate()
+    assert eng._spec_on is True and eng._spec_est_block is None

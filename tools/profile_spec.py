@@ -68,9 +68,15 @@ def run(engine_kwargs, model, params, prompts, max_new, burst):
     extra = ""
     if eng.spec_draft:
         s = eng.stats()
+        c = eng.counters
         extra = (f" spec_on={s.get('spec_on')}"
                  f" adaptive={s.get('spec_adaptive')}"
-                 f" acc={s.get('spec_tokens_per_step')}")
+                 f" acc={s.get('spec_tokens_per_step')}"
+                 f" sb={c.get('spec_bursts', 0)}"
+                 f" ss={c.get('spec_steps', 0)}"
+                 f" sw={c.get('spec_wall_s', 0.0):.2f}s"
+                 f" est={s.get('spec_est_tps')}"
+                 f" dt={dt:.2f}s")
     return emitted / dt, emitted, steps, extra
 
 
