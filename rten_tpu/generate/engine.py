@@ -1574,17 +1574,15 @@ class ServingEngine:
                     steps += 1
                     continue
                 if self._spec_on or self.spec_adaptive is False or probe:
-                    # Probes re-measure acceptance with a short burst so
-                    # a traffic shift (repetitive text arriving) turns
-                    # drafting back on quickly and cheaply; until the
-                    # gate has CONFIRMED speculation pays (eff > 1 at
-                    # least once), spec bursts stay probe-sized too —
-                    # full-size bursts during EMA convergence are where
-                    # unacceptable traffic loses its throughput.
-                    short = probe or (self.spec_adaptive is True
-                                      and not self._spec_confirmed)
-                    self.step_spec_burst(min(max(burst, 1), 4) if short
-                                         else max(burst, 1))
+                    # Probes run FULL-SIZE since round 5: the host-side
+                    # estimator already pre-filters unpromising traffic
+                    # (zero dispatches), and a 4-step probe's wall is
+                    # dispatch-floor-dominated — its cost-per-step read
+                    # ~2.6x the full burst's, systematically
+                    # under-valuing speculation (on-rig: the n=4 probe
+                    # gated OFF traffic at acceptance 3.88 that
+                    # full-burst speculation serves at 1.59x plain).
+                    self.step_spec_burst(max(burst, 1))
                     self._spec_gate()
                 else:
                     self.step_burst(max(burst, 1))

@@ -43,6 +43,16 @@ def run(engine_kwargs, model, params, prompts, max_new, burst):
         if eng.spec_adaptive:
             # The gate may fall back to plain bursts mid-run.
             eng.step_burst(burst)
+            # Warm the plain->spec ADJACENCY too (round-5 on-rig
+            # finding: the first spec burst following a plain stretch
+            # pays a one-time ~4 s runtime cost through the tunnel
+            # even though the program itself was compiled above —
+            # deterministic repro, cached per process afterwards;
+            # without this the timed region charges the whole run for
+            # a once-per-process event). Probes run full-size since
+            # round 5, so the adjacency is warmed at burst size.
+            eng.step_spec_burst(burst)
+            eng.step_burst(burst)
     else:
         eng.step_burst(burst)
     for r in warm:
