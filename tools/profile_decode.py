@@ -131,7 +131,8 @@ def time_burst(model, params, batch, capacity, n_steps, reps=3, ablate=(),
                 if "noflush" in ablate:
                     return KVCache(c.kv, c.lengths, c.quant_scales,
                                    c.kv_heads, c.head_dim, c.tail,
-                                   jnp.zeros((), jnp.int32))
+                                   jnp.zeros((), jnp.int32),
+                                   c.carry, c.carry_s)
                 return c.flush_tail(tail_window)
 
             def chunk_body(carry, _):
