@@ -128,13 +128,15 @@ def main():
         # 15.4%) were dominated by a visibly cold first repeat —
         # repeat 0 runs right after burst compilation and the tunnel's
         # program-upload churn. Median the remaining warm repeats.
-        warm = rates[1:] if repeats > 2 else rates
+        discard = repeats > 2
+        warm = rates[1:] if discard else rates
         if repeats > 1:
             lo, hi = min(warm), max(warm)
             print(f"decode rate repeats: "
                   f"{', '.join(f'{r:.0f}' for r in rates)} tok/s "
-                  f"(first discarded; warm spread "
-                  f"{100 * (hi - lo) / lo:.1f}%)", file=sys.stderr)
+                  f"({'first discarded; warm' if discard else 'all'} "
+                  f"spread {100 * (hi - lo) / lo:.1f}%)",
+                  file=sys.stderr)
         warm = sorted(warm)
         p50_ttft = ttfts_all[len(ttfts_all) // 2] if ttfts_all else None
         return warm[len(warm) // 2], p50_ttft

@@ -242,12 +242,12 @@ class ServingEngine:
                 import os as _os
                 if cfg is None or not mesh_tail_ok:
                     return False
+                from ..models.transformer import flat_group_for
                 h_l = cfg.n_heads // tp
                 kvh_l = cfg.n_kv_heads // tp
                 f_l = kvh_l * cfg.head_dim
                 b_l = max_batch // dp
-                group = next((g for g in (16, 8, 4, 2)
-                              if b_l % g == 0 and b_l >= 2 * g), 0)
+                group = flat_group_for(b_l)
                 if not group:
                     return False
                 # Long-capacity tail (round 5, verdict item 2): the
@@ -668,6 +668,10 @@ class ServingEngine:
             # Sticky probe decline: the acceptance level a real probe
             # measured as not-paying (None = no block).
             self._spec_est_block = None
+            # Serving burst size of the most recent run() loop — the
+            # full-size probe's cost model needs it before the first
+            # spec burst wall is measured.
+            self._last_burst_n = 4
             # (k, n) spec-burst shapes already run once: the first call
             # at a shape carries its compile, so its wall is excluded
             # from the cost EMAs (see step_spec_burst).
@@ -1442,8 +1446,15 @@ class ServingEngine:
         plain wall time accumulated since the last spec burst."""
         cost = self._spec_burst_wall
         if cost is None:
+            # Probes run FULL-SIZE (round 5), so the unmeasured-cost
+            # fallback prices one probe as floor + burst_n spec steps
+            # at the cost-prior multiple of a plain step (the old
+            # `4 * plain_t` modeled the retired 4-step probe and
+            # under-priced by ~burst/4, firing probes far above the
+            # spec_probe_overhead budget).
             cost = ((self._dispatch_floor or 0.0)
-                    + 4 * (self._plain_t or 0.0))
+                    + (self._last_burst_n * self._spec_cost_prior
+                       * (self._plain_t or 0.0)))
         if cost <= 0:
             return True
         return (self._plain_wall_since_probe
@@ -1493,8 +1504,12 @@ class ServingEngine:
             # Probe measured NOT-paying: block further probes until
             # the host-side estimate rises above this traffic level
             # (see _estimate_says_go; admissions reset the block).
-            self._spec_est_block = (self._spec_est_tps
-                                    or self._spec_tps)
+            # Prefer the JUST-MEASURED acceptance over the host
+            # estimate: after a long ON stretch _spec_est_tps is stale
+            # (the estimator only runs at probe decisions), and a
+            # stale-high level would block re-arming forever.
+            self._spec_est_block = (self._spec_tps
+                                    or self._spec_est_tps)
         elif not self._spec_confirmed:
             # Hysteresis dead zone while unconfirmed: probe-sized
             # bursts pay a dispatch round trip per <=4 steps, so this
@@ -1506,8 +1521,8 @@ class ServingEngine:
             if self._spec_dead_probes >= 4:
                 self._spec_on = False
                 self._spec_dead_probes = 0
-                self._spec_est_block = (self._spec_est_tps
-                                        or self._spec_tps)
+                self._spec_est_block = (self._spec_tps
+                                        or self._spec_est_tps)
         self._plain_bursts_since_probe = 0
 
     def _pending(self) -> bool:
@@ -1551,6 +1566,7 @@ class ServingEngine:
                         continue
                     self._resolve_spec_auto(max(burst, 1))
                 self._resolve_spec_start()
+                self._last_burst_n = max(burst, 1)
                 probe = (self.spec_adaptive is True and not self._spec_on
                          and self._plain_bursts_since_probe
                          >= self._spec_probe_every

@@ -379,8 +379,7 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
     if scales is not None and kind == "stream":
         kind = "fused"   # no quantized stream variant
     long_ctx = cache.capacity >= 2048
-    groups = (8, 4, 2) if scales is None else (16, 8, 4, 2)
-    group = next((g for g in groups if b % g == 0 and b >= 2 * g), 0)
+    group = flat_group_for(b, quant=scales is not None)
     blk = 128 if long_ctx else 64
     if partials:
         # Seq-sharded decode (capacity shards merge outside): the flat
@@ -464,9 +463,13 @@ def _pallas_decode_attn(cfg, q3, cache, layer_idx, kvh, partials=False):
         # live-128: 178 vs 89 us packed-scales) — keep it off here.
         # q-DMA streaming: a bandwidth-regime win (round-5 same-run
         # A/Bs at batch 256: live 96 207.1 vs 190.2 us — LOSES; live
-        # 256 253.1 vs 268.1 — WINS 5.6%), so it defaults ON for
-        # long-context caches (lives >= 2048) and OFF for short ones.
-        # RTEN_FLAT_QSTREAM=0/1 forces either way.
+        # 256 253.1 vs 268.1 — WINS 5.6%). Live length is dynamic but
+        # the flag is jit-static, so the default keys on CAPACITY as
+        # the proxy: cap >= 2048 serving spends most steps at long
+        # lives (the engine A/B at cap 4096, lives 2048-2304: +2.5%
+        # end to end), accepting the ~8%-slower attention calls while
+        # fresh sequences are still short. RTEN_FLAT_QSTREAM=0/1
+        # forces either way.
         qs_env = os.environ.get("RTEN_FLAT_QSTREAM", "")
         q_stream = (qs_env != "0") if qs_env else long_ctx
         return flash_decode_flat(
@@ -849,8 +852,7 @@ class TransformerLM:
                     and cfg.n_kv_heads % tp_s == 0
                     and (kvh_d // tp_s) % 128 == 0
                     # per-shard flat-kernel group must exist
-                    and any(b_l % g == 0 and b_l >= 2 * g
-                            for g in (16, 8, 4, 2))
+                    and flat_group_for(b_l) > 0
                     and cache.capacity % (4 * sizes["seq"]) == 0
                     and cap_l % 64 == 0
                     and (cap_l < 2048 or cap_l % 128 == 0)

@@ -76,12 +76,11 @@ def _check_supported(model, cache, batch):
         # island (flush_tail_island). Only the flat kernel reads the
         # window, so the per-shard shapes must support it — the
         # engine's tail_shape_ok gates the same conditions.
+        from ..models.transformer import flat_group_for
         kvh_l_d = (cfg.n_kv_heads // tp) * cfg.head_dim
         if (cache.quant_scales is None or not cfg.use_pallas
                 or kvh_l_d % 128
-                or not any((batch // dp) % g == 0
-                           and batch // dp >= 2 * g
-                           for g in (16, 8, 4, 2))):
+                or not flat_group_for(batch // dp)):
             raise ValueError(
                 "overlap decode: tail write-buffer needs the per-shard "
                 "flat-kernel configuration (quantized cache, "

@@ -379,6 +379,58 @@ def serve(engine, tokenizer=None, host="127.0.0.1", port=8000,
     return server, driver
 
 
+def build_engine(args, parser=None):
+    """CLI args → (ServingEngine, tokenizer). Split out of main() so
+    the flag→engine wiring is unit-testable (round-5 review finding:
+    the cache="auto" policy was resolved in main but never passed to
+    the engine — `--quantize` silently served an f32 KV cache)."""
+    import jax
+
+    from .generate.engine import ServingEngine
+    from .generate.sampler import ArgMaxSampler, PerRequestSampler
+    from .models.transformer import (TransformerConfig, TransformerLM,
+                                     quantize_weights)
+
+    cfg = TransformerConfig.gpt2()
+    model = TransformerLM(cfg)
+    if args.weights:
+        from .models import hf_loader
+        params = hf_loader.load_gpt2(args.weights, cfg)
+    elif args.demo:
+        params = model.init_params(jax.random.PRNGKey(0))
+    else:
+        parser.error("pass --weights or --demo")
+    if args.quantize:
+        params = quantize_weights(params, args.quantize)
+
+    tok = None
+    if args.tokenizer:
+        from .text import from_json_file
+        tok = from_json_file(args.tokenizer)
+
+    sampler = (ArgMaxSampler() if args.fixed_greedy or args.spec_draft
+               else PerRequestSampler())
+    # Measured-best default (BASELINE.md round 6 + round-5 long
+    # context): the token-packed int8 cache under --quantize — the
+    # engine's "auto" policy resolves it, falling back to bf16 when
+    # the Pallas decode kernels can't read int8 for this config.
+    kv = args.kv_cache or ("auto" if args.quantize else "f32")
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        data, tp = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(data=data, model=tp,
+                         devices=jax.devices()[:data * tp])
+    engine = ServingEngine(model, params, max_batch=args.max_batch,
+                           capacity=args.capacity, sampler=sampler,
+                           cache=kv,
+                           paged=args.paged, page_size=args.page_size,
+                           spec_draft=args.spec_draft,
+                           logprobs=args.logprobs, mesh=mesh,
+                           overlap=args.overlap)
+    return engine, tok
+
+
 def main(argv=None):  # pragma: no cover - exercised via --demo smoke
     import argparse
 
@@ -429,52 +481,7 @@ def main(argv=None):  # pragma: no cover - exercised via --demo smoke
                              "(permute-only collectives riding under "
                              "the projection matmuls)")
     args = parser.parse_args(argv)
-
-    import jax
-
-    from .generate.engine import ServingEngine
-    from .generate.sampler import ArgMaxSampler, PerRequestSampler
-    from .models.transformer import (TransformerConfig, TransformerLM,
-                                     quantize_weights)
-
-    cfg = TransformerConfig.gpt2()
-    model = TransformerLM(cfg)
-    if args.weights:
-        from .models import hf_loader
-        params = hf_loader.load_gpt2(args.weights, cfg)
-    elif args.demo:
-        params = model.init_params(jax.random.PRNGKey(0))
-    else:
-        parser.error("pass --weights or --demo")
-    if args.quantize:
-        params = quantize_weights(params, args.quantize)
-
-    tok = None
-    if args.tokenizer:
-        from .text import from_json_file
-        tok = from_json_file(args.tokenizer)
-
-    sampler = (ArgMaxSampler() if args.fixed_greedy or args.spec_draft
-               else PerRequestSampler())
-    # Measured-best default (BASELINE.md round 6 + round-5 long
-    # context): the token-packed int8 cache under --quantize — the
-    # engine's "auto" policy resolves it, falling back to bf16 when
-    # the Pallas decode kernels can't read int8 for this config.
-    kv = args.kv_cache or ("auto" if args.quantize else "f32")
-    mesh = None
-    if args.mesh:
-        from .parallel import make_mesh
-        data, tp = (int(v) for v in args.mesh.lower().split("x"))
-        mesh = make_mesh(data=data, model=tp,
-                         devices=jax.devices()[:data * tp])
-    engine = ServingEngine(model, params, max_batch=args.max_batch,
-                           capacity=args.capacity, sampler=sampler,
-                           cache_dtype="bfloat16" if kv == "bf16" else None,
-                           quantized_cache=kv == "int8",
-                           paged=args.paged, page_size=args.page_size,
-                           spec_draft=args.spec_draft,
-                           logprobs=args.logprobs, mesh=mesh,
-                           overlap=args.overlap)
+    engine, tok = build_engine(args, parser)
     server, driver = serve(engine, tok, args.host, args.port,
                            burst=args.burst, quiet=False,
                            chat_template=args.chat_template)

@@ -404,3 +404,24 @@ def test_serve_demo_mesh_overlap():
     finally:
         driver.stop()
         server.server_close()
+
+
+def test_serve_cli_cache_wiring():
+    """Round-5 review finding: main() resolved kv="auto" under
+    --quantize but never passed it to ServingEngine — the CLI silently
+    served an f32 KV cache. build_engine (the extracted wiring) must
+    hand the policy through so --quantize runs the token-packed int8
+    cache."""
+    import argparse
+
+    from rten_tpu.serve import build_engine
+
+    args = argparse.Namespace(
+        weights=None, demo=True, quantize="int8", tokenizer=None,
+        fixed_greedy=False, spec_draft=0, kv_cache=None, mesh=None,
+        max_batch=2, capacity=64, paged=False, page_size=64,
+        logprobs=False, overlap=False)
+    engine, tok = build_engine(args)
+    assert tok is None
+    assert engine.quantized_cache            # auto resolved to int8
+    assert engine.cache.quant_scales is not None

@@ -449,13 +449,15 @@ def test_spec_sticky_probe_decline(model_and_params):
     eng._spec_tps = 1.8                        # eff 0.9 -> OFF + block
     eng._spec_gate()
     assert eng._spec_on is False
-    assert eng._spec_est_block == 2.1
+    # The block records the MEASURED acceptance (fresh), not the host
+    # estimate (possibly stale after a long ON stretch).
+    assert eng._spec_est_block == 1.8
     # Same traffic level: estimator declines without touching the
     # cost-ratio path.
-    eng._estimate_spec_tps = lambda **kw: 2.2
+    eng._estimate_spec_tps = lambda **kw: 2.0
     assert not eng._estimate_says_go()
     # Materially higher traffic re-arms.
-    eng._estimate_spec_tps = lambda **kw: 2.1 * 1.2
+    eng._estimate_spec_tps = lambda **kw: 1.8 * 1.2
     assert eng._estimate_says_go()
     # Confirmed ON clears the block.
     eng._spec_tps = 4.0

@@ -8,10 +8,36 @@ numbers need a pod slice.
 """
 
 import argparse
+import re
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+
+def parse_collectives(text):
+    """Compiled-HLO collective accounting shared by the scaling table
+    and profile_moe's mesh table: (op -> count, total HLO-op bytes).
+    HLO-op bytes are NOT wire bytes (a ring decomposition moves
+    comparable traffic in smaller pieces) — compare op MIXES."""
+    counts: dict = {}
+    total_bytes = 0
+    for line in text.splitlines():
+        m = re.search(r"= (\w+)\[([\d,]*)\]\S* (all-reduce|"
+                      r"all-gather|reduce-scatter|collective-permute|"
+                      r"all-to-all)\(", line)
+        if not m:
+            continue
+        dtype, dims, op = m.groups()
+        counts[op] = counts.get(op, 0) + 1
+        elems = 1
+        for d in dims.split(","):
+            if d:
+                elems *= int(d)
+        width = {"f32": 4, "s32": 4, "bf16": 2, "f16": 2,
+                 "u8": 1, "s8": 1}.get(dtype, 4)
+        total_bytes += elems * width
+    return counts, total_bytes
 
 
 def main():
@@ -91,7 +117,6 @@ def main():
     # step — the communication cost model that survives the CPU host's
     # noise (wall-clock scaling on 2 vCPUs is meaningless; ICI numbers
     # need a pod slice).
-    import re
 
     def collective_stats(axes, batch, overlap=False):
         mesh = make_mesh(**axes)
@@ -109,24 +134,7 @@ def main():
         with mesh:
             text = jax.jit(m.decode_step, donate_argnums=(2,)).lower(
                 params, tokens, cache).compile().as_text()
-        counts: dict = {}
-        total_bytes = 0
-        for line in text.splitlines():
-            m = re.search(r"= (\w+)\[([\d,]*)\]\S* (all-reduce|"
-                          r"all-gather|reduce-scatter|collective-permute|"
-                          r"all-to-all)\(", line)
-            if not m:
-                continue
-            dtype, dims, op = m.groups()
-            counts[op] = counts.get(op, 0) + 1
-            elems = 1
-            for d in dims.split(","):
-                if d:
-                    elems *= int(d)
-            width = {"f32": 4, "s32": 4, "bf16": 2, "f16": 2,
-                     "u8": 1, "s8": 1}.get(dtype, 4)
-            total_bytes += elems * width
-        return counts, total_bytes
+        return parse_collectives(text)
 
     print("\nper-axis decode-step collective table "
           "(count / bytes moved per step):")

@@ -135,8 +135,6 @@ def mesh_table():
         XLA_FLAGS=--xla_force_host_platform_device_count=8 \
             JAX_PLATFORMS=cpu python tools/profile_moe.py --mesh-table
     """
-    import re
-
     import jax
     import jax.numpy as jnp
 
@@ -170,22 +168,8 @@ def mesh_table():
         with mesh:
             text = jax.jit(m.decode_step, donate_argnums=(2,)).lower(
                 sp, toks, cache).compile().as_text()
-        counts, nbytes = {}, 0
-        for line in text.splitlines():
-            mm = re.search(r"= (\w+)\[([\d,]*)\]\S* (all-reduce|"
-                           r"all-gather|reduce-scatter|"
-                           r"collective-permute|all-to-all)\(", line)
-            if not mm:
-                continue
-            dtype, dims, op = mm.groups()
-            counts[op] = counts.get(op, 0) + 1
-            elems = 1
-            for d in dims.split(","):
-                if d:
-                    elems *= int(d)
-            width = {"f32": 4, "s32": 4, "bf16": 2, "f16": 2,
-                     "u8": 1, "s8": 1}.get(dtype, 4)
-            nbytes += elems * width
+        from bench_scaling import parse_collectives
+        counts, nbytes = parse_collectives(text)
         cs = " ".join(f"{k}:{v}" for k, v in sorted(counts.items()))
         print(f"  {label:16s} {cs or 'none'}  "
               f"{nbytes / 1024:.1f} KiB/step", flush=True)
